@@ -1,0 +1,273 @@
+"""CLI with byte-parity to the reference ``needleman-wunsch`` binary.
+
+Implements the exact flag surface, stdout/stderr split, error messages,
+and exit codes of the reference ``main()`` (needleman-wunsch.c:698-795),
+including its quirks:
+
+* ``-h`` prints usage to stderr and exits **1** (usage(), :65-89);
+* operands are parsed with C ``atoi`` semantics — garbage silently
+  becomes 0 (:783-785);
+* ``log_err`` appends ``strerror(errno)``; with errno == 0 the reference
+  prints the literal bytes ``\\b\\b \\b`` ("erase the colon" hack,
+  dbg.h:61) — reproduced verbatim;
+* glibc ``getopt`` messages use the *raw* argv[0], while ``log_err`` uses
+  argv[0] with only a leading ``./`` stripped (dbg.c:7-15);
+* the ``-s`` summary goes to stderr (computation.c:277-280).
+
+The compute path is the TPU engine: anti-diagonal scan fill on device,
+O(M*N) path counting/marking, host (native C++) enumeration only when
+alignment strings must be printed.
+"""
+
+from __future__ import annotations
+
+import getopt
+import os
+import sys
+from typing import BinaryIO, List, Optional
+
+USAGE = b"""\
+usage: needleman-wunsch [-c][-h][-l][-q][-s][-t][-u]
+                        [-p num-threads] [-f sequence-file] m k d
+Align two sequences with the Needleman-Wunsch algorithm
+operands:
+   m   match bonus
+   k   mismatch penalty
+   d   indel (gap) penalty
+options:
+  -c   color the output with ANSI escape sequences
+  -f sequence-file
+       read the input strings from 'sequence-file' instead of standard input
+  -h   print this usage message
+  -l   list match, mismatch, and indel counts for each alignment pair
+  -p num-threads
+       parallelize the computation with 'num-threads' threads (must be >1)
+  -q   be quiet and don't print the aligned strings
+  -s   summarize the algorithm's run
+  -t   print the scores table; only useful for shorter input strings
+  -u   use unicode arrows when printing the scores table
+"""
+
+# clean_errno() with errno == 0 (dbg.h:61): backspaces that "erase" the
+# colon on a terminal; in a pipe they are literal bytes.
+ERRNO_CLEAN = b"\x08\x08 \x08"
+
+
+class _Exit(Exception):
+    def __init__(self, code: int):
+        self.code = code
+
+
+def _prog_name(argv0: str) -> str:
+    """set_prog_name (dbg.c:7-15): strip only a leading './'."""
+    return argv0[2:] if argv0.startswith("./") else argv0
+
+
+def _log_err(stderr: BinaryIO, prog: str, msg: str, errno_str: Optional[bytes] = None):
+    """log_err macro, NDEBUG form (dbg.h:67-71)."""
+    tail = ERRNO_CLEAN if errno_str is None else errno_str
+    stderr.write(prog.encode() + b": error: " + msg.encode() + b": " + tail + b"\n")
+
+
+def _usage(stderr: BinaryIO):
+    stderr.write(USAGE)
+    raise _Exit(1)
+
+
+def main(
+    argv: List[str],
+    stdin: Optional[BinaryIO] = None,
+    stdout: Optional[BinaryIO] = None,
+    stderr: Optional[BinaryIO] = None,
+) -> int:
+    stdin = stdin if stdin is not None else sys.stdin.buffer
+    stdout = stdout if stdout is not None else sys.stdout.buffer
+    stderr = stderr if stderr is not None else sys.stderr.buffer
+    try:
+        _run(argv, stdin, stdout, stderr)
+        return 0
+    except _Exit as e:
+        return e.code
+    finally:
+        try:
+            stdout.flush()
+        except Exception:
+            pass
+        try:
+            stderr.flush()
+        except Exception:
+            pass
+
+
+def _run(argv: List[str], stdin: BinaryIO, stdout: BinaryIO, stderr: BinaryIO):
+    from nw_tpu.utils.textio import EarlyEOFError, c_atoi, read_two_sequences
+
+    argv0_raw = argv[0] if argv else "needleman-wunsch"
+    prog = _prog_name(argv0_raw)
+
+    try:
+        opts, operands = getopt.gnu_getopt(argv[1:], "cf:hlp:qstu")
+    except getopt.GetoptError as e:
+        # glibc getopt error messages use the raw argv[0]
+        opt = (e.opt or "?")[:1]
+        if "requires argument" in e.msg:
+            stderr.write(
+                argv0_raw.encode() + b": option requires an argument -- '"
+                + opt.encode() + b"'\n"
+            )
+        else:
+            stderr.write(
+                argv0_raw.encode() + b": invalid option -- '" + opt.encode() + b"'\n"
+            )
+        _usage(stderr)
+
+    cflag = lflag = qflag = sflag = tflag = uflag = 0
+    infile_path: Optional[str] = None
+    num_threads = 1
+    for opt, val in opts:
+        if opt == "-c":
+            cflag = 1
+        elif opt == "-f":
+            infile_path = val
+        elif opt == "-h":
+            _usage(stderr)
+        elif opt == "-l":
+            lflag = 1
+        elif opt == "-p":
+            num_threads = c_atoi(val)
+            if num_threads <= 1:
+                _log_err(
+                    stderr,
+                    prog,
+                    f"num-threads == {num_threads}; num-threads "
+                    "must be greater than 1",
+                )
+                raise _Exit(1)
+        elif opt == "-q":
+            qflag = 1
+        elif opt == "-s":
+            sflag = 1
+        elif opt == "-t":
+            tflag = 1
+        elif opt == "-u":
+            uflag = 1
+
+    if len(operands) != 3:
+        n = len(operands)
+        only = "" if (n > 3 or n == 0) else " only"
+        _log_err(stderr, prog, f"expected 3 operands but received{only} {n}")
+        _usage(stderr)
+
+    if infile_path is None:
+        infile = stdin
+    else:
+        try:
+            infile = open(infile_path, "rb")
+        except OSError as e:
+            _log_err(
+                stderr,
+                prog,
+                f"failed to open {infile_path}",
+                (e.strerror or "").encode(),
+            )
+            raise _Exit(1)
+
+    try:
+        s1, s2 = read_two_sequences(infile)
+    except EarlyEOFError:
+        _log_err(stderr, prog, "got EOF too early when reading input strings")
+        raise _Exit(1)
+
+    m = c_atoi(operands[0])
+    k = c_atoi(operands[1])
+    d = c_atoi(operands[2])
+
+    # num_threads has no effect on output in the reference (single- vs
+    # multi-threaded scoring is bit-identical); the device fill is always
+    # parallel here.
+    del num_threads
+
+    _needleman_wunsch(s1, s2, m, k, d, cflag, lflag, qflag, sflag, tflag, uflag,
+                      stdout, stderr)
+
+
+def _needleman_wunsch(
+    s1: bytes, s2: bytes, m: int, k: int, d: int,
+    cflag: int, lflag: int, qflag: int, sflag: int, tflag: int, uflag: int,
+    stdout: BinaryIO, stderr: BinaryIO,
+):
+    """The algorithm driver — mirrors needleman_wunsch()
+    (needleman-wunsch.c:654-689)."""
+    import numpy as np
+
+    from nw_tpu.ops import encode as enc
+    from nw_tpu.ops import enumerate_walk, pathcount
+    from nw_tpu.ops.fill_scan import diag_to_matrix, fill_diag
+    from nw_tpu.utils.alignout import format_aligned_pair
+
+    top = enc.encode(s1)
+    side = enc.encode(s2)
+    len1, len2 = len(s1), len(s2)
+
+    out = fill_diag(top, side, m, k, d, with_scores=True)
+    arrows_diag = np.asarray(out["arrows"])
+    score = int(out["score"])
+
+    solution_count = 0  # uint32 semantics applied at print time
+    need_walk = qflag != 1 or lflag == 1 or sflag == 1 or tflag == 1
+    printing = qflag != 1 or lflag == 1
+
+    if need_walk:
+        if printing:
+            arrows_rect = diag_to_matrix(arrows_diag, len1, len2)
+
+            def emit(X: bytes, Y: bytes):
+                stdout.write(
+                    format_aligned_pair(X, Y, bool(qflag), bool(lflag), bool(cflag))
+                )
+
+            solution_count = enumerate_walk.enumerate_alignments(
+                arrows_rect, s1, s2, emit
+            )
+        else:
+            # Only the count (and/or path marks) are observable: O(M*N)
+            # dynamic programs replace the reference's exponential DFS
+            # with identical output.
+            if len1 == 0 and len2 == 0:
+                solution_count = 0
+            else:
+                solution_count = int(pathcount.count_paths(arrows_diag, len1, len2))
+
+    if sflag == 1:
+        u = solution_count % (2**32)  # unsigned int counter (computation.h:65)
+        signed = u - 2**32 if u >= 2**31 else u  # printed with %d
+        plural = b"s" if u > 1 else b""
+        stderr.write(b"%d optimal alignment%s\n" % (signed, plural))
+        stderr.write(b"Optimal score is %d\n" % score)
+
+    if tflag == 1:
+        from nw_tpu.utils.render import render_table
+
+        if qflag != 1 or sflag == 1 or lflag == 1:
+            stdout.write(b"\n")
+        scores_rect = diag_to_matrix(np.asarray(out["scores"]), len1, len2)
+        arrows_rect = diag_to_matrix(arrows_diag, len1, len2)
+        if len1 == 0 and len2 == 0:
+            # 1x1 table: the reference DFS loop guard is false on entry
+            # (needleman-wunsch.c:231-235) so nothing gets marked.
+            in_path = np.zeros((1, 1), bool)
+        else:
+            marks_diag = np.asarray(pathcount.mark_optimal_cells(arrows_diag, len1, len2))
+            in_path = diag_to_matrix(marks_diag, len1, len2).astype(bool)
+        stdout.write(
+            render_table(
+                scores_rect, arrows_rect, in_path, s1, s2,
+                unicode=bool(uflag), color=bool(cflag),
+            )
+        )
+
+
+def console_main() -> None:
+    if os.environ.get("NW_TPU_PLATFORM") and "JAX_PLATFORMS" not in os.environ:
+        os.environ["JAX_PLATFORMS"] = os.environ["NW_TPU_PLATFORM"]
+    sys.exit(main(sys.argv))

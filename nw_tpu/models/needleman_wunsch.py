@@ -1,0 +1,200 @@
+"""The flagship model: batched global alignment with linear gap penalties.
+
+Library equivalent of the reference driver ``needleman_wunsch()``
+(needleman-wunsch.c:654-689), re-shaped for TPU execution:
+
+* one call aligns a *batch* of pairs (the reference: one pair per
+  process); pairs are padded into length buckets so compiled shapes are
+  reused;
+* the fill runs on device (Pallas wavefront kernel on TPU, ``lax.scan``
+  elsewhere), emitting packed arrows;
+* traceback is a device walk for first-optimal alignments, or a host
+  enumeration (native C++ fast path) for *all* optimal alignments;
+* counting / optimal-path marking are O(M*N) device scans
+  (:mod:`nw_tpu.ops.pathcount`) instead of the reference's exponential
+  DFS (needleman-wunsch.c:231-331).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nw_tpu.config import AlignConfig, ScoringParams
+from nw_tpu.ops import encode as enc
+from nw_tpu.ops import enumerate_walk, pathcount, traceback
+from nw_tpu.ops.fill_scan import (
+    diag_to_matrix,
+    fill_diag,
+    fill_diag_batch,
+    fill_scores_batch,
+)
+
+
+def _as_bytes(s: str | bytes) -> bytes:
+    return s.encode() if isinstance(s, str) else bytes(s)
+
+
+@dataclasses.dataclass
+class AlignmentResult:
+    """Result for a single pair."""
+
+    s1: bytes
+    s2: bytes
+    score: int
+    solution_count: int
+    arrows_diag: Optional[np.ndarray] = None  # uint8[K, N] diagonal-major
+    scores_diag: Optional[np.ndarray] = None  # int32[K, N]
+
+    @property
+    def arrows(self) -> np.ndarray:
+        """Rectangular uint8[N, M] arrow matrix."""
+        return diag_to_matrix(self.arrows_diag, len(self.s1), len(self.s2))
+
+    @property
+    def score_matrix(self) -> np.ndarray:
+        return diag_to_matrix(self.scores_diag, len(self.s1), len(self.s2))
+
+    def alignments(
+        self, max_alignments: Optional[int] = None
+    ) -> Iterator[Tuple[bytes, bytes]]:
+        """All optimal alignments in reference DFS order (diag>left>up)."""
+        return enumerate_walk.iter_alignments(
+            self.arrows, self.s1, self.s2, max_alignments
+        )
+
+    def best_alignment(self) -> Tuple[bytes, bytes]:
+        """First optimal alignment (== the reference's first-emitted one)."""
+        for a in self.alignments(max_alignments=1):
+            return a
+        return b"", b""
+
+
+@dataclasses.dataclass
+class BatchResult:
+    """Result for a batch of pairs."""
+
+    scores: np.ndarray  # int32[B] optimal scores
+    counts: Optional[np.ndarray] = None  # uint32[B] optimal-alignment counts
+    ops: Optional[np.ndarray] = None  # int8[B, S] greedy traceback op codes
+    ops_len: Optional[np.ndarray] = None  # int32[B]
+    _pairs: Optional[Sequence[Tuple[bytes, bytes]]] = None
+
+    def alignment_strings(self) -> List[Tuple[bytes, bytes]]:
+        """One (first-)optimal aligned pair of byte strings per input."""
+        assert self.ops is not None, "batch was run without traceback"
+        return [
+            traceback.ops_to_strings(self.ops[b], self.ops_len[b], s1, s2)
+            for b, (s1, s2) in enumerate(self._pairs)
+        ]
+
+
+class NWAligner:
+    """Needleman-Wunsch aligner configured once, applied to many inputs."""
+
+    def __init__(self, config: AlignConfig | None = None, **scoring_kwargs):
+        if config is None:
+            config = AlignConfig(scoring=ScoringParams(**scoring_kwargs))
+        self.config = config
+
+    # ---------------- single pair (CLI / exploratory path) ----------------
+
+    def align(self, s1: str | bytes, s2: str | bytes) -> AlignmentResult:
+        """Align one pair, returning full arrows + scores for enumeration
+        and table rendering.
+
+        Mirrors init_computation + compute_table_scores
+        (computation.c:145-191, needleman-wunsch.c:583-626) followed by
+        the O(M*N) solution count.
+        """
+        s1b, s2b = _as_bytes(s1), _as_bytes(s2)
+        m, k, d = self.config.scoring.as_tuple()
+        top = enc.encode(s1b)
+        side = enc.encode(s2b)
+        out = fill_diag(top, side, m, k, d, with_scores=True)
+        if len(s1b) == 0 and len(s2b) == 0:
+            count = 0  # reference DFS emits nothing on a 1x1 table
+        else:
+            count = int(pathcount.count_paths(out["arrows"], len(s1b), len(s2b)))
+        return AlignmentResult(
+            s1=s1b,
+            s2=s2b,
+            score=int(out["score"]),
+            solution_count=count,
+            arrows_diag=np.asarray(out["arrows"]),
+            scores_diag=np.asarray(out["scores"]),
+        )
+
+    # ---------------- batched (production path) ----------------
+
+    def align_batch(
+        self,
+        pairs: Sequence[Tuple[str | bytes, str | bytes]],
+        traceback_strings: bool = False,
+        count: bool = False,
+    ) -> BatchResult:
+        """Score a batch of pairs on device (one wavefront per pair,
+        batch across vector lanes).
+
+        Score-only batches use the Pallas TPU kernel when available;
+        batches needing arrows use the scan fill.
+        """
+        m, k, d = self.config.scoring.as_tuple()
+        norm = [(_as_bytes(a), _as_bytes(b)) for a, b in pairs]
+        len1 = self.config.bucket_for(max((len(a) for a, _ in norm), default=1))
+        len2 = self.config.bucket_for(max((len(b) for _, b in norm), default=1))
+        tops, sides, lens1, lens2 = enc.encode_batch(norm, len1, len2)
+        l1j, l2j = jnp.asarray(lens1), jnp.asarray(lens2)
+
+        need_arrows = traceback_strings or count
+        if not need_arrows:
+            if self.config.use_pallas and pallas_supported():
+                from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
+
+                scores = fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
+            else:
+                scores = fill_scores_batch(tops, sides, m, k, d, l1j, l2j)
+            return BatchResult(scores=np.asarray(scores), _pairs=norm)
+
+        out = fill_diag_batch(tops, sides, m, k, d, l1j, l2j)
+        result = BatchResult(scores=np.asarray(out["score"]), _pairs=norm)
+        if count:
+            cnts = jax.jit(jax.vmap(pathcount.count_paths))(out["arrows"], l1j, l2j)
+            result.counts = np.asarray(cnts)
+        if traceback_strings:
+            ops, n = traceback.traceback_greedy_batch(
+                out["arrows"], l1j, l2j, max_steps=len1 + len2
+            )
+            result.ops = np.asarray(ops)
+            result.ops_len = np.asarray(n)
+        return result
+
+
+_PALLAS_OK: Optional[bool] = None
+
+
+def pallas_supported() -> bool:
+    """True when the default backend can run the Pallas TPU kernels."""
+    global _PALLAS_OK
+    if _PALLAS_OK is None:
+        try:
+            _PALLAS_OK = jax.devices()[0].platform == "tpu"
+        except Exception:
+            _PALLAS_OK = False
+    return _PALLAS_OK
+
+
+def align(s1, s2, m: int = 1, k: int = 1, d: int = 1) -> AlignmentResult:
+    """One-shot single-pair alignment (reference CLI semantics)."""
+    return NWAligner(AlignConfig(scoring=ScoringParams(m, k, d))).align(s1, s2)
+
+
+def align_batch(pairs, m: int = 1, k: int = 1, d: int = 1, **kw) -> BatchResult:
+    """One-shot batched alignment."""
+    return NWAligner(AlignConfig(scoring=ScoringParams(m, k, d))).align_batch(
+        pairs, **kw
+    )

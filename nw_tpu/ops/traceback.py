@@ -1,0 +1,111 @@
+"""Vectorized single-path traceback on device.
+
+The reference's walk (needleman-wunsch.c:209-331) is a host DFS that
+enumerates *all* optimal alignments.  When only one optimal alignment per
+pair is needed (the common production case for large batches), the walk is
+a deterministic backward scan: start at the true bottom-right corner and
+repeatedly follow the highest-priority arrow, with the same diag > left >
+up priority the reference DFS descends with (needleman-wunsch.c:305-324)
+— so the path produced here is exactly the *first* alignment the
+reference emits.
+
+Works directly on the diagonal-major arrow layout (cell (j, i) lives at
+``D[i + j, j]``), runs as a ``lax.while_loop``-free fixed-trip
+``fori_loop`` (static bound = len1 + len2 steps, masked when done), and is
+``vmap``-friendly for batches.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# op codes emitted per step (order matters: reference DFS descend priority)
+OP_DIAG = jnp.int8(0)
+OP_LEFT = jnp.int8(1)
+OP_UP = jnp.int8(2)
+OP_NONE = jnp.int8(3)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def traceback_greedy(arrows_diag, len1, len2, max_steps: int):
+    """Greedy (first-alignment) backward walk over one pair's arrows.
+
+    Args:
+      arrows_diag: uint8[K, N] diagonal-major packed arrows.
+      len1, len2: true sequence lengths (int32 scalars; the walk starts at
+        cell (len2, len1), cf. construct_alignments, needleman-wunsch.c:376).
+      max_steps: static trip count; must be >= len1 + len2.
+
+    Returns:
+      ops: int8[max_steps] — op codes in walk order (corner -> origin),
+        padded with OP_NONE.
+      n: int32 — number of real ops (= aligned string length).
+    """
+
+    def step(t, state):
+        i, j, n, ops = state
+        active = (i > 0) | (j > 0)
+        a = arrows_diag[i + j, j]
+        take_diag = (a & 1) != 0
+        take_left = jnp.logical_and(~take_diag, (a & 2) != 0)
+        take_up = jnp.logical_and(~(take_diag | take_left), (a & 4) != 0)
+
+        op = jnp.where(
+            take_diag, OP_DIAG, jnp.where(take_left, OP_LEFT, OP_UP)
+        ).astype(jnp.int8)
+        di = jnp.where(take_diag | take_left, 1, 0)
+        dj = jnp.where(take_diag | take_up, 1, 0)
+
+        ops = ops.at[t].set(jnp.where(active, op, OP_NONE))
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        n = n + jnp.where(active, 1, 0)
+        return (i, j, n, ops)
+
+    ops0 = jnp.full((max_steps,), OP_NONE, jnp.int8)
+    i0 = jnp.asarray(len1, jnp.int32)
+    j0 = jnp.asarray(len2, jnp.int32)
+    _, _, n, ops = jax.lax.fori_loop(0, max_steps, step, (i0, j0, jnp.int32(0), ops0))
+    return ops, n
+
+
+def traceback_greedy_batch(arrows_diag, lens1, lens2, max_steps: int):
+    """Batched greedy traceback: arrows_diag uint8[B, K, N]."""
+    fn = jax.vmap(
+        lambda a, l1, l2: traceback_greedy(a, l1, l2, max_steps),
+        in_axes=(0, 0, 0),
+    )
+    return jax.jit(fn)(arrows_diag, lens1, lens2)
+
+
+def ops_to_strings(ops, n, s1: bytes, s2: bytes, gap: int = ord("-")):
+    """Host: materialize (X, Y) aligned byte strings from walk ops.
+
+    The walk runs corner -> origin, consuming characters from the ends of
+    the sequences; the reference prints its buffers back-to-front
+    (needleman-wunsch.c:149), i.e. origin -> corner, so we reverse.
+    """
+    import numpy as np
+
+    ops = np.asarray(ops)[: int(n)]
+    X = bytearray()
+    Y = bytearray()
+    i, j = len(s1), len(s2)
+    for op in ops:
+        if op == 0:  # diag
+            i -= 1
+            j -= 1
+            X.append(s1[i])
+            Y.append(s2[j])
+        elif op == 1:  # left
+            i -= 1
+            X.append(s1[i])
+            Y.append(gap)
+        else:  # up
+            j -= 1
+            X.append(gap)
+            Y.append(s2[j])
+    return bytes(X[::-1]), bytes(Y[::-1])

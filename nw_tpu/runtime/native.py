@@ -1,0 +1,136 @@
+"""Build/load the native C++ walker (ctypes, no pybind11 dependency).
+
+Compiles ``cc/nwwalk.cc`` with g++ on first use into a package-local
+``_build`` directory (keyed by a source hash so edits trigger rebuilds),
+then exposes :func:`load` returning a thin wrapper.  Any failure —
+missing compiler, read-only filesystem — degrades silently to ``None``
+and callers fall back to the pure-Python walker.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Callable, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(__file__)
+_SRC = os.path.join(_HERE, "cc", "nwwalk.cc")
+
+_lock = threading.Lock()
+_cached: Optional["NativeWalker"] = None
+_failed = False
+
+_EMIT_FN = ctypes.CFUNCTYPE(
+    None,
+    ctypes.POINTER(ctypes.c_ubyte),
+    ctypes.POINTER(ctypes.c_ubyte),
+    ctypes.c_int64,
+    ctypes.c_void_p,
+)
+
+
+def _build_so() -> str:
+    with open(_SRC, "rb") as f:
+        src = f.read()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    for base in (os.path.join(_HERE, "_build"), tempfile.gettempdir()):
+        so_path = os.path.join(base, f"libnwwalk-{tag}.so")
+        if os.path.exists(so_path):
+            return so_path
+        try:
+            os.makedirs(base, exist_ok=True)
+            tmp = so_path + f".tmp{os.getpid()}"
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC],
+                check=True,
+                capture_output=True,
+            )
+            os.replace(tmp, so_path)
+            return so_path
+        except Exception:
+            continue
+    raise RuntimeError("could not build native walker")
+
+
+class NativeWalker:
+    def __init__(self, lib: ctypes.CDLL):
+        self._lib = lib
+        fn = lib.nw_enumerate
+        fn.restype = ctypes.c_uint64
+        fn.argtypes = [
+            ctypes.POINTER(ctypes.c_ubyte),  # arrows
+            ctypes.c_int64,  # M
+            ctypes.c_int64,  # N
+            ctypes.POINTER(ctypes.c_ubyte),  # s1
+            ctypes.POINTER(ctypes.c_ubyte),  # s2
+            _EMIT_FN,  # emit
+            ctypes.c_void_p,  # ctx
+            ctypes.c_int64,  # max_solutions
+        ]
+        self._fn = fn
+
+    def enumerate(
+        self,
+        arrows: np.ndarray,
+        s1: bytes,
+        s2: bytes,
+        emit: Optional[Callable[[bytes, bytes], None]],
+        max_alignments: Optional[int] = None,
+    ) -> int:
+        arrows = np.ascontiguousarray(arrows, dtype=np.uint8)
+        N, M = arrows.shape
+        assert M == len(s1) + 1 and N == len(s2) + 1
+
+        exc: list = []
+        if emit is not None:
+
+            def trampoline(xp, yp, n, _ctx):
+                try:
+                    emit(ctypes.string_at(xp, n), ctypes.string_at(yp, n))
+                except BaseException as e:  # don't unwind through C
+                    exc.append(e)
+
+            cb = _EMIT_FN(trampoline)
+        else:
+            cb = _EMIT_FN()
+
+        s1b = (ctypes.c_ubyte * max(1, len(s1))).from_buffer_copy(s1 or b"\0")
+        s2b = (ctypes.c_ubyte * max(1, len(s2))).from_buffer_copy(s2 or b"\0")
+        count = self._fn(
+            arrows.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            M,
+            N,
+            s1b,
+            s2b,
+            cb,
+            None,
+            -1 if max_alignments is None else max_alignments,
+        )
+        if exc:
+            raise exc[0]
+        return int(count)
+
+
+def load() -> Optional[NativeWalker]:
+    """Build (once) and load the native walker; None when unavailable."""
+    global _cached, _failed
+    if _cached is not None or _failed:
+        return _cached
+    with _lock:
+        if _cached is not None or _failed:
+            return _cached
+        if os.environ.get("NW_TPU_NO_NATIVE"):
+            _failed = True
+            return None
+        try:
+            so_path = _build_so()
+            _cached = NativeWalker(ctypes.CDLL(so_path))
+        except Exception:
+            _failed = True
+    return _cached

@@ -1,0 +1,71 @@
+"""Test harness setup: force the CPU backend with 8 virtual devices
+(SURVEY.md §4.3 item 4) before JAX is imported anywhere."""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Persistent compile cache: the suite compiles many small shapes; reruns
+# should not pay XLA compile time again.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nw-tpu-jax-cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import subprocess
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+REFERENCE_SRC = Path("/root/reference")
+REF_BUILD = Path("/root/build-ref/needleman-wunsch")
+
+
+@pytest.fixture(scope="session")
+def reference_binary():
+    """Path to a built reference binary, or skip.
+
+    Used only for differential tests; golden tests carry their own
+    expected bytes and always run.
+    """
+    if REF_BUILD.exists():
+        return str(REF_BUILD)
+    if not REFERENCE_SRC.exists():
+        pytest.skip("reference sources not available")
+    build = Path("/tmp/nw-ref-build")
+    binary = build / "needleman-wunsch"
+    if not binary.exists():
+        build.mkdir(parents=True, exist_ok=True)
+        for f in REFERENCE_SRC.iterdir():
+            if f.suffix in (".c", ".h") or f.name == "Makefile":
+                (build / f.name).write_bytes(f.read_bytes())
+        r = subprocess.run(
+            ["make", "CFLAGS=-std=gnu99 -O2 -fcommon -DNDEBUG"],
+            cwd=build,
+            capture_output=True,
+        )
+        if r.returncode != 0 or not binary.exists():
+            pytest.skip("could not build reference binary")
+    return str(binary)
+
+
+def run_ref(binary, args, stdin: bytes):
+    r = subprocess.run(
+        [binary, *args], input=stdin, capture_output=True, timeout=120
+    )
+    return r.returncode, r.stdout, r.stderr
+
+
+def run_ours(args, stdin: bytes, prog="needleman-wunsch"):
+    """Run our CLI in-process (keeps jit caches warm across cases)."""
+    import io
+
+    from nw_tpu import cli
+
+    out, err = io.BytesIO(), io.BytesIO()
+    rc = cli.main([prog, *args], stdin=io.BytesIO(stdin), stdout=out, stderr=err)
+    return rc, out.getvalue(), err.getvalue()

@@ -1,0 +1,94 @@
+"""Differential tests: byte-exact stdout AND stderr vs the reference C
+binary (SURVEY.md §4.3 item 1).  Skipped when no reference build exists;
+golden tests in test_cli.py cover the same surface standalone."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import run_ours, run_ref
+
+# (args, stdin) cases — chosen to exercise flags, quirks, and edge cases.
+CASES = [
+    (["1", "1", "1"], b"GT GT"),
+    (["1", "1", "1"], b"GT GA"),
+    (["-l", "1", "1", "1"], b"GT GA"),
+    (["1", "1", "1"], b"GAT GTA"),
+    (["-s", "1", "1", "1"], b"GCATGCU GATTACA"),
+    (["-q", "-s", "1", "1", "1"], b"GCATGCU GATTACA"),
+    (["-q", "-l", "1", "1", "1"], b"GAT GTA"),
+    (["-s", "-l", "-t", "1", "1", "1"], b"GCATGCU GATTACA"),
+    (["-q", "-s", "-t", "1", "1", "1"], b"GCATGCU GATTACA"),
+    (["-q", "-t", "-u", "1", "1", "1"], b"GCATGCU GATTACA"),
+    (["-c", "-s", "-l", "-t", "1", "1", "1"], b"GCATGCU GATTACA"),
+    (["-c", "-t", "-u", "-q", "1", "1", "1"], b"GAT GTA"),
+    (["-c", "1", "1", "1"], b"GT GA"),
+    (["x", "y", "z"], b"GT GA"),  # atoi garbage -> 0 0 0, tie explosion
+    (["-s", "x", "y", "z"], b"GT GA"),
+    (["-s", "--", "-1", "1", "1"], b"GT GA"),  # negative operand after --
+    (["-s", "--", "1", "1", "-2"], b"GT GA"),  # negative gap penalty
+    (["-s", "0", "5", "2"], b"AAAA AAAA"),
+    (["-s", "-t", "3", "2", "1"], b"TTCATA TGCTCGTA"),
+    (["-s", "1", "1", "1"], b" GT GA"),  # empty first sequence
+    (["-s", "1", "1", "1"], b"G\nGATTACA\n"),  # newline separator
+    (["-s", "1", "1", "1"], b"AB\tCD\textra ignored"),  # tab sep, extra input
+    (["-p", "4", "-s", "1", "1", "1"], b"GCATGCU GATTACA"),  # threads accepted
+    (["1", "1", "1", "-s"], b"GT GT"),  # glibc operand permutation
+    # error paths
+    ([], b""),
+    (["1", "1"], b""),
+    (["1", "1", "1", "1"], b""),
+    (["-h"], b""),
+    (["-p", "1", "1", "1", "1"], b"GT GT"),
+    (["-p", "x", "1", "1", "1"], b"GT GT"),
+    (["-f", "/nonexistent-nw-file", "1", "1", "1"], b""),
+    (["1", "1", "1"], b"GT"),
+    (["1", "1", "1"], b"GT "),
+    (["1", "1", "1"], b""),
+    (["-z", "1", "1", "1"], b""),
+]
+
+
+@pytest.mark.parametrize("args,stdin", CASES, ids=[str(i) for i in range(len(CASES))])
+def test_differential(reference_binary, args, stdin):
+    rc_ref, out_ref, err_ref = run_ref(reference_binary, args, stdin)
+    rc_our, out_our, err_our = run_ours(args, stdin)
+    # normalize prog name in stderr (binary path vs our argv[0])
+    import os
+
+    ref_prog = os.path.basename(reference_binary).encode()
+    err_ref_n = err_ref.replace(reference_binary.encode(), b"needleman-wunsch").replace(
+        ref_prog, b"needleman-wunsch"
+    )
+    assert out_our == out_ref, f"stdout mismatch for {args} {stdin!r}"
+    assert err_our == err_ref_n, f"stderr mismatch for {args} {stdin!r}"
+    assert rc_our == rc_ref, f"exit code mismatch for {args} {stdin!r}"
+
+
+def test_differential_random_small(reference_binary):
+    """Randomized fuzzing over small pairs and scoring params
+    (fixed shapes to bound jit compiles)."""
+    rng = np.random.default_rng(42)
+    for trial in range(20):
+        s1 = "".join(rng.choice(list("ACGT"), 8))
+        s2 = "".join(rng.choice(list("ACGT"), 6))
+        m, k, d = (str(int(x)) for x in rng.integers(0, 4, 3))
+        args = ["-s", "-l", m, k, d]
+        stdin = f"{s1} {s2}".encode()
+        rc_ref, out_ref, err_ref = run_ref(reference_binary, args, stdin)
+        rc_our, out_our, err_our = run_ours(args, stdin)
+        assert out_our == out_ref, (s1, s2, m, k, d)
+        assert err_our == err_ref.replace(b"./needleman-wunsch", b"needleman-wunsch"), (s1, s2, m, k, d)
+
+
+def test_differential_table_random(reference_binary):
+    """Random tables with -t -c -u: full renderer parity."""
+    rng = np.random.default_rng(43)
+    for trial in range(8):
+        s1 = "".join(rng.choice(list("ACGT"), 5))
+        s2 = "".join(rng.choice(list("ACGT"), 5))
+        m, k, d = (str(int(x)) for x in rng.integers(0, 3, 3))
+        args = ["-c", "-t", "-u", "-s", m, k, d]
+        stdin = f"{s1} {s2}".encode()
+        rc_ref, out_ref, err_ref = run_ref(reference_binary, args, stdin)
+        rc_our, out_our, err_our = run_ours(args, stdin)
+        assert out_our == out_ref, (s1, s2, m, k, d)
