@@ -1,0 +1,93 @@
+"""Headline benchmark: DP-fill throughput (GCUPS) on batched pairs.
+
+BASELINE.json config 2: a batch of 10k random 150 bp pairs, score-only,
+one pair per wavefront lane.  Baseline: the reference C binary fills at
+10.7 MCUPS single-threaded (BASELINE.md; measured, 1k x 1k pair).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "GCUPS", "vs_baseline": N}
+
+Methodology: the kernel is dispatched inside a sequentially-dependent
+``lax.scan`` (each iteration consumes the previous result), so neither
+XLA loop hoisting nor async-dispatch artifacts can fake the timing; one
+host round-trip is subtracted via a measured null calibration.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.devices()[0].platform
+    on_tpu = platform == "tpu"
+
+    NB, L = 10240, 150
+    REPS = 20 if on_tpu else 3
+    rng = np.random.default_rng(0)
+    tops = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
+    sides = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
+    lens = jnp.full((NB,), L, jnp.int32)
+    tops, sides, lens = jax.device_put((tops, sides, lens))
+
+    if on_tpu:
+        from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch as fill
+
+        def fill_call(t):
+            return fill(t, sides, lens, lens, 2, 1, 1)
+    else:
+        from nw_tpu.ops.fill_scan import fill_scores_batch
+
+        def fill_call(t):
+            return fill_scores_batch(t, sides, 2, 1, 1, lens, lens)
+
+    @jax.jit
+    def many(tops):
+        def step(carry, _):
+            t = tops.at[0, 0].set(carry.astype(jnp.int32) & 3)
+            r = fill_call(t)
+            return r.astype(jnp.int64).sum(), None
+
+        acc, _ = jax.lax.scan(step, jnp.int64(0), jnp.arange(REPS))
+        return acc
+
+    @jax.jit
+    def null(tops):
+        return tops[0, 0].astype(jnp.int64)
+
+    np.asarray(many(tops))  # compile + warm
+    np.asarray(null(tops))
+    t0 = time.time()
+    np.asarray(null(tops))
+    rtt = time.time() - t0
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(many(tops))
+        best = min(best, time.time() - t0)
+    per_call = max((best - rtt) / REPS, 1e-9)
+
+    cells = NB * L * L
+    gcups = cells / per_call / 1e9
+    baseline_gcups = 0.0107  # reference: 10.7 MCUPS (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": f"DP fill throughput, {NB}x{L}bp pairs, score-only, 1 chip ({platform})",
+                "value": round(gcups, 2),
+                "unit": "GCUPS",
+                "vs_baseline": round(gcups / baseline_gcups, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

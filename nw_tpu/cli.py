@@ -268,6 +268,13 @@ def _needleman_wunsch(
 
 
 def console_main() -> None:
-    if os.environ.get("NW_TPU_PLATFORM") and "JAX_PLATFORMS" not in os.environ:
-        os.environ["JAX_PLATFORMS"] = os.environ["NW_TPU_PLATFORM"]
+    platform = os.environ.get("NW_TPU_PLATFORM")
+    if platform:
+        # jax may already be imported (e.g. by a sitecustomize that
+        # registers a TPU plugin), freezing JAX_PLATFORMS — override at
+        # the config level.
+        os.environ["JAX_PLATFORMS"] = platform
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     sys.exit(main(sys.argv))

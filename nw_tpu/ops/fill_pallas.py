@@ -38,7 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nw_tpu.ops.encode import PAD_SIDE, PAD_TOP
 
-NEG_INF = jnp.int32(-(2**30))
+# plain Python int: jnp scalars at module scope would be captured as
+# constants by the kernel tracer, which pallas_call rejects
+NEG_INF = -(2**30)
 LANES = 128
 
 
@@ -46,21 +48,31 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
-def _scores_kernel(mkd_ref, tops_ref, sides_ref, lens_ref, out_ref, buf, cap):
+def _scores_kernel(
+    mkd_ref, tops_ref, sides_ref, lens_ref, out_ref, prev_ref, prev2_ref,
+    ch_ref, cap_ref
+):
     """One grid step = one block of BT pairs, full wavefront in VMEM.
+
+    The rolling state — two previous diagonals, the top-character
+    register, and the captured corner scores — is loop-carried (register
+    / VMEM managed by Mosaic), not scratch refs, so each step is pure
+    vector ops with no ref round-trips.
+
+    The top character needed at (diag kk, row j) is top[kk-1-j]; between
+    consecutive diagonals this is a shift-down-one-row with top[kk-1]
+    entering at row 0 — a rolling register fed by a single-row dynamic
+    slice, instead of re-slicing N rows per step.
 
     Refs:
       mkd_ref:   SMEM (1, 3) int32 — m, k, d
-      tops_ref:  VMEM (T, BT) int32 — reversed/padded top chars
+      tops_ref:  VMEM (A_pad, BT) int32 — top chars, row i = top[i]
       sides_ref: VMEM (N, BT) int32 — shifted side chars (row 0 sentinel)
       lens_ref:  VMEM (2, BT) int32 — row 0 = len1, row 1 = len2
       out_ref:   VMEM (1, BT) int32 — true-corner scores
-      buf:       VMEM scratch (2, N, BT) int32 — diagonal ping-pong
-      cap:       VMEM scratch (1, BT) int32 — captured corner scores
     """
     N, BT = sides_ref.shape
-    T = tops_ref.shape[0]
-    A = T - 2 * N  # top bucket length
+    A_pad = tops_ref.shape[0]
     m = mkd_ref[0, 0]
     kmis = mkd_ref[0, 1]
     d = mkd_ref[0, 2]
@@ -71,19 +83,26 @@ def _scores_kernel(mkd_ref, tops_ref, sides_ref, lens_ref, out_ref, buf, cap):
     k_corner = len1 + len2  # (1, BT)
 
     # diagonal 0: cell (0,0) = 0, everything else outside the table
-    buf[0] = jnp.where(j_iota == 0, jnp.int32(0), NEG_INF)
-    buf[1] = jnp.full((N, BT), NEG_INF, jnp.int32)
-    cap[...] = jnp.where(k_corner == 0, jnp.int32(0), NEG_INF)
+    prev_ref[...] = jnp.where(j_iota == 0, jnp.int32(0), jnp.int32(NEG_INF))
+    prev2_ref[...] = jnp.full((N, BT), NEG_INF, jnp.int32)
+    # cap holds per-lane corner scores at full (N, BT) shape; each lane's
+    # corner score lands in the row it was hit at, reduced once at the end.
+    cap_ref[...] = jnp.where(
+        (k_corner == 0) & (j_iota == 0), jnp.int32(0), jnp.int32(NEG_INF)
+    )
+    ch_ref[...] = jnp.full((N, BT), -4, jnp.int32)  # no top chars on diag 0
 
     side_ch = sides_ref[...]
     neg_row = jnp.full((1, BT), NEG_INF, jnp.int32)
 
     def body(kk, _):
-        slot = kk % 2  # prev2 lives here; new diagonal overwrites it
-        prev = buf[1 - slot]
-        prev2 = buf[slot]
+        prev = prev_ref[...]
+        prev2 = prev2_ref[...]
 
-        ch_top = tops_ref[pl.ds(N + A - kk, N), :]
+        # roll the top-char register: row j now needs top[kk-1-j]
+        new_top = tops_ref[pl.ds(jnp.minimum(kk - 1, A_pad - 1), 1), :]
+        ch_top = jnp.concatenate([new_top, ch_ref[:-1, :]], axis=0)
+        ch_ref[...] = ch_top
         sub = jnp.where(ch_top == side_ch, m, -kmis)
 
         prev_sh = jnp.concatenate([neg_row, prev[:-1, :]], axis=0)
@@ -101,18 +120,15 @@ def _scores_kernel(mkd_ref, tops_ref, sides_ref, lens_ref, out_ref, buf, cap):
 
         # capture the true-corner score as the wavefront crosses it
         hit = (k_corner == kk) & (j_iota == len2)  # (N, BT), <=1 hit/lane
-        cap[...] = jnp.where(
-            jnp.any(hit, axis=0, keepdims=True),
-            jnp.sum(jnp.where(hit, score, 0), axis=0, keepdims=True),
-            cap[...],
-        )
+        cap_ref[...] = jnp.where(hit, score, cap_ref[...])
 
-        buf[slot] = score
+        prev2_ref[...] = prev
+        prev_ref[...] = score
         return 0
 
-    K = A + (N - 1)  # last diagonal index
-    jax.lax.fori_loop(1, K + 1, body, 0, unroll=False)
-    out_ref[...] = cap[...]
+    K = (A_pad - 1) + (N - 1)  # last diagonal index (kk-1 < A_pad needed)
+    jax.lax.fori_loop(1, K + 1, body, 0)
+    out_ref[...] = jnp.max(cap_ref[...], axis=0, keepdims=True)
 
 
 @functools.partial(
@@ -142,14 +158,18 @@ def fill_scores_pallas_batch(
     nb, A = tops.shape
     _, Bs = sides.shape
 
-    # pad the side bucket so N = Bs+1 is a sublane multiple, and the
-    # batch to a lane multiple (extra lanes are dummy pairs)
+    # pad the side bucket so N = Bs+1 is a sublane multiple, the top
+    # bucket to a sublane multiple, and the batch to a lane multiple
+    # (extra lanes are dummy pairs)
     N = _round_up(Bs + 1, 8)
     Bs_pad = N - 1
+    A_pad = _round_up(max(A, 1), 8)
     BT = block_pairs
     nb_pad = _round_up(max(nb, 1), BT)
 
-    tops = jnp.pad(tops, ((0, nb_pad - nb), (0, 0)), constant_values=PAD_TOP)
+    tops = jnp.pad(
+        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
+    )
     sides = jnp.pad(
         sides, ((0, nb_pad - nb), (0, Bs_pad - Bs)), constant_values=PAD_SIDE
     )
@@ -160,15 +180,10 @@ def fill_scores_pallas_batch(
     sides_sh = jnp.concatenate(
         [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
     ).T
-    # (2N+A, nb) reversed/padded top chars
-    pad_blk = jnp.full((nb_pad, N), -4, jnp.int32)
-    tops_ext = jnp.concatenate(
-        [pad_blk, tops[:, ::-1].astype(jnp.int32), pad_blk], axis=1
-    ).T
+    tops_t = tops.astype(jnp.int32).T  # (A_pad, nb): row i = top[i]
     lens = jnp.stack([lens1, lens2], axis=0)  # (2, nb)
     mkd = jnp.array([[m, k, d]], jnp.int32)
 
-    T = 2 * N + A
     grid = (nb_pad // BT,)
     out = pl.pallas_call(
         _scores_kernel,
@@ -178,7 +193,7 @@ def fill_scores_pallas_batch(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 3), lambda b: (0, 0), memory_space=pltpu.SMEM),
-                pl.BlockSpec((T, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((A_pad, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec((N, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
             ],
@@ -186,10 +201,12 @@ def fill_scores_pallas_batch(
                 (1, BT), lambda b: (0, b), memory_space=pltpu.VMEM
             ),
             scratch_shapes=[
-                pltpu.VMEM((2, N, BT), jnp.int32),
-                pltpu.VMEM((1, BT), jnp.int32),
+                pltpu.VMEM((N, BT), jnp.int32),  # prev diagonal
+                pltpu.VMEM((N, BT), jnp.int32),  # prev2 diagonal
+                pltpu.VMEM((N, BT), jnp.int32),  # rolling top chars
+                pltpu.VMEM((N, BT), jnp.int32),  # captured corner scores
             ],
         ),
         interpret=interpret,
-    )(mkd, tops_ext, sides_sh, lens, )
+    )(mkd, tops_t, sides_sh, lens)
     return out[0, :nb]

@@ -3,7 +3,7 @@
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 # Persistent compile cache: the suite compiles many small shapes; reruns
 # should not pay XLA compile time again.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nw-tpu-jax-cache")
@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+# Some environments pre-import jax from sitecustomize (e.g. the axon TPU
+# tunnel), freezing JAX_PLATFORMS before this file runs — force the CPU
+# backend at the config level too.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import subprocess
 from pathlib import Path
