@@ -109,10 +109,15 @@ def fill_diag(
 
     j_idx = jnp.arange(N, dtype=jnp.int32)
 
+    # Zero that carries the inputs' varying-axes type: under shard_map,
+    # scan carries initialized from plain constants would differ in vma
+    # type from the body outputs (which depend on sharded inputs).
+    vary0 = (top.sum() + side.sum() + len1 + len2).astype(jnp.int32) * 0
+
     # Diagonal 0: only cell (0,0) with score 0 and no arrows
     # (computation.c:96-100).
-    diag0_scores = jnp.where(j_idx == 0, jnp.int32(0), NEG_INF)
-    prev2_init = jnp.full((N,), NEG_INF, jnp.int32)  # "diagonal -1"
+    diag0_scores = jnp.where(j_idx == 0, jnp.int32(0), NEG_INF) + vary0
+    prev2_init = jnp.full((N,), NEG_INF, jnp.int32) + vary0  # "diagonal -1"
 
     def step(carry, kk):
         prev, prev2, captured = carry
@@ -164,7 +169,7 @@ def fill_diag(
         return (score, prev, captured), tuple(ys)
 
     ks = jnp.arange(1, K, dtype=jnp.int32)
-    captured0 = jnp.int32(0)  # corner (0,0) when both lengths are 0
+    captured0 = jnp.int32(0) + vary0  # corner (0,0) when both lengths are 0
     (_, _, captured), ys = jax.lax.scan(
         step, (diag0_scores, prev2_init, captured0), ks
     )

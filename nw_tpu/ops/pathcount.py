@@ -55,8 +55,10 @@ def count_paths(arrows_diag, len1, len2):
         return (cnt, prev), cnt
 
     j_idx = jnp.arange(N, dtype=jnp.int32)
-    diag0 = jnp.where(j_idx == 0, jnp.uint32(1), jnp.uint32(0))
-    zero = jnp.zeros((N,), jnp.uint32)
+    # zero carrying the inputs' varying-axes type (see fill_scan)
+    vary0 = arrows_diag.astype(jnp.uint32).sum() * 0 + (len1 + len2).astype(jnp.uint32) * 0
+    diag0 = jnp.where(j_idx == 0, jnp.uint32(1), jnp.uint32(0)) + vary0
+    zero = jnp.zeros((N,), jnp.uint32) + vary0
     _, counts_tail = jax.lax.scan(step, (diag0, zero), arrows_diag[1:])
     counts = jnp.concatenate([diag0[None], counts_tail])
     return counts[len1 + len2, len2]
