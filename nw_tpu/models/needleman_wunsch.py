@@ -151,8 +151,9 @@ class NWAligner:
         l1j, l2j = jnp.asarray(lens1), jnp.asarray(lens2)
 
         need_arrows = traceback_strings or count
+        use_pallas = self.config.use_pallas and pallas_supported()
         if not need_arrows:
-            if self.config.use_pallas and pallas_supported():
+            if use_pallas:
                 from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
 
                 scores = fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
@@ -160,15 +161,34 @@ class NWAligner:
                 scores = fill_scores_batch(tops, sides, m, k, d, l1j, l2j)
             return BatchResult(scores=np.asarray(scores), _pairs=norm)
 
-        out = fill_diag_batch(tops, sides, m, k, d, l1j, l2j)
-        result = BatchResult(scores=np.asarray(out["score"]), _pairs=norm)
+        # arrow-emitting fill: Pallas kernel on TPU (VMEM-bounded to
+        # moderate side lengths), lax.scan fill otherwise
+        if use_pallas and len2 <= 2048:
+            from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+
+            arrows3, scores = fill_arrows_pallas_batch(
+                tops, sides, lens1, lens2, m, k, d
+            )  # (K_pad, N, B) layout
+            arrows_axis = 2
+            result = BatchResult(scores=np.asarray(scores), _pairs=norm)
+        else:
+            out = fill_diag_batch(tops, sides, m, k, d, l1j, l2j)
+            arrows3 = out["arrows"]  # (B, K, N)
+            arrows_axis = 0
+            result = BatchResult(scores=np.asarray(out["score"]), _pairs=norm)
         if count:
-            cnts = jax.jit(jax.vmap(pathcount.count_paths))(out["arrows"], l1j, l2j)
+            cnts = jax.jit(
+                jax.vmap(pathcount.count_paths, in_axes=(arrows_axis, 0, 0))
+            )(arrows3, l1j, l2j)
             result.counts = np.asarray(cnts)
         if traceback_strings:
-            ops, n = traceback.traceback_greedy_batch(
-                out["arrows"], l1j, l2j, max_steps=len1 + len2
+            fn = jax.vmap(
+                lambda a, a1, a2: traceback.traceback_greedy(
+                    a, a1, a2, max_steps=len1 + len2
+                ),
+                in_axes=(arrows_axis, 0, 0),
             )
+            ops, n = jax.jit(fn)(arrows3, l1j, l2j)
             result.ops = np.asarray(ops)
             result.ops_len = np.asarray(n)
         return result

@@ -1,0 +1,50 @@
+"""NWAligner library-surface tests (single pair + batched paths)."""
+
+import numpy as np
+
+from nw_tpu import AlignConfig, NWAligner, ScoringParams, align, align_batch
+
+
+def test_align_single_readme_case():
+    r = align("GCATGCU", "GATTACA", 1, 1, 1)
+    assert r.score == 0
+    assert r.solution_count == 3
+    assert [
+        (x.decode(), y.decode()) for x, y in r.alignments()
+    ] == [
+        ("GCA-TGCU", "G-ATTACA"),
+        ("GCAT-GCU", "G-ATTACA"),
+        ("GCATG-CU", "G-ATTACA"),
+    ]
+    assert r.best_alignment() == (b"GCA-TGCU", b"G-ATTACA")
+
+
+def test_align_batch_traceback_and_counts():
+    rng = np.random.default_rng(0)
+    pairs = [
+        (
+            "".join(rng.choice(list("ACGT"), int(rng.integers(3, 14)))),
+            "".join(rng.choice(list("ACGT"), int(rng.integers(3, 14)))),
+        )
+        for _ in range(9)
+    ]
+    res = align_batch(pairs, 1, 1, 1, traceback_strings=True, count=True)
+    aligner = NWAligner(AlignConfig(scoring=ScoringParams(1, 1, 1)))
+    strings = res.alignment_strings()
+    for b, (s1, s2) in enumerate(pairs):
+        single = aligner.align(s1, s2)
+        assert res.scores[b] == single.score
+        assert res.counts[b] == single.solution_count
+        assert strings[b] == single.best_alignment()
+
+
+def test_align_batch_scores_only():
+    pairs = [("GT", "GT"), ("GT", "GA"), ("GCATGCU", "GATTACA")]
+    res = align_batch(pairs, 1, 1, 1)
+    assert list(res.scores) == [2, 0, 0]
+
+
+def test_empty_pair_library_semantics():
+    r = align("", "", 1, 1, 1)
+    assert r.score == 0 and r.solution_count == 0
+    assert list(r.alignments()) == []
