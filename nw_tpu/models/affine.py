@@ -1,0 +1,105 @@
+"""Gotoh affine-gap global alignment (reference FUTURE WORK, README:187-193).
+
+Three-matrix recurrence (M = match/mismatch state, IX = gap in the side
+string / leftward moves, IY = gap in the top string / upward moves) with
+gap cost ``open + (L-1) * extend``:
+
+    M[j,i]  = max(M, IX, IY)[j-1,i-1] + sub(i,j)
+    IX[j,i] = max(M[j,i-1] - open, IX[j,i-1] - extend)
+    IY[j,i] = max(M[j-1,i] - open, IY[j-1,i] - extend)
+
+Same anti-diagonal scan as the linear-gap fill, carrying two rolling
+diagonals of all three matrices.  Score-only (affine traceback lands
+with the tiled/huge-pair work); setting ``extend == open`` reproduces
+the linear-gap score with ``d = open``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from nw_tpu.ops.fill_scan import NEG_INF
+
+
+@jax.jit
+def affine_score(top, side, m, k, open_, extend):
+    """Optimal affine-gap global alignment score (int32 scalar)."""
+    A = top.shape[0]
+    B = side.shape[0]
+    N = B + 1
+    K = A + B + 1
+
+    m = jnp.asarray(m, jnp.int32)
+    k = jnp.asarray(k, jnp.int32)
+    op = jnp.asarray(open_, jnp.int32)
+    ex = jnp.asarray(extend, jnp.int32)
+
+    side_sh = jnp.concatenate([jnp.full((1,), -3, jnp.int32), side.astype(jnp.int32)])
+    top_rev = top[::-1].astype(jnp.int32)
+    pad = jnp.full((N,), -4, jnp.int32)
+    top_ext = jnp.concatenate([pad, top_rev, pad])
+
+    j_idx = jnp.arange(N, dtype=jnp.int32)
+    vary0 = (top.sum() + side.sum()).astype(jnp.int32) * 0
+    # NEG_INF/2 so that NEG - open cannot wrap around
+    NEG = jnp.int32(NEG_INF // 2)
+
+    def boundary_gap(L):  # cost of a length-L boundary gap (L >= 1)
+        return -(op + (L - 1) * ex)
+
+    # diagonal 0: M(0,0) = 0; IX/IY undefined
+    M0 = jnp.where(j_idx == 0, jnp.int32(0), NEG) + vary0
+    IX0 = jnp.full((N,), NEG, jnp.int32) + vary0
+    IY0 = jnp.full((N,), NEG, jnp.int32) + vary0
+    negs = jnp.full((N,), NEG, jnp.int32) + vary0
+
+    def shift(v):
+        return jnp.concatenate([jnp.full((1,), NEG, jnp.int32), v[:-1]])
+
+    def step(carry, kk):
+        (Mp, IXp, IYp, Mp2, IXp2, IYp2, cap) = carry
+        i_idx = kk - j_idx
+        valid = (i_idx >= 0) & (i_idx <= A)
+        interior = valid & (j_idx >= 1) & (i_idx >= 1)
+
+        ch_top = jax.lax.dynamic_slice(top_ext, (N + A - kk,), (N,))
+        sub = jnp.where(ch_top == side_sh, m, -k)
+
+        best_p2 = jnp.maximum(jnp.maximum(Mp2, IXp2), IYp2)
+        M = shift(best_p2) + sub
+        IX = jnp.maximum(Mp - op, IXp - ex)          # (j, i-1) on k-1
+        IY = jnp.maximum(shift(Mp) - op, shift(IYp) - ex)  # (j-1, i) on k-1
+
+        M = jnp.where(interior, M, NEG)
+        IX = jnp.where(interior, IX, NEG)
+        IY = jnp.where(interior, IY, NEG)
+
+        # boundaries: row 0 (j == 0, i = kk) is an all-IX gap; col 0
+        # (i == 0, j == kk) all-IY
+        on_top = valid & (j_idx == 0)
+        on_left = valid & (i_idx == 0)
+        IX = jnp.where(on_top, boundary_gap(kk), IX)
+        IY = jnp.where(on_left, boundary_gap(kk), IY)
+
+        best = jnp.maximum(jnp.maximum(M, IX), IY)
+        cap = jnp.where(
+            kk == A + B,
+            jax.lax.dynamic_index_in_dim(best, B, keepdims=False),
+            cap,
+        )
+        return (M, IX, IY, Mp, IXp, IYp, cap), None
+
+    cap0 = jnp.int32(0) + vary0
+    ks = jnp.arange(1, K, dtype=jnp.int32)
+    (_, _, _, _, _, _, cap), _ = jax.lax.scan(
+        step, (M0, IX0, IY0, negs, negs, negs, cap0), ks
+    )
+    return cap
+
+
+affine_score_batch = jax.jit(
+    jax.vmap(affine_score, in_axes=(0, 0, None, None, None, None))
+)

@@ -231,3 +231,62 @@ def fill_matrix(top, side, m, k, d):
     scores = diag_to_matrix(np.asarray(out["scores"]), A, B)
     arrows = diag_to_matrix(np.asarray(out["arrows"]), A, B)
     return scores, arrows
+
+
+@jax.jit
+def fill_last_row(top, side, m, k, d, len1, len2):
+    """Scores of the DP row ``len2`` for columns 0..A (valid through
+    ``len1``) — the building block of Hirschberg's linear-space
+    traceback (ops/hirschberg.py).
+
+    Runs the same anti-diagonal scan but emits only one scalar per step
+    (the wavefront's value at row ``len2``), so memory is O(A+B) instead
+    of O(A*B).  ``H[len2, i]`` sits on diagonal ``len2 + i``.
+    """
+    A = top.shape[0]
+    B = side.shape[0]
+    N = B + 1
+    K = A + B + 1
+
+    m = jnp.asarray(m, jnp.int32)
+    k = jnp.asarray(k, jnp.int32)
+    d = jnp.asarray(d, jnp.int32)
+    len2 = jnp.asarray(len2, jnp.int32)
+
+    side_sh = jnp.concatenate([jnp.full((1,), -3, jnp.int32), side.astype(jnp.int32)])
+    top_rev = top[::-1].astype(jnp.int32)
+    pad = jnp.full((N,), -4, jnp.int32)
+    top_ext = jnp.concatenate([pad, top_rev, pad])
+
+    j_idx = jnp.arange(N, dtype=jnp.int32)
+    vary0 = (top.sum() + side.sum() + len1 + len2).astype(jnp.int32) * 0
+    diag0 = jnp.where(j_idx == 0, jnp.int32(0), NEG_INF) + vary0
+    prev2_0 = jnp.full((N,), NEG_INF, jnp.int32) + vary0
+
+    def step(carry, kk):
+        prev, prev2 = carry
+        i_idx = kk - j_idx
+        valid = (i_idx >= 0) & (i_idx <= A)
+        interior = valid & (j_idx >= 1) & (i_idx >= 1)
+
+        ch_top = jax.lax.dynamic_slice(top_ext, (N + A - kk,), (N,))
+        sub = jnp.where(ch_top == side_sh, m, -k)
+        prev_sh = jnp.concatenate([jnp.full((1,), NEG_INF, jnp.int32), prev[:-1]])
+        prev2_sh = jnp.concatenate([jnp.full((1,), NEG_INF, jnp.int32), prev2[:-1]])
+        score = jnp.maximum(
+            jnp.maximum(prev2_sh + sub, prev_sh - d), prev - d
+        )
+        score = jnp.where(interior, score, NEG_INF)
+        score = jnp.where(valid & (j_idx == 0), -kk * d, score)
+        score = jnp.where(valid & (i_idx == 0), -kk * d, score)
+
+        emit = jax.lax.dynamic_index_in_dim(score, len2, keepdims=False)
+        return (score, prev), emit
+
+    ks = jnp.arange(1, K, dtype=jnp.int32)
+    _, ys = jax.lax.scan(step, (diag0, prev2_0), ks)  # ys[kk-1], kk=1..K-1
+
+    # H[len2, i] for i >= 1 is ys[len2 + i - 1]; H[len2, 0] = -len2*d
+    row_tail = jax.lax.dynamic_slice(ys, (len2,), (A,)) if A > 0 else ys[:0]
+    row0 = (-len2 * d)[None]
+    return jnp.concatenate([row0, row_tail])
