@@ -82,7 +82,11 @@ class BatchResult:
     counts: Optional[np.ndarray] = None  # uint32[B] optimal-alignment counts
     ops: Optional[np.ndarray] = None  # int8[B, S] greedy traceback op codes
     ops_len: Optional[np.ndarray] = None  # int32[B]
+    status: Optional[np.ndarray] = None  # uint8[B]: 0 = ok, 1 = rejected
     _pairs: Optional[Sequence[Tuple[bytes, bytes]]] = None
+
+    STATUS_OK = 0
+    STATUS_TOO_LONG = 1
 
     def alignment_strings(self) -> List[Tuple[bytes, bytes]]:
         """One (first-)optimal aligned pair of byte strings per input."""
@@ -136,15 +140,39 @@ class NWAligner:
         pairs: Sequence[Tuple[str | bytes, str | bytes]],
         traceback_strings: bool = False,
         count: bool = False,
+        max_length: Optional[int] = None,
+        on_error: str = "raise",
     ) -> BatchResult:
         """Score a batch of pairs on device (one wavefront per pair,
         batch across vector lanes).
 
         Score-only batches use the Pallas TPU kernel when available;
         batches needing arrows use the scan fill.
+
+        Failure isolation (reference equivalent: none — every error is a
+        fatal ``check()`` exit, dbg.h:96-100): with ``on_error="mask"``,
+        pairs longer than ``max_length`` are masked out of the batch and
+        reported per-pair in ``result.status`` instead of failing the
+        whole run.
         """
         m, k, d = self.config.scoring.as_tuple()
         norm = [(_as_bytes(a), _as_bytes(b)) for a, b in pairs]
+        status = np.zeros((len(norm),), np.uint8)
+        if max_length is not None:
+            bad = [
+                i
+                for i, (a, b) in enumerate(norm)
+                if len(a) > max_length or len(b) > max_length
+            ]
+            if bad and on_error == "raise":
+                raise ValueError(
+                    f"{len(bad)} pair(s) exceed max_length={max_length} "
+                    f"(first: index {bad[0]}); pass on_error='mask' to "
+                    "isolate them"
+                )
+            for i in bad:
+                status[i] = BatchResult.STATUS_TOO_LONG
+                norm[i] = (b"", b"")
         len1 = self.config.bucket_for(max((len(a) for a, _ in norm), default=1))
         len2 = self.config.bucket_for(max((len(b) for _, b in norm), default=1))
         tops, sides, lens1, lens2 = enc.encode_batch(norm, len1, len2)
@@ -159,7 +187,7 @@ class NWAligner:
                 scores = fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
             else:
                 scores = fill_scores_batch(tops, sides, m, k, d, l1j, l2j)
-            return BatchResult(scores=np.asarray(scores), _pairs=norm)
+            return BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
 
         # arrow-emitting fill: Pallas kernel on TPU (VMEM-bounded to
         # moderate side lengths), lax.scan fill otherwise
@@ -170,12 +198,12 @@ class NWAligner:
                 tops, sides, lens1, lens2, m, k, d
             )  # (K_pad, N, B) layout
             arrows_axis = 2
-            result = BatchResult(scores=np.asarray(scores), _pairs=norm)
+            result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
         else:
             out = fill_diag_batch(tops, sides, m, k, d, l1j, l2j)
             arrows3 = out["arrows"]  # (B, K, N)
             arrows_axis = 0
-            result = BatchResult(scores=np.asarray(out["score"]), _pairs=norm)
+            result = BatchResult(scores=np.asarray(out["score"]), status=status, _pairs=norm)
         if count:
             cnts = jax.jit(
                 jax.vmap(pathcount.count_paths, in_axes=(arrows_axis, 0, 0))

@@ -97,3 +97,22 @@ def mark_optimal_cells(arrows_diag, len1, len2):
     zero = jnp.zeros((N,), jnp.bool_)
     _, reach_rev = jax.lax.scan(step, (zero, zero), jnp.arange(K))
     return reach_rev[::-1]
+
+
+@jax.jit
+def count_branches(arrows_diag, len1, len2):
+    """Number of cells with more than one optimal direction — the
+    reference's walk-table ``branch_count`` (incremented at
+    needleman-wunsch.c:507-509, reported in debug builds at :624-625).
+
+    Counted over interior cells of the true rectangle only (the
+    reference increments inside score_cell, which runs for col,row >= 1).
+    """
+    K, N = arrows_diag.shape
+    j_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    k_idx = jnp.arange(K, dtype=jnp.int32)[:, None]
+    i_idx = k_idx - j_idx
+    interior = (j_idx >= 1) & (j_idx <= len2) & (i_idx >= 1) & (i_idx <= len1)
+    a = arrows_diag.astype(jnp.int32)
+    nbits = (a & 1) + ((a >> 1) & 1) + ((a >> 2) & 1)
+    return jnp.sum(jnp.where(interior & (nbits > 1), 1, 0).astype(jnp.uint32))

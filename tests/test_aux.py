@@ -1,0 +1,80 @@
+"""Auxiliary subsystems: metrics, branch counting, failure isolation,
+checkpoint/resume (SURVEY.md §5)."""
+
+import numpy as np
+import pytest
+
+from nw_tpu import align_batch
+from nw_tpu.ops.encode import encode
+from nw_tpu.ops.fill_scan import fill_diag
+from nw_tpu.ops.pathcount import count_branches
+from nw_tpu.runtime.checkpoint import CheckpointedRunner
+from nw_tpu.utils.metrics import RunReport, timed
+
+
+def test_branch_count_matches_naive():
+    rng = np.random.default_rng(0)
+    for _ in range(8):
+        s1 = "".join(rng.choice(list("AC"), 9))
+        s2 = "".join(rng.choice(list("AC"), 8))
+        m, k, d = (int(x) for x in rng.integers(0, 3, 3))
+        out = fill_diag(encode(s1), encode(s2), m, k, d)
+        from nw_tpu.ops.fill_scan import diag_to_matrix
+
+        arr = diag_to_matrix(np.asarray(out["arrows"]), len(s1), len(s2))
+        bits = (arr & 1) + ((arr >> 1) & 1) + ((arr >> 2) & 1)
+        expected = int((bits[1:, 1:] > 1).sum())
+        got = int(count_branches(out["arrows"], len(s1), len(s2)))
+        assert got == expected, (s1, s2, m, k, d)
+
+
+def test_failure_isolation_masks_oversized():
+    pairs = [("GT", "GT"), ("A" * 50, "GT"), ("GT", "GA")]
+    with pytest.raises(ValueError):
+        align_batch(pairs, 1, 1, 1, max_length=10)
+    res = align_batch(pairs, 1, 1, 1, max_length=10, on_error="mask")
+    assert list(res.status) == [0, 1, 0]
+    assert res.scores[0] == 2 and res.scores[2] == 0
+
+
+def test_run_report():
+    r = RunReport(pairs=4, cells=1000)
+    with timed(r, "fill"):
+        pass
+    with timed(r, "walk"):
+        pass
+    r.solution_count = 1
+    s = r.summary()
+    assert "1 optimal alignment" in s and "4 pairs" in s and "GCUPS" in s
+
+
+def test_checkpoint_resume(tmp_path):
+    pairs = [(f"ACGT{i}".encode(), b"ACGTA") for i in range(10)]
+    calls = []
+
+    def chunk_fn(chunk):
+        calls.append(len(chunk))
+        return {"scores": np.arange(len(chunk), dtype=np.int32)}
+
+    runner = CheckpointedRunner(str(tmp_path / "ckpt"), chunk_size=3)
+    out = runner.run(pairs, chunk_fn)
+    assert out["scores"].shape == (10,)
+    assert len(calls) == 4  # 3+3+3+1
+
+    # resume: nothing recomputed
+    calls.clear()
+    out2 = runner.run(pairs, chunk_fn)
+    assert len(calls) == 0
+    np.testing.assert_array_equal(out["scores"], out2["scores"])
+
+    # partial: delete one chunk, only it is recomputed
+    (tmp_path / "ckpt" / "chunk_00002.npz").unlink()
+    calls.clear()
+    runner.run(pairs, chunk_fn)
+    assert calls == [3]
+
+    # shape mismatch is rejected
+    with pytest.raises(ValueError):
+        CheckpointedRunner(str(tmp_path / "ckpt"), chunk_size=5).run(
+            pairs, chunk_fn
+        )
