@@ -1,0 +1,211 @@
+"""Single-pair Pallas wavefront kernel (fold layout) for huge pairs.
+
+The batched kernels in :mod:`nw_tpu.ops.fill_pallas` put the batch in the
+128 vector lanes — useless for ONE huge pair.  Here the anti-diagonal
+itself fills the whole vector unit: the diagonal's row index ``j`` folds
+into a (R, 128) block, ``j = r * 128 + lane``.  The shift-by-one-row the
+NW recurrence needs becomes a lane-rotate plus a lane-0 fix-up from the
+previous sublane row:
+
+    sh[j] = x[j-1]  ==  where(lane == 0, rotate(x)[r-1 row], rotate(x))
+
+The per-step top character ``top[kk-1]`` enters the rolling character
+register at position j = 0; it is extracted from the folded top-char
+block by a sublane-dynamic row slice + lane-masked reduce (Mosaic
+forbids lane-dynamic slicing, so a direct gather is not expressible).
+
+The kernel emits the wavefront's value at a *fixed* row ``j = B`` every
+step — one scalar into an SMEM output block — which reconstructs the DP
+row ``H[B, :]`` in O(A+B) memory: exactly the building block Hirschberg
+(ops/hirschberg.py) needs for linear-space traceback of 100kb+ pairs,
+and the corner score is ``H[B, A]``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -(2**30)
+LANES = 128
+ROW_CHUNK = 512  # emitted scalars per grid step
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_kernel(A: int, B: int, R: int):
+    A_r = _round_up(max(A, 1), LANES) // LANES
+
+    def kernel(mkd_ref, tops_ref, sides_ref, out_ref, prev_ref, prev2_ref, ch_ref):
+        """Grid (K_pad // ROW_CHUNK,).
+
+        mkd_ref:   SMEM (1, 4) int32 — m, k, d, l2 (emission row; the
+                   true side length when the side is bucket-padded)
+        tops_ref:  VMEM (A_r, 128) int32 — folded top chars
+        sides_ref: VMEM (R, 128) int32 — folded side chars (j=0 sentinel)
+        out_ref:   SMEM (1, ROW_CHUNK) int32 — H[l2, kk-l2] stream
+        prev/prev2/ch: VMEM (R, 128) int32 scratch (persist across grid)
+        """
+        c = pl.program_id(0)
+        m = mkd_ref[0, 0]
+        kmis = mkd_ref[0, 1]
+        d = mkd_ref[0, 2]
+        l2 = mkd_ref[0, 3]
+        r2 = jnp.minimum(l2 // LANES, R - 1)
+
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        j_glob = r_iota * LANES + l_iota
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        @pl.when(c == 0)
+        def _init():
+            prev_ref[...] = jnp.where(j_glob == 0, jnp.int32(0), jnp.int32(NEG_INF))
+            prev2_ref[...] = jnp.full((R, LANES), NEG_INF, jnp.int32)
+            ch_ref[...] = jnp.full((R, LANES), -4, jnp.int32)
+
+        side_ch = sides_ref[...]
+
+        def shift_j(x, fill):
+            """sh[j] = x[j-1]; sh[0] = fill (scalar)."""
+            y = pltpu.roll(x, 1, axis=1)  # lane rotate within each row
+            y_down = jnp.concatenate(
+                [jnp.full((1, LANES), NEG_INF, jnp.int32), y[:-1, :]], axis=0
+            )
+            z = jnp.where(l_iota == 0, y_down, y)
+            return jnp.where(j_glob == 0, fill, z)
+
+        def step(t, _):
+            kk = c * ROW_CHUNK + t
+
+            @pl.when(kk >= 1)
+            def _():
+                prev = prev_ref[...]
+                prev2 = prev2_ref[...]
+
+                # top[kk-1]: sublane-dynamic row slice + lane-masked reduce
+                x = kk - 1
+                xr = jnp.minimum(x // LANES, A_r - 1)
+                row = tops_ref[pl.ds(xr, 1), :]
+                new_ch = jnp.sum(
+                    jnp.where(lane_row == x % LANES, row, 0)
+                )
+                ch = shift_j(ch_ref[...], new_ch)
+                ch_ref[...] = ch
+                sub = jnp.where(ch == side_ch, m, -kmis)
+
+                prev_sh = shift_j(prev, jnp.int32(NEG_INF))
+                prev2_sh = shift_j(prev2, jnp.int32(NEG_INF))
+
+                score = jnp.maximum(
+                    jnp.maximum(prev2_sh + sub, prev_sh - d), prev - d
+                )
+                boundary = (j_glob == 0) | (j_glob == kk)
+                score = jnp.where(boundary, -kk * d, score)
+
+                prev2_ref[...] = prev
+                prev_ref[...] = score
+                # emission row value: sublane-dynamic row slice +
+                # lane-masked reduce (lane-dynamic gathers are not
+                # expressible in Mosaic)
+                emit_row = prev_ref[pl.ds(r2, 1), :]
+                out_ref[0, t] = jnp.sum(
+                    jnp.where(lane_row == l2 % LANES, emit_row, 0)
+                )
+
+            @pl.when(kk == 0)
+            def _():
+                out_ref[0, t] = 0  # H[0, 0] when l2 == 0
+
+            return 0
+
+        jax.lax.fori_loop(0, ROW_CHUNK, step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def last_row_pallas(top, side, m, k, d, len2=None, interpret: bool = False):
+    """H[len2, 0..A] of the DP table for ONE pair.
+
+    top: int32[A]; side: int32[B] (bucket-padded OK — pass the true side
+    length as ``len2``; row ``len2`` never depends on pad rows/cols).
+    Returns int32[A+1] (entries beyond the true top length reflect pad
+    chars; slice them off on the host).
+    """
+    A = top.shape[0]
+    B = side.shape[0]
+    if len2 is None:
+        len2 = B
+    len2 = jnp.asarray(len2, jnp.int32)
+    N_pad = _round_up(B + 1, LANES)
+    R = N_pad // LANES
+    A_r = _round_up(max(A, 1), LANES) // LANES
+    K_true = A + B
+    K_pad = _round_up(K_true + 1, ROW_CHUNK)
+
+    side_fold = jnp.concatenate(
+        [
+            jnp.full((1,), -3, jnp.int32),
+            side.astype(jnp.int32),
+            jnp.full((N_pad - B - 1,), -5, jnp.int32),
+        ]
+    ).reshape(R, LANES)
+    top_fold = jnp.concatenate(
+        [
+            top.astype(jnp.int32),
+            jnp.full((A_r * LANES - A,), -1, jnp.int32),
+        ]
+    ).reshape(A_r, LANES)
+    mkd = jnp.stack(
+        [
+            jnp.asarray(m, jnp.int32),
+            jnp.asarray(k, jnp.int32),
+            jnp.asarray(d, jnp.int32),
+            len2,
+        ]
+    )[None, :]
+
+    out = pl.pallas_call(
+        _make_kernel(A, B, R),
+        out_shape=jax.ShapeDtypeStruct((1, K_pad), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(K_pad // ROW_CHUNK,),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((A_r, LANES), lambda c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, LANES), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, ROW_CHUNK), lambda c: (0, c), memory_space=pltpu.SMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((R, LANES), jnp.int32),
+                pltpu.VMEM((R, LANES), jnp.int32),
+                pltpu.VMEM((R, LANES), jnp.int32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(mkd, top_fold, side_fold)
+
+    # H[len2, i] sits at out[len2 + i] (emitted at step kk = len2 + i)
+    row_tail = (
+        jax.lax.dynamic_slice(out[0], (len2 + 1,), (A,)) if A > 0 else out[0][:0]
+    )
+    row0 = (-len2 * jnp.asarray(d, jnp.int32))[None]
+    return jnp.concatenate([row0, row_tail])
+
+
+def score_pallas_single(top, side, m, k, d, interpret: bool = False):
+    """Optimal score of one pair via the fold-layout kernel."""
+    return last_row_pallas(top, side, m, k, d, interpret=interpret)[-1]

@@ -68,3 +68,24 @@ def test_hirschberg_empty_and_degenerate():
     assert hirschberg_align("ACG", "", 1, 1, 1) == (b"ACG", b"---")
     X, Y = hirschberg_align("A", "A", 1, 1, 1)
     assert (X, Y) == (b"A", b"A")
+
+
+def test_fold_kernel_interpret_matches_scan():
+    """Single-pair fold-layout Pallas kernel (interpret mode) vs scan."""
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.fill_pallas_single import last_row_pallas
+
+    rng = np.random.default_rng(3)
+    for (A, B, Ab, Bb) in [(20, 10, 32, 16), (150, 150, 150, 150), (37, 260, 64, 512)]:
+        t = np.full((Ab,), -1, np.int32)
+        t[:A] = rng.integers(65, 69, A)
+        s = np.full((Bb,), -2, np.int32)
+        s[:B] = rng.integers(65, 69, B)
+        ref = np.asarray(
+            fill_last_row(jnp.asarray(t), jnp.asarray(s), 2, 1, 1, A, B)
+        )[: A + 1]
+        got = np.asarray(
+            last_row_pallas(jnp.asarray(t), jnp.asarray(s), 2, 1, 1, len2=B, interpret=True)
+        )[: A + 1]
+        np.testing.assert_array_equal(ref, got)
