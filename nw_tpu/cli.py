@@ -205,11 +205,22 @@ def _needleman_wunsch(
     from nw_tpu.ops.fill_scan import diag_to_matrix, fill_diag
     from nw_tpu.utils.alignout import format_aligned_pair
 
-    top = enc.encode(s1)
-    side = enc.encode(s2)
     len1, len2 = len(s1), len(s2)
 
-    out = fill_diag(top, side, m, k, d, with_scores=True)
+    # Pad to power-of-two buckets so repeated CLI invocations with
+    # different input lengths reuse compiled fills (pad regions never
+    # contaminate the true rectangle; everything downstream slices or
+    # indexes by the true lengths).
+    def _bucket(n: int) -> int:
+        b = 16
+        while b < n:
+            b *= 2
+        return b
+
+    top = enc.pad_to(enc.encode(s1), _bucket(len1), enc.PAD_TOP)
+    side = enc.pad_to(enc.encode(s2), _bucket(len2), enc.PAD_SIDE)
+
+    out = fill_diag(top, side, m, k, d, len1, len2, with_scores=True)
     arrows_diag = np.asarray(out["arrows"])
     score = int(out["score"])
 

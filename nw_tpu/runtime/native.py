@@ -1,15 +1,22 @@
-"""Build/load the native C++ walker (ctypes, no pybind11 dependency).
+"""Build/load the native C++ runtime (ctypes, no pybind11 dependency).
 
-Compiles ``cc/nwwalk.cc`` with g++ on first use into a package-local
-``_build`` directory (keyed by a source hash so edits trigger rebuilds),
-then exposes :func:`load` returning a thin wrapper.  Any failure —
-missing compiler, read-only filesystem — degrades silently to ``None``
-and callers fall back to the pure-Python walker.
+Compiles every ``cc/*.cc`` into one shared library with g++ on first use
+(into a package-local ``_build`` directory keyed by a source hash, so
+edits trigger rebuilds), then exposes :func:`load` returning a thin
+wrapper over:
+
+* ``nw_enumerate`` — the all-optimal-alignments DFS walker (cc/nwwalk.cc)
+* ``nw_render_table`` — the score-table renderer (cc/nwrender.cc)
+
+Any failure — missing compiler, read-only filesystem — degrades silently
+to ``None`` and callers fall back to the pure-Python implementations.
+Set ``NW_TPU_NO_NATIVE=1`` to force the Python paths.
 """
 
 from __future__ import annotations
 
 import ctypes
+import glob
 import hashlib
 import os
 import subprocess
@@ -20,10 +27,10 @@ from typing import Callable, Optional
 import numpy as np
 
 _HERE = os.path.dirname(__file__)
-_SRC = os.path.join(_HERE, "cc", "nwwalk.cc")
+_SRC_DIR = os.path.join(_HERE, "cc")
 
 _lock = threading.Lock()
-_cached: Optional["NativeWalker"] = None
+_cached: Optional["NativeRuntime"] = None
 _failed = False
 
 _EMIT_FN = ctypes.CFUNCTYPE(
@@ -35,19 +42,26 @@ _EMIT_FN = ctypes.CFUNCTYPE(
 )
 
 
+def _sources():
+    return sorted(glob.glob(os.path.join(_SRC_DIR, "*.cc")))
+
+
 def _build_so() -> str:
-    with open(_SRC, "rb") as f:
-        src = f.read()
-    tag = hashlib.sha256(src).hexdigest()[:16]
+    h = hashlib.sha256()
+    for src in _sources():
+        with open(src, "rb") as f:
+            h.update(f.read())
+    tag = h.hexdigest()[:16]
     for base in (os.path.join(_HERE, "_build"), tempfile.gettempdir()):
-        so_path = os.path.join(base, f"libnwwalk-{tag}.so")
+        so_path = os.path.join(base, f"libnwnative-{tag}.so")
         if os.path.exists(so_path):
             return so_path
         try:
             os.makedirs(base, exist_ok=True)
             tmp = so_path + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC],
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp]
+                + _sources(),
                 check=True,
                 capture_output=True,
             )
@@ -55,10 +69,10 @@ def _build_so() -> str:
             return so_path
         except Exception:
             continue
-    raise RuntimeError("could not build native walker")
+    raise RuntimeError("could not build native runtime")
 
 
-class NativeWalker:
+class NativeRuntime:
     def __init__(self, lib: ctypes.CDLL):
         self._lib = lib
         fn = lib.nw_enumerate
@@ -73,7 +87,27 @@ class NativeWalker:
             ctypes.c_void_p,  # ctx
             ctypes.c_int64,  # max_solutions
         ]
-        self._fn = fn
+        self._enumerate = fn
+
+        rt = lib.nw_render_table
+        rt.restype = ctypes.POINTER(ctypes.c_char)
+        rt.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.c_int64,  # N
+            ctypes.c_int64,  # M
+            ctypes.POINTER(ctypes.c_ubyte),  # s1
+            ctypes.POINTER(ctypes.c_ubyte),  # s2
+            ctypes.c_int,  # unicode
+            ctypes.c_int,  # color
+            ctypes.POINTER(ctypes.c_int64),  # out_size
+        ]
+        self._render = rt
+        self._free = lib.nw_buffer_free
+        self._free.argtypes = [ctypes.POINTER(ctypes.c_char)]
+
+    # ---- all-optimal-alignments walker ----
 
     def enumerate(
         self,
@@ -102,7 +136,7 @@ class NativeWalker:
 
         s1b = (ctypes.c_ubyte * max(1, len(s1))).from_buffer_copy(s1 or b"\0")
         s2b = (ctypes.c_ubyte * max(1, len(s2))).from_buffer_copy(s2 or b"\0")
-        count = self._fn(
+        count = self._enumerate(
             arrows.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
             M,
             N,
@@ -116,9 +150,47 @@ class NativeWalker:
             raise exc[0]
         return int(count)
 
+    # ---- table renderer ----
 
-def load() -> Optional[NativeWalker]:
-    """Build (once) and load the native walker; None when unavailable."""
+    def render_table(
+        self,
+        scores: np.ndarray,
+        arrows: np.ndarray,
+        in_path: np.ndarray,
+        s1: bytes,
+        s2: bytes,
+        unicode: bool = False,
+        color: bool = False,
+    ) -> bytes:
+        scores = np.ascontiguousarray(scores, dtype=np.int32)
+        arrows = np.ascontiguousarray(arrows, dtype=np.uint8)
+        in_path = np.ascontiguousarray(in_path, dtype=np.uint8)
+        N, M = scores.shape
+        s1b = (ctypes.c_ubyte * max(1, len(s1))).from_buffer_copy(s1 or b"\0")
+        s2b = (ctypes.c_ubyte * max(1, len(s2))).from_buffer_copy(s2 or b"\0")
+        size = ctypes.c_int64()
+        buf = self._render(
+            scores.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            arrows.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            in_path.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            N,
+            M,
+            s1b,
+            s2b,
+            1 if unicode else 0,
+            1 if color else 0,
+            ctypes.byref(size),
+        )
+        if not buf:
+            raise MemoryError("nw_render_table allocation failed")
+        try:
+            return ctypes.string_at(buf, size.value)
+        finally:
+            self._free(buf)
+
+
+def load() -> Optional[NativeRuntime]:
+    """Build (once) and load the native runtime; None when unavailable."""
     global _cached, _failed
     if _cached is not None or _failed:
         return _cached
@@ -130,7 +202,7 @@ def load() -> Optional[NativeWalker]:
             return None
         try:
             so_path = _build_so()
-            _cached = NativeWalker(ctypes.CDLL(so_path))
+            _cached = NativeRuntime(ctypes.CDLL(so_path))
         except Exception:
             _failed = True
     return _cached

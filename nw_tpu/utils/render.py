@@ -60,8 +60,33 @@ def render_table(
 ) -> bytes:
     """Render the full table (print_table, print-table.c:195-208).
 
-    scores: int[N, M]; arrows: uint8[N, M]; in_path: bool[N, M].
+    Dispatches to the native C++ renderer when built (identical bytes,
+    ~100x faster on large tables); this Python body is the
+    specification and fallback.
     """
+    try:
+        from nw_tpu.runtime import native
+
+        rt = native.load()
+    except Exception:
+        rt = None
+    if rt is not None:
+        return rt.render_table(
+            np.asarray(scores, np.int32), arrows, in_path, s1, s2, unicode, color
+        )
+    return render_table_py(scores, arrows, in_path, s1, s2, unicode, color)
+
+
+def render_table_py(
+    scores: np.ndarray,
+    arrows: np.ndarray,
+    in_path: np.ndarray,
+    s1: bytes,
+    s2: bytes,
+    unicode: bool = False,
+    color: bool = False,
+) -> bytes:
+    """Pure-Python renderer: scores int[N, M]; arrows/in_path uint8/bool."""
     N, M = scores.shape
     w = width_needed_to_print_integer(greatest_interior_abs(scores))
     out = bytearray()

@@ -18,51 +18,73 @@ class EarlyEOFError(Exception):
     (read-sequences.c:50-53)."""
 
 
-def _read_sequence(stream: BinaryIO, eof_ok: bool) -> bytes:
-    """Read bytes until whitespace or EOF (read-sequences.c:56-86).
+_CHUNK = 1 << 16
+_WS_SET = frozenset(C_WHITESPACE)
 
-    The terminating whitespace byte is consumed.  EOF terminates the
-    sequence but is an error unless ``eof_ok`` — note the reference
-    errors even if characters were read (a first sequence not followed by
-    any whitespace is fatal).
-    """
-    out = bytearray()
-    while True:
-        c = stream.read(1)
-        if c == b"":  # EOF
-            if not eof_ok:
-                raise EarlyEOFError()
-            break
-        if c in C_WHITESPACE:
-            break
-        out += c
-    return bytes(out)
+
+def _find_ws(buf: bytes, start: int) -> int:
+    """Index of the first C-whitespace byte at/after ``start``, or -1."""
+    best = -1
+    for w in C_WHITESPACE:
+        i = buf.find(w, start)
+        if i != -1 and (best == -1 or i < best):
+            best = i
+    return best
 
 
 def read_two_sequences(stream: BinaryIO) -> Tuple[bytes, bytes]:
     """Read two whitespace-separated sequences
     (read_two_sequences_from_stream, read-sequences.c:102-122).
 
-    EOF before the second sequence begins is fatal; EOF terminating the
-    second sequence is fine.  Anything after the second sequence's
-    terminating whitespace is never read.
+    Semantics reproduced exactly: sequence 1 ends at the first
+    whitespace byte -- EOF instead is fatal even if characters were read
+    (read-sequences.c:50-53); whitespace before sequence 2 is skipped,
+    EOF there is fatal too; sequence 2 ends at whitespace or EOF.
+
+    Reads the stream in chunks but never past what is needed (as with
+    the reference's fgetc loop, input after sequence 2's terminator is
+    left unread, up to chunk granularity), so piped/endless inputs
+    terminate.
     """
-    s1 = _read_sequence(stream, eof_ok=False)
-    # discard whitespace until the first byte of sequence 2
-    # (discard_whitespace_in_stream, read-sequences.c:92-100)
+    buf = bytearray()
+
+    def fill() -> bool:
+        chunk = stream.read(_CHUNK)
+        if not chunk:
+            return False
+        buf.extend(chunk)
+        return True
+
+    # sequence 1: bytes up to the first whitespace (consumed)
+    pos = 0
     while True:
-        c = stream.read(1)
-        if c == b"":
+        i = _find_ws(bytes(buf), pos)
+        if i != -1:
+            break
+        pos = len(buf)
+        if not fill():
+            raise EarlyEOFError()  # EOF before seq 1's terminator
+    s1 = bytes(buf[:i])
+
+    # skip whitespace; EOF here is fatal (read-sequences.c:109-110)
+    j = i + 1
+    while True:
+        while j < len(buf) and buf[j] in _WS_SET:
+            j += 1
+        if j < len(buf):
+            break
+        if not fill():
             raise EarlyEOFError()
-        if c not in C_WHITESPACE:
-            break
-    s2 = bytearray(c)
+
+    # sequence 2: until whitespace or EOF (EOF ok, :117)
+    e = j
     while True:
-        c = stream.read(1)
-        if c == b"" or c in C_WHITESPACE:
-            break
-        s2 += c
-    return s1, bytes(s2)
+        i = _find_ws(bytes(buf), e)
+        if i != -1:
+            return s1, bytes(buf[j:i])
+        e = len(buf)
+        if not fill():
+            return s1, bytes(buf[j:])
 
 
 _LONG_MAX = 2**63 - 1

@@ -78,3 +78,32 @@ def test_checkpoint_resume(tmp_path):
         CheckpointedRunner(str(tmp_path / "ckpt"), chunk_size=5).run(
             pairs, chunk_fn
         )
+
+
+def test_native_renderer_matches_python():
+    native = pytest.importorskip("nw_tpu.runtime.native")
+    rt = native.load()
+    if rt is None:
+        pytest.skip("native runtime unavailable")
+    from nw_tpu.ops.fill_scan import diag_to_matrix, fill_diag
+    from nw_tpu.ops.pathcount import mark_optimal_cells
+    from nw_tpu.utils.render import render_table_py
+
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        s1 = "".join(rng.choice(list("ACGT"), int(rng.integers(1, 9))))
+        s2 = "".join(rng.choice(list("ACGT"), int(rng.integers(1, 9))))
+        m, k, d = (int(x) for x in rng.integers(0, 3, 3))
+        out = fill_diag(encode(s1), encode(s2), m, k, d, with_scores=True)
+        sc = diag_to_matrix(np.asarray(out["scores"]), len(s1), len(s2))
+        ar = diag_to_matrix(np.asarray(out["arrows"]), len(s1), len(s2))
+        marks = diag_to_matrix(
+            np.asarray(mark_optimal_cells(out["arrows"], len(s1), len(s2))),
+            len(s1),
+            len(s2),
+        ).astype(bool)
+        for uni in (False, True):
+            for col in (False, True):
+                py = render_table_py(sc, ar, marks, s1.encode(), s2.encode(), uni, col)
+                cc = rt.render_table(sc, ar, marks, s1.encode(), s2.encode(), uni, col)
+                assert py == cc, (s1, s2, m, k, d, uni, col)
