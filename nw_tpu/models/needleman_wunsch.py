@@ -189,8 +189,9 @@ class NWAligner:
                 scores = fill_scores_batch(tops, sides, m, k, d, l1j, l2j)
             return BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
 
-        # arrow-emitting fill: Pallas kernel on TPU (VMEM-bounded to
-        # moderate side lengths), lax.scan fill otherwise
+        # arrow-emitting fill: batch-in-lanes Pallas kernel for short
+        # sides, fold-layout kernel for long sides (both TPU), lax.scan
+        # fill otherwise
         if use_pallas and len2 <= 2048:
             from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
 
@@ -198,6 +199,14 @@ class NWAligner:
                 tops, sides, lens1, lens2, m, k, d
             )  # (K_pad, N, B) layout
             arrows_axis = 2
+            result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
+        elif use_pallas:
+            from nw_tpu.ops.fill_pallas_single import fill_arrows_fold_batch
+
+            arrows3, scores = fill_arrows_fold_batch(
+                tops, sides, lens1, lens2, m, k, d
+            )  # (B, K_pad, N_pad) layout
+            arrows_axis = 0
             result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
         else:
             out = fill_diag_batch(tops, sides, m, k, d, l1j, l2j)

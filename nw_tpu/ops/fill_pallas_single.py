@@ -75,9 +75,13 @@ def _make_kernel(A: int, B: int, R: int):
         def shift_j(x, fill):
             """sh[j] = x[j-1]; sh[0] = fill (scalar)."""
             y = pltpu.roll(x, 1, axis=1)  # lane rotate within each row
-            y_down = jnp.concatenate(
-                [jnp.full((1, LANES), NEG_INF, jnp.int32), y[:-1, :]], axis=0
-            )
+            if R > 1:
+                y_down = jnp.concatenate(
+                    [jnp.full((1, LANES), NEG_INF, jnp.int32), y[:-1, :]],
+                    axis=0,
+                )
+            else:  # R == 1: the row above is outside the table
+                y_down = jnp.full((1, LANES), NEG_INF, jnp.int32)
             z = jnp.where(l_iota == 0, y_down, y)
             return jnp.where(j_glob == 0, fill, z)
 
@@ -209,3 +213,213 @@ def last_row_pallas(top, side, m, k, d, len2=None, interpret: bool = False):
 def score_pallas_single(top, side, m, k, d, interpret: bool = False):
     """Optimal score of one pair via the fold-layout kernel."""
     return last_row_pallas(top, side, m, k, d, interpret=interpret)[-1]
+
+
+# ---------------------------------------------------------------------------
+# Arrows-emitting fold kernel (long-pair traceback batches)
+# ---------------------------------------------------------------------------
+#
+# Same fold layout, plus a packed-arrow slab streamed to HBM per
+# ARROW_CHUNK diagonals.  The folded (R, 128) arrow block for diagonal kk
+# IS the diagonal-major row: reshaping the output (K_pad, R, 128) to
+# (K_pad, R*128) yields exactly the arrows_diag[k, j] layout the
+# traceback and counting ops consume.  Grid: (pair, K chunk).
+#
+# HBM bounds this to K_pad * N_pad ~ a few GB per sub-batch (e.g. 10 kb
+# pairs: ~200 MB/pair); 100 kb+ pairs use Hirschberg instead.
+
+ARROW_CHUNK = 32
+
+
+def _make_arrows_kernel(R: int, A_r: int):
+    def kernel(
+        mkd_ref, lens_ref, tops_ref, sides_ref, arrows_ref, score_ref,
+        prev_ref, prev2_ref, ch_ref, cap_ref
+    ):
+        """Grid (nb, K_pad // ARROW_CHUNK).
+
+        mkd_ref:    SMEM (1, 3) int32 — m, k, d
+        lens_ref:   SMEM (1, 2) int32 — len1, len2 of this pair
+        tops_ref:   VMEM (A_r, 128) int32 — folded top chars
+        sides_ref:  VMEM (R, 128) int32 — folded side chars (j=0 sentinel)
+        arrows_ref: VMEM (ARROW_CHUNK, R, 128) uint8 out slab
+        score_ref:  VMEM (1, 128) int32 out — corner score (broadcast)
+        prev/prev2/ch/cap: VMEM (R, 128) int32 scratch (persist across c)
+        """
+        c = pl.program_id(1)
+        m = mkd_ref[0, 0]
+        kmis = mkd_ref[0, 1]
+        d = mkd_ref[0, 2]
+        l1 = lens_ref[0, 0]
+        l2 = lens_ref[0, 1]
+        k_corner = l1 + l2
+
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        j_glob = r_iota * LANES + l_iota
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        @pl.when(c == 0)
+        def _init():
+            prev_ref[...] = jnp.where(j_glob == 0, jnp.int32(0), jnp.int32(NEG_INF))
+            prev2_ref[...] = jnp.full((R, LANES), NEG_INF, jnp.int32)
+            ch_ref[...] = jnp.full((R, LANES), -4, jnp.int32)
+            cap_ref[...] = jnp.where(
+                (k_corner == 0) & (j_glob == 0), jnp.int32(0), jnp.int32(NEG_INF)
+            )
+
+        side_ch = sides_ref[...]
+
+        def shift_j(x, fill):
+            y = pltpu.roll(x, 1, axis=1)
+            if R > 1:
+                y_down = jnp.concatenate(
+                    [jnp.full((1, LANES), NEG_INF, jnp.int32), y[:-1, :]],
+                    axis=0,
+                )
+            else:  # R == 1: the row above is outside the table
+                y_down = jnp.full((1, LANES), NEG_INF, jnp.int32)
+            z = jnp.where(l_iota == 0, y_down, y)
+            return jnp.where(j_glob == 0, fill, z)
+
+        def step(t, _):
+            kk = c * ARROW_CHUNK + t
+
+            @pl.when(kk >= 1)
+            def _():
+                prev = prev_ref[...]
+                prev2 = prev2_ref[...]
+
+                x = kk - 1
+                xr = jnp.minimum(x // LANES, A_r - 1)
+                row = tops_ref[pl.ds(xr, 1), :]
+                new_ch = jnp.sum(jnp.where(lane_row == x % LANES, row, 0))
+                ch = shift_j(ch_ref[...], new_ch)
+                ch_ref[...] = ch
+                sub = jnp.where(ch == side_ch, m, -kmis)
+
+                prev_sh = shift_j(prev, jnp.int32(NEG_INF))
+                prev2_sh = shift_j(prev2, jnp.int32(NEG_INF))
+
+                cand_d = prev2_sh + sub
+                cand_u = prev_sh - d
+                cand_l = prev - d
+                score = jnp.maximum(jnp.maximum(cand_d, cand_u), cand_l)
+                arrows = (
+                    (cand_d == score).astype(jnp.int32)
+                    + (cand_l == score).astype(jnp.int32) * 2
+                    + (cand_u == score).astype(jnp.int32) * 4
+                )
+                interior = (j_glob >= 1) & (j_glob < kk)
+                arrows = jnp.where(interior, arrows, 0)
+
+                on_top = j_glob == 0
+                on_left = j_glob == kk
+                score = jnp.where(on_top | on_left, -kk * d, score)
+                arrows = jnp.where(on_top, 2, arrows)
+                arrows = jnp.where(on_left, 4, arrows)
+
+                arrows_ref[pl.ds(t, 1), :, :] = arrows.astype(jnp.uint8)[None]
+
+                hit = (k_corner == kk) & (j_glob == l2)
+                cap_ref[...] = jnp.where(hit, score, cap_ref[...])
+
+                prev2_ref[...] = prev
+                prev_ref[...] = score
+
+            @pl.when(kk == 0)
+            def _():
+                arrows_ref[pl.ds(t, 1), :, :] = jnp.zeros(
+                    (1, R, LANES), jnp.uint8
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, ARROW_CHUNK, step, 0)
+        score_ref[...] = jnp.max(cap_ref[...])[None, None] + jnp.zeros(
+            (1, LANES), jnp.int32
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fill_arrows_fold_batch(tops, sides, lens1, lens2, m, k, d, interpret=False):
+    """Long-pair batched fill emitting diagonal-major packed arrows.
+
+    tops: int32[B, A]; sides: int32[B, Bs]; lens1/lens2: int32[B].
+    Returns (arrows uint8[B, K_pad, N_pad], scores int32[B]) where
+    ``arrows[b, i+j, j]`` is cell (j, i) of pair b (N_pad = Bs+1 rounded
+    to 128).
+    """
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    N_pad = _round_up(Bs + 1, LANES)
+    R = N_pad // LANES
+    A_r = _round_up(max(A, 1), LANES) // LANES
+    K_true = A + Bs
+    K_pad = _round_up(K_true + 1, ARROW_CHUNK)
+
+    side_fold = jnp.concatenate(
+        [
+            jnp.full((nb, 1), -3, jnp.int32),
+            sides.astype(jnp.int32),
+            jnp.full((nb, N_pad - Bs - 1), -5, jnp.int32),
+        ],
+        axis=1,
+    ).reshape(nb, R, LANES)
+    top_fold = jnp.concatenate(
+        [
+            tops.astype(jnp.int32),
+            jnp.full((nb, A_r * LANES - A), -1, jnp.int32),
+        ],
+        axis=1,
+    ).reshape(nb, A_r, LANES)
+    lens = jnp.stack(
+        [jnp.asarray(lens1, jnp.int32), jnp.asarray(lens2, jnp.int32)], axis=1
+    )[:, None, :]  # (nb, 1, 2)
+    mkd = jnp.array([[m, k, d]], jnp.int32)
+
+    grid = (nb, K_pad // ARROW_CHUNK)
+    arrows, scores = pl.pallas_call(
+        _make_arrows_kernel(R, A_r),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, K_pad, R, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, 1, LANES), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 3), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((None, 1, 2), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec(
+                    (None, A_r, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (None, R, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (None, ARROW_CHUNK, R, LANES),
+                    lambda b, c: (b, c, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (None, 1, LANES), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((R, LANES), jnp.int32),
+                pltpu.VMEM((R, LANES), jnp.int32),
+                pltpu.VMEM((R, LANES), jnp.int32),
+                pltpu.VMEM((R, LANES), jnp.int32),
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(mkd, lens, top_fold, side_fold)
+    return arrows.reshape(nb, K_pad, N_pad), scores[:, 0, 0]

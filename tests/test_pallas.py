@@ -59,3 +59,24 @@ def test_pallas_asymmetric_buckets():
         fill_scores_pallas_batch(tops, sides, l1, l2, 1, 1, 1, interpret=True)
     )
     np.testing.assert_array_equal(ref, got)
+
+
+def test_arrows_fold_kernel_interpret():
+    """Long-pair fold-layout arrows kernel vs scan (interpret mode)."""
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.fill_pallas_single import fill_arrows_fold_batch
+    from nw_tpu.ops.fill_scan import fill_diag_batch
+
+    rng = np.random.default_rng(4)
+    pairs = _random_pairs(rng, 5, 1, 24)
+    tops, sides, l1, l2 = encode_batch(pairs, 24, 24)
+    ref = fill_diag_batch(tops, sides, 2, 1, 1, jnp.asarray(l1), jnp.asarray(l2))
+    arr, sc = fill_arrows_fold_batch(tops, sides, l1, l2, 2, 1, 1, interpret=True)
+    arr, sc = np.asarray(arr), np.asarray(sc)
+    np.testing.assert_array_equal(sc, np.asarray(ref["score"]))
+    ra = np.asarray(ref["arrows"])
+    for b, (a, bs) in enumerate(pairs):
+        A, B = len(a), len(bs)
+        jj, ii = np.mgrid[0 : B + 1, 0 : A + 1]
+        np.testing.assert_array_equal(arr[b][ii + jj, jj], ra[b][ii + jj, jj])
