@@ -18,6 +18,7 @@ Library equivalent of the reference driver ``needleman_wunsch()``
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -37,6 +38,27 @@ from nw_tpu.ops.fill_scan import (
 
 def _as_bytes(s: str | bytes) -> bytes:
     return s.encode() if isinstance(s, str) else bytes(s)
+
+
+@functools.lru_cache(maxsize=None)
+def _count_vmapped(arrows_axis: int):
+    """Cached jitted batched path-count (a fresh jax.jit wrapper per
+    call would recompile every align_batch invocation)."""
+    return jax.jit(
+        jax.vmap(pathcount.count_paths, in_axes=(arrows_axis, 0, 0))
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _traceback_vmapped(arrows_axis: int, max_steps: int):
+    return jax.jit(
+        jax.vmap(
+            lambda a, a1, a2: traceback.traceback_greedy(
+                a, a1, a2, max_steps=max_steps
+            ),
+            in_axes=(arrows_axis, 0, 0),
+        )
+    )
 
 
 @dataclasses.dataclass
@@ -195,9 +217,11 @@ class NWAligner:
         if use_pallas and len2 <= 2048:
             from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
 
+            # packed layout (4 diagonals / int32 word): pathcount and
+            # traceback dispatch on dtype, so no unpack pass is paid
             arrows3, scores = fill_arrows_pallas_batch(
-                tops, sides, lens1, lens2, m, k, d
-            )  # (K_pad, N, B) layout
+                tops, sides, lens1, lens2, m, k, d, packed=True
+            )  # (K_pad//4, N, B) layout
             arrows_axis = 2
             result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
         elif use_pallas:
@@ -214,18 +238,12 @@ class NWAligner:
             arrows_axis = 0
             result = BatchResult(scores=np.asarray(out["score"]), status=status, _pairs=norm)
         if count:
-            cnts = jax.jit(
-                jax.vmap(pathcount.count_paths, in_axes=(arrows_axis, 0, 0))
-            )(arrows3, l1j, l2j)
+            cnts = _count_vmapped(arrows_axis)(arrows3, l1j, l2j)
             result.counts = np.asarray(cnts)
         if traceback_strings:
-            fn = jax.vmap(
-                lambda a, a1, a2: traceback.traceback_greedy(
-                    a, a1, a2, max_steps=len1 + len2
-                ),
-                in_axes=(arrows_axis, 0, 0),
+            ops, n = _traceback_vmapped(arrows_axis, len1 + len2)(
+                arrows3, l1j, l2j
             )
-            ops, n = jax.jit(fn)(arrows3, l1j, l2j)
             result.ops = np.asarray(ops)
             result.ops_len = np.asarray(n)
         return result

@@ -43,21 +43,42 @@ from nw_tpu.ops.encode import PAD_SIDE, PAD_TOP
 NEG_INF = -(2**30)
 LANES = 128
 
+# int32 is the narrowest workable score dtype on current hardware: v5e
+# Mosaic lowers int16 add/select/eq but has NO int16 max/min/ordered
+# compares ("Target does not support this comparison", probed 2026-08),
+# and the NW recurrence is add+max.  Revisit if a later generation gains
+# packed 16-bit compares — halving vreg traffic would ~2x this kernel.
+
 
 def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
 def _scores_kernel(
-    mkd_ref, tops_ref, sides_ref, lens_ref, out_ref, prev_ref, prev2_ref,
+    mkd_ref, tops_ref, sides_ref, lens_ref, out_ref, prev_ref, prev2sh_ref,
     ch_ref, cap_ref
 ):
     """One grid step = one block of BT pairs, full wavefront in VMEM.
 
-    The rolling state — two previous diagonals, the top-character
-    register, and the captured corner scores — is loop-carried (register
-    / VMEM managed by Mosaic), not scratch refs, so each step is pure
-    vector ops with no ref round-trips.
+    The rolling state — the previous diagonal, the *pre-shifted*
+    previous-previous diagonal, the top-character register, and the
+    captured corner scores — lives in VMEM scratch; each step is pure
+    vector ops.
+
+    Three hot-loop economies over the naive formulation:
+
+    * **Natural boundaries.** Row 0 (j == 0) needs score ``-kk*d``
+      (computation.c:104-110) — but ``cand_left = prev[0] - d`` already
+      produces exactly that by induction, because the shifted-in rows are
+      ``NEG_INF`` and decay far below any reachable score.  Likewise the
+      left column (j == kk) falls out of ``cand_up``.  No boundary
+      select, no ``-kk*d`` broadcast.
+    * **Carried shift.** ``shift(prev2)`` at step kk equals
+      ``shift(prev)`` at step kk-1, so the kernel stores the shifted
+      version and saves one sublane-shift per step.
+    * **Gated capture.** No pair's corner can be hit before diagonal
+      ``min(len1+len2)``; the capture compare/select runs only from
+      there (``mkd_ref[0, 3]``).
 
     The top character needed at (diag kk, row j) is top[kk-1-j]; between
     consecutive diagonals this is a shift-down-one-row with top[kk-1]
@@ -65,7 +86,7 @@ def _scores_kernel(
     slice, instead of re-slicing N rows per step.
 
     Refs:
-      mkd_ref:   SMEM (1, 3) int32 — m, k, d
+      mkd_ref:   SMEM (1, 4) int32 — m, k, d, min_corner
       tops_ref:  VMEM (A_pad, BT) int32 — top chars, row i = top[i]
       sides_ref: VMEM (N, BT) int32 — shifted side chars (row 0 sentinel)
       lens_ref:  VMEM (2, BT) int32 — row 0 = len1, row 1 = len2
@@ -76,6 +97,7 @@ def _scores_kernel(
     m = mkd_ref[0, 0]
     kmis = mkd_ref[0, 1]
     d = mkd_ref[0, 2]
+    min_corner = mkd_ref[0, 3]
 
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
     len1 = lens_ref[0:1, :]  # (1, BT)
@@ -84,7 +106,7 @@ def _scores_kernel(
 
     # diagonal 0: cell (0,0) = 0, everything else outside the table
     prev_ref[...] = jnp.where(j_iota == 0, jnp.int32(0), jnp.int32(NEG_INF))
-    prev2_ref[...] = jnp.full((N, BT), NEG_INF, jnp.int32)
+    prev2sh_ref[...] = jnp.full((N, BT), NEG_INF, jnp.int32)
     # cap holds per-lane corner scores at full (N, BT) shape; each lane's
     # corner score lands in the row it was hit at, reduced once at the end.
     cap_ref[...] = jnp.where(
@@ -97,7 +119,6 @@ def _scores_kernel(
 
     def body(kk, _):
         prev = prev_ref[...]
-        prev2 = prev2_ref[...]
 
         # roll the top-char register: row j now needs top[kk-1-j]
         new_top = tops_ref[pl.ds(jnp.minimum(kk - 1, A_pad - 1), 1), :]
@@ -106,24 +127,20 @@ def _scores_kernel(
         sub = jnp.where(ch_top == side_ch, m, -kmis)
 
         prev_sh = jnp.concatenate([neg_row, prev[:-1, :]], axis=0)
-        prev2_sh = jnp.concatenate([neg_row, prev2[:-1, :]], axis=0)
-
+        # max-then-subtract: one -d add instead of two
         score = jnp.maximum(
-            jnp.maximum(prev2_sh + sub, prev_sh - d), prev - d
+            prev2sh_ref[...] + sub, jnp.maximum(prev_sh, prev) - d
         )
 
-        # boundary row 0 (j == 0) and column 0 (i == 0 -> j == kk):
-        # score = -kk * d (computation.c:104-120; both boundaries share
-        # the same value on diagonal kk).
-        boundary = (j_iota == 0) | (j_iota == kk)
-        score = jnp.where(boundary, -kk * d, score)
+        prev2sh_ref[...] = prev_sh
+        prev_ref[...] = score
 
         # capture the true-corner score as the wavefront crosses it
-        hit = (k_corner == kk) & (j_iota == len2)  # (N, BT), <=1 hit/lane
-        cap_ref[...] = jnp.where(hit, score, cap_ref[...])
+        @pl.when(kk >= min_corner)
+        def _():
+            hit = (k_corner == kk) & (j_iota == len2)  # <=1 hit/lane
+            cap_ref[...] = jnp.where(hit, score, cap_ref[...])
 
-        prev2_ref[...] = prev
-        prev_ref[...] = score
         return 0
 
     K = (A_pad - 1) + (N - 1)  # last diagonal index (kk-1 < A_pad needed)
@@ -182,7 +199,13 @@ def fill_scores_pallas_batch(
     ).T
     tops_t = tops.astype(jnp.int32).T  # (A_pad, nb): row i = top[i]
     lens = jnp.stack([lens1, lens2], axis=0)  # (2, nb)
-    mkd = jnp.array([[m, k, d]], jnp.int32)
+    # no corner can be hit before diagonal min(len1+len2) over real pairs
+    min_corner = (
+        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
+    )
+    mkd = jnp.concatenate(
+        [jnp.array([m, k, d], jnp.int32), min_corner[None]]
+    )[None]
 
     grid = (nb_pad // BT,)
     out = pl.pallas_call(
@@ -192,7 +215,7 @@ def fill_scores_pallas_batch(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 3), lambda b: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec((A_pad, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec((N, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
@@ -202,7 +225,7 @@ def fill_scores_pallas_batch(
             ),
             scratch_shapes=[
                 pltpu.VMEM((N, BT), jnp.int32),  # prev diagonal
-                pltpu.VMEM((N, BT), jnp.int32),  # prev2 diagonal
+                pltpu.VMEM((N, BT), jnp.int32),  # shift(prev2) diagonal
                 pltpu.VMEM((N, BT), jnp.int32),  # rolling top chars
                 pltpu.VMEM((N, BT), jnp.int32),  # captured corner scores
             ],
@@ -218,42 +241,72 @@ def fill_scores_pallas_batch(
 #
 # Same batch-in-lanes layout as the score kernel (batch on the 128 lanes,
 # anti-diagonal on sublanes); the grid gains an inner dimension that
-# streams CHUNK-diagonal arrow slabs to HBM while the rolling state
-# persists in VMEM scratch (TPU grid execution is sequential, so scratch
-# carries across the c dimension of one batch block).
+# streams arrow slabs to HBM while the rolling state persists in VMEM
+# scratch (TPU grid execution is sequential, so scratch carries across
+# the c dimension of one batch block).
 #
-# The emitted uint8 slabs are exactly the diagonal-major arrow table of
-# ops/fill_scan.py (same bit semantics as the reference's walk-table
-# flags, needleman-wunsch.c:485-503).
+# Arrow bit semantics match the reference's walk-table flags
+# (needleman-wunsch.c:485-503): bit0 diag, bit1 left, bit2 up.  Four
+# consecutive diagonals are packed per int32 word — diagonal kk of cell
+# (j, i=kk-j) is byte ``kk & 3`` of ``packed[kk >> 2, j, b]`` — so every
+# HBM store is a tile-aligned int32 slab instead of a single-sublane
+# uint8 write (which costs a masked relayout per step).  Cells outside
+# the table rhombus (j > kk) hold unspecified garbage; no consumer reads
+# them (pathcount flows counts only along in-table arrows, the walkers
+# only visit in-table cells).
 #
 # VMEM bounds this kernel to side lengths of ~2k (state + slab must fit);
-# longer pairs use the lax.scan fill or, for scores only, the
-# sequence-sharded wavefront (parallel/wavefront.py).
+# longer pairs use the fold-layout kernel (fill_pallas_single) or the
+# lax.scan fill, and score-only fills the sequence-sharded wavefront
+# (parallel/wavefront.py).
 
-ARROW_CHUNK = 32  # diagonals per grid step (uint8 sublane tile)
+def _arrow_chunk_for(N: int, BT: int) -> int:
+    """Diagonals per grid step (multiple of 4 = packed int32 sublanes).
+
+    Bigger chunks amortize grid-step overhead; the double-buffered out
+    slab must still fit VMEM next to the 4 scratch diagonals, the
+    double-buffered inputs and ~3 units of vector-stack temporaries
+    (calibrated against Mosaic's scoped-vmem accounting at N=2008).
+    """
+    unit = N * BT * 4  # one (N, BT) int32 buffer
+    budget_units = int(0.85 * 16 * 1024 * 1024 / unit)
+    for chunk in (64, 32, 16, 8):
+        if 12 + chunk <= budget_units:
+            return chunk
+    return 4
 
 
 def _arrows_kernel(
-    mkd_ref, tops_ref, sides_ref, lens_ref, arrows_ref, score_ref,
-    prev_ref, prev2_ref, ch_ref, cap_ref
+    mkd_ref, tops_ref, sides_ref, lens_ref, packed_ref, score_ref,
+    prev_ref, prev2sh_ref, ch_ref, pack_ref
 ):
     """Grid (batch_blocks, K_pad // ARROW_CHUNK).
 
+    Same hot-loop economies as :func:`_scores_kernel` (natural
+    boundaries, carried shift, gated capture) — boundary arrows also
+    fall out naturally: on row j == 0 only ``cand_left`` survives, so
+    the bits come out as exactly LEFT (computation.c:104-110), and on
+    the j == kk column as exactly UP.
+
     Refs:
-      mkd_ref:    SMEM (1, 3) int32 — m, k, d
+      mkd_ref:    SMEM (1, 4) int32 — m, k, d, min_corner
       tops_ref:   VMEM (A_pad, BT) int32 — top chars, row i = top[i]
       sides_ref:  VMEM (N, BT) int32 — side char per row j (row 0 sentinel)
       lens_ref:   VMEM (2, BT) int32 — len1, len2 per pair
-      arrows_ref: VMEM (ARROW_CHUNK, N, BT) uint8 out slab
+      packed_ref: VMEM (ARROW_CHUNK//4, N, BT) int32 out slab
       score_ref:  VMEM (1, BT) int32 out — per-pair corner scores
-      prev/prev2/ch/cap: VMEM (N, BT) int32 scratch, persistent across c
+        (c-invariant block: doubles as the capture accumulator)
+      prev/prev2sh/ch/pack: VMEM (N, BT) int32 scratch, persistent
+        across the c grid dimension
     """
-    _, N, BT = arrows_ref.shape
+    _, N, BT = packed_ref.shape
+    ARROW_CHUNK = packed_ref.shape[0] * 4
     A_pad = tops_ref.shape[0]
     c = pl.program_id(1)
     m = mkd_ref[0, 0]
     kmis = mkd_ref[0, 1]
     d = mkd_ref[0, 2]
+    min_corner = mkd_ref[0, 3]
 
     j_iota = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
     len1 = lens_ref[0:1, :]
@@ -263,10 +316,13 @@ def _arrows_kernel(
     @pl.when(c == 0)
     def _init():
         prev_ref[...] = jnp.where(j_iota == 0, jnp.int32(0), jnp.int32(NEG_INF))
-        prev2_ref[...] = jnp.full((N, BT), NEG_INF, jnp.int32)
+        prev2sh_ref[...] = jnp.full((N, BT), NEG_INF, jnp.int32)
         ch_ref[...] = jnp.full((N, BT), -4, jnp.int32)
-        cap_ref[...] = jnp.where(
-            (k_corner == 0) & (j_iota == 0), jnp.int32(0), jnp.int32(NEG_INF)
+        # corner scores accumulate directly into the (1, BT) output (its
+        # block index is c-invariant, so it persists across chunks);
+        # len-0+0 pairs have their corner at diagonal 0 = score 0
+        score_ref[...] = jnp.where(
+            k_corner == 0, jnp.int32(0), jnp.int32(NEG_INF)
         )
 
     side_ch = sides_ref[...]
@@ -278,7 +334,6 @@ def _arrows_kernel(
         @pl.when(kk >= 1)
         def _():
             prev = prev_ref[...]
-            prev2 = prev2_ref[...]
 
             new_top = tops_ref[pl.ds(jnp.minimum(kk - 1, A_pad - 1), 1), :]
             ch_top = jnp.concatenate([new_top, ch_ref[:-1, :]], axis=0)
@@ -286,69 +341,94 @@ def _arrows_kernel(
             sub = jnp.where(ch_top == side_ch, m, -kmis)
 
             prev_sh = jnp.concatenate([neg_row, prev[:-1, :]], axis=0)
-            prev2_sh = jnp.concatenate([neg_row, prev2[:-1, :]], axis=0)
+            cand_d = prev2sh_ref[...] + sub
+            score = jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d)
 
-            cand_d = prev2_sh + sub
-            cand_u = prev_sh - d
-            cand_l = prev - d
-            score = jnp.maximum(jnp.maximum(cand_d, cand_u), cand_l)
-            # arrow bits assembled in int32 (uint8 vector shifts don't
-            # legalize on TPU), narrowed on store
+            prev2sh_ref[...] = prev_sh
+            prev_ref[...] = score
+
+            # arrow bits: left/up candidates aren't materialized (fused
+            # max-then-subtract), so compare against score + d instead
+            score_d = score + d
             arrows = (
                 (cand_d == score).astype(jnp.int32)
-                + (cand_l == score).astype(jnp.int32) * 2
-                + (cand_u == score).astype(jnp.int32) * 4
+                + (prev == score_d).astype(jnp.int32) * 2
+                + (prev_sh == score_d).astype(jnp.int32) * 4
             )
-            # interior cells have 1 <= j <= kk-1 (i = kk-j >= 1)
-            interior = (j_iota >= 1) & (j_iota < kk)
-            arrows = jnp.where(interior, arrows, 0)
+            # pack byte kk & 3 of the current word
+            r = jnp.bitwise_and(t, 3)
+            word = arrows << (r * 8)
 
-            on_top_row = j_iota == 0  # j == 0: LEFT (computation.c:104-110)
-            on_left_col = j_iota == kk  # i == 0: UP (computation.c:114-120)
-            score = jnp.where(on_top_row | on_left_col, -kk * d, score)
-            arrows = jnp.where(on_top_row, 2, arrows)
-            arrows = jnp.where(on_left_col, 4, arrows)
+            @pl.when(r == 0)
+            def _():
+                pack_ref[...] = word
 
-            arrows_ref[pl.ds(t, 1), :, :] = arrows.astype(jnp.uint8)[None]
+            @pl.when(r != 0)
+            def _():
+                pack_ref[...] = pack_ref[...] | word
 
-            hit = (k_corner == kk) & (j_iota == len2)
-            cap_ref[...] = jnp.where(hit, score, cap_ref[...])
+            @pl.when(r == 3)
+            def _():
+                packed_ref[pl.ds(t // 4, 1), :, :] = pack_ref[...][None]
 
-            prev2_ref[...] = prev
-            prev_ref[...] = score
+            @pl.when(kk >= min_corner)
+            def _():
+                hit = (k_corner == kk) & (j_iota == len2)
+                hit_score = jnp.max(
+                    jnp.where(hit, score, NEG_INF), axis=0, keepdims=True
+                )
+                score_ref[...] = jnp.maximum(score_ref[...], hit_score)
 
         @pl.when(kk == 0)
         def _():
-            arrows_ref[pl.ds(t, 1), :, :] = jnp.zeros((1, N, BT), jnp.uint8)
+            pack_ref[...] = jnp.zeros((N, BT), jnp.int32)
 
         return 0
 
     jax.lax.fori_loop(0, ARROW_CHUNK, step, 0)
-    score_ref[...] = jnp.max(cap_ref[...], axis=0, keepdims=True)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_pairs"))
+def unpack_arrows32(packed):
+    """int32[K4, N, ...] packed arrows -> uint8[K4*4, N, ...].
+
+    Byte r of word q is diagonal ``4*q + r`` (little-endian packing in
+    :func:`_arrows_kernel`).
+    """
+    u8 = jax.lax.bitcast_convert_type(packed, jnp.uint8)  # (K4, N, ..., 4)
+    return jnp.moveaxis(u8, -1, 1).reshape(
+        (packed.shape[0] * 4,) + packed.shape[1:]
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_pairs", "packed")
+)
 def fill_arrows_pallas_batch(
     tops, sides, lens1, lens2, m, k, d,
     interpret: bool = False, block_pairs: int = LANES,
+    packed: bool = False,
 ):
     """Batched fill emitting diagonal-major packed arrows + scores.
 
     Args:
       tops: int32[B, A]; sides: int32[B, Bs]; lens1/lens2: int32[B].
+      packed: return the 4-diagonals-per-int32 layout without unpacking.
     Returns:
-      (arrows uint8[K_pad, N, B], scores int32[B]) — cell (j, i) of pair
-      b lives at ``arrows[i + j, j, b]``; rows beyond diagonal
-      ``lens1[b] + lens2[b]`` are unspecified.  ``N = Bs+1`` rounded to a
-      32-sublane multiple; ``K_pad >= A + Bs + 1``.
+      ``packed=False``: (arrows uint8[K_pad, N, B], scores int32[B]) —
+      cell (j, i) of pair b lives at ``arrows[i + j, j, b]``.
+      ``packed=True``: (words int32[K_pad//4, N, B], scores) — the same
+      cell is byte ``(i+j) & 3`` of ``words[(i+j) >> 2, j, b]``.
+      Cells outside the table rhombus are unspecified.  ``N = Bs+1``
+      rounded to a sublane multiple; ``K_pad >= A + Bs + 1``.
     """
     nb, A = tops.shape
     _, Bs = sides.shape
 
-    N = _round_up(Bs + 1, 32)  # uint8 slab sublane tile
+    N = _round_up(Bs + 1, 8)  # int32 slab sublane tile
     A_pad = _round_up(max(A, 1), 8)
     BT = block_pairs
     nb_pad = _round_up(max(nb, 1), BT)
+    ARROW_CHUNK = _arrow_chunk_for(N, BT)
     K_true = A_pad + (N - 1)
     K_pad = _round_up(K_true + 1, ARROW_CHUNK)
 
@@ -366,20 +446,25 @@ def fill_arrows_pallas_batch(
     ).T
     tops_t = tops.astype(jnp.int32).T
     lens = jnp.stack([lens1, lens2], axis=0)
-    mkd = jnp.array([[m, k, d]], jnp.int32)
+    min_corner = (
+        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
+    )
+    mkd = jnp.concatenate(
+        [jnp.array([m, k, d], jnp.int32), min_corner[None]]
+    )[None]
 
     grid = (nb_pad // BT, K_pad // ARROW_CHUNK)
-    arrows, scores = pl.pallas_call(
+    words, scores = pl.pallas_call(
         _arrows_kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((K_pad, N, nb_pad), jnp.uint8),
+            jax.ShapeDtypeStruct((K_pad // 4, N, nb_pad), jnp.int32),
             jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, 3), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
                 pl.BlockSpec(
                     (A_pad, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM
                 ),
@@ -388,17 +473,17 @@ def fill_arrows_pallas_batch(
             ],
             out_specs=(
                 pl.BlockSpec(
-                    (ARROW_CHUNK, N, BT),
+                    (ARROW_CHUNK // 4, N, BT),
                     lambda b, c: (c, 0, b),
                     memory_space=pltpu.VMEM,
                 ),
                 pl.BlockSpec((1, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((N, BT), jnp.int32),
-                pltpu.VMEM((N, BT), jnp.int32),
-                pltpu.VMEM((N, BT), jnp.int32),
-                pltpu.VMEM((N, BT), jnp.int32),
+                pltpu.VMEM((N, BT), jnp.int32),  # prev diagonal
+                pltpu.VMEM((N, BT), jnp.int32),  # shift(prev2) diagonal
+                pltpu.VMEM((N, BT), jnp.int32),  # rolling top chars
+                pltpu.VMEM((N, BT), jnp.int32),  # 4-diagonal packing word
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -406,4 +491,6 @@ def fill_arrows_pallas_batch(
         ),
         interpret=interpret,
     )(mkd, tops_t, sides_sh, lens)
-    return arrows[:, :, :nb], scores[0, :nb]
+    if packed:
+        return words[:, :, :nb], scores[0, :nb]
+    return unpack_arrows32(words)[:, :, :nb], scores[0, :nb]

@@ -33,14 +33,23 @@ import jax
 import jax.numpy as jnp
 
 
-@jax.jit
 def count_paths(arrows_diag, len1, len2):
     """Number of optimal alignments (uint32, reference-wrapping).
 
-    arrows_diag: uint8[K, N]; len1/len2: true lengths (traced ok).
+    arrows_diag: uint8[K, N] diagonal-major arrows, or int32[K//4, N]
+    packed words (4 diagonals per word, little-endian — the
+    ``packed=True`` layout of fill_pallas.fill_arrows_pallas_batch);
+    dispatches on dtype.  len1/len2: true lengths (traced ok).
     Pad-region cells are harmless: counts flow only along arrows inside
     the true rectangle, and we read the count at the true corner.
     """
+    if arrows_diag.dtype == jnp.int32:
+        return _count_paths_packed(arrows_diag, len1, len2)
+    return _count_paths_u8(arrows_diag, len1, len2)
+
+
+@jax.jit
+def _count_paths_u8(arrows_diag, len1, len2):
     K, N = arrows_diag.shape
 
     def step(carry, arr_k):
@@ -62,6 +71,49 @@ def count_paths(arrows_diag, len1, len2):
     _, counts_tail = jax.lax.scan(step, (diag0, zero), arrows_diag[1:])
     counts = jnp.concatenate([diag0[None], counts_tail])
     return counts[len1 + len2, len2]
+
+
+@jax.jit
+def _count_paths_packed(words, len1, len2):
+    """count_paths over packed words; the corner count rides the scan
+    carry instead of materializing a (K, N) counts table (which at 100kb
+    sides would be 40x the arrow storage)."""
+    K4, N = words.shape
+    j_idx = jnp.arange(N, dtype=jnp.int32)
+    k_corner = jnp.asarray(len1 + len2, jnp.int32)
+    corner_mask = j_idx == jnp.asarray(len2, jnp.int32)
+    zero1 = jnp.zeros((1,), jnp.uint32)
+    seed = jnp.where(j_idx == 0, jnp.uint32(1), jnp.uint32(0))
+
+    def word_step(carry, xs):
+        w, q = xs
+        prev, prev2, corner = carry
+        for r in range(4):  # static unroll: one word read per 4 diagonals
+            kk = q * 4 + r
+            arr = (w >> (r * 8)) & 0xFF
+            prev_sh = jnp.concatenate([zero1, prev[:-1]])
+            prev2_sh = jnp.concatenate([zero1, prev2[:-1]])
+            cnt = (
+                jnp.where((arr & 1) != 0, prev2_sh, 0)
+                + jnp.where((arr & 2) != 0, prev, 0)
+                + jnp.where((arr & 4) != 0, prev_sh, 0)
+            ).astype(jnp.uint32)
+            cnt = jnp.where(kk == 0, seed, cnt)  # cell (0,0) seeds 1 path
+            corner = jnp.where(
+                kk == k_corner,
+                jnp.sum(jnp.where(corner_mask, cnt, jnp.uint32(0))),
+                corner,
+            )
+            prev, prev2 = cnt, prev
+        return (prev, prev2, corner), None
+
+    zero = jnp.zeros((N,), jnp.uint32)
+    (_, _, corner), _ = jax.lax.scan(
+        word_step,
+        (zero, zero, jnp.uint32(0)),
+        (words, jnp.arange(K4, dtype=jnp.int32)),
+    )
+    return corner
 
 
 @jax.jit

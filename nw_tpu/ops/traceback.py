@@ -34,7 +34,10 @@ def traceback_greedy(arrows_diag, len1, len2, max_steps: int):
     """Greedy (first-alignment) backward walk over one pair's arrows.
 
     Args:
-      arrows_diag: uint8[K, N] diagonal-major packed arrows.
+      arrows_diag: uint8[K, N] diagonal-major packed arrows, or
+        int32[K//4, N] packed words (4 diagonals per word, little-endian
+        — fill_pallas.fill_arrows_pallas_batch(packed=True)); dispatches
+        on dtype.
       len1, len2: true sequence lengths (int32 scalars; the walk starts at
         cell (len2, len1), cf. construct_alignments, needleman-wunsch.c:376).
       max_steps: static trip count; must be >= len1 + len2.
@@ -44,11 +47,16 @@ def traceback_greedy(arrows_diag, len1, len2, max_steps: int):
         padded with OP_NONE.
       n: int32 — number of real ops (= aligned string length).
     """
+    is_packed = arrows_diag.dtype == jnp.int32
 
     def step(t, state):
         i, j, n, ops = state
         active = (i > 0) | (j > 0)
-        a = arrows_diag[i + j, j]
+        if is_packed:
+            kk = i + j
+            a = (arrows_diag[kk >> 2, j] >> ((kk & 3) * 8)) & 0xFF
+        else:
+            a = arrows_diag[i + j, j]
         take_diag = (a & 1) != 0
         take_left = jnp.logical_and(~take_diag, (a & 2) != 0)
         take_up = jnp.logical_and(~(take_diag | take_left), (a & 4) != 0)

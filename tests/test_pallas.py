@@ -61,6 +61,56 @@ def test_pallas_asymmetric_buckets():
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.parametrize("m,k,d", [(2, 1, 1), (1, 1, 1), (0, 0, 0)])
+def test_arrows_batch_kernel_interpret(m, k, d):
+    """Batch-in-lanes arrows kernel vs scan (valid cells + scores)."""
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch, unpack_arrows32
+    from nw_tpu.ops.fill_scan import fill_diag_batch
+
+    rng = np.random.default_rng(3)
+    pairs = _random_pairs(rng, 9, 1, 23)
+    pairs += [("A", "A"), ("", "ACG"), ("ACG", "")]
+    tops, sides, l1, l2 = encode_batch(pairs, 23, 23)
+    ref = fill_diag_batch(tops, sides, m, k, d, jnp.asarray(l1), jnp.asarray(l2))
+    arr, sc = fill_arrows_pallas_batch(tops, sides, l1, l2, m, k, d, interpret=True)
+    arr, sc = np.asarray(arr), np.asarray(sc)
+    np.testing.assert_array_equal(sc, np.asarray(ref["score"]))
+    ra = np.asarray(ref["arrows"])
+    for b, (a, bs) in enumerate(pairs):
+        A, B = len(a), len(bs)
+        jj, ii = np.mgrid[0 : B + 1, 0 : A + 1]
+        np.testing.assert_array_equal(
+            arr[ii + jj, jj, b], ra[b][ii + jj, jj], err_msg=f"pair {b}"
+        )
+    # packed layout agrees with its unpacking helper
+    words, sc2 = fill_arrows_pallas_batch(
+        tops, sides, l1, l2, m, k, d, interpret=True, packed=True
+    )
+    np.testing.assert_array_equal(np.asarray(sc2), sc)
+    np.testing.assert_array_equal(np.asarray(unpack_arrows32(words)), arr)
+
+    # dtype-dispatched consumers: packed == unpacked results
+    import jax
+
+    from nw_tpu.ops import pathcount, traceback
+
+    l1j, l2j = jnp.asarray(l1), jnp.asarray(l2)
+    cnt_u8 = jax.vmap(pathcount.count_paths, in_axes=(2, 0, 0))(
+        jnp.asarray(arr), l1j, l2j
+    )
+    cnt_pk = jax.vmap(pathcount.count_paths, in_axes=(2, 0, 0))(
+        words, l1j, l2j
+    )
+    np.testing.assert_array_equal(np.asarray(cnt_u8), np.asarray(cnt_pk))
+    tb = lambda a, a1, a2: traceback.traceback_greedy(a, a1, a2, max_steps=46)
+    ops_u8, n_u8 = jax.vmap(tb, in_axes=(2, 0, 0))(jnp.asarray(arr), l1j, l2j)
+    ops_pk, n_pk = jax.vmap(tb, in_axes=(2, 0, 0))(words, l1j, l2j)
+    np.testing.assert_array_equal(np.asarray(n_u8), np.asarray(n_pk))
+    np.testing.assert_array_equal(np.asarray(ops_u8), np.asarray(ops_pk))
+
+
 def test_arrows_fold_kernel_interpret():
     """Long-pair fold-layout arrows kernel vs scan (interpret mode)."""
     import jax.numpy as jnp
