@@ -228,8 +228,8 @@ class NWAligner:
             from nw_tpu.ops.fill_pallas_single import fill_arrows_fold_batch
 
             arrows3, scores = fill_arrows_fold_batch(
-                tops, sides, lens1, lens2, m, k, d
-            )  # (B, K_pad, N_pad) layout
+                tops, sides, lens1, lens2, m, k, d, packed=True
+            )  # (B, K_pad//4, N_pad) packed-word layout
             arrows_axis = 0
             result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
         else:

@@ -42,15 +42,20 @@ def _round_up(x: int, m: int) -> int:
 def _make_kernel(A: int, B: int, R: int):
     A_r = _round_up(max(A, 1), LANES) // LANES
 
-    def kernel(mkd_ref, tops_ref, sides_ref, out_ref, prev_ref, prev2_ref, ch_ref):
+    def kernel(mkd_ref, tops_ref, sides_ref, out_ref, prev_ref, prev2sh_ref, ch_ref):
         """Grid (K_pad // ROW_CHUNK,).
+
+        Hot-loop economies as in fill_pallas._scores_kernel: natural
+        boundaries (no boundary select) and the carried pre-shifted
+        prev2 diagonal (one shift_j saved per step — shift_j costs a
+        lane-rotate plus two selects here, so this is the larger win).
 
         mkd_ref:   SMEM (1, 4) int32 — m, k, d, l2 (emission row; the
                    true side length when the side is bucket-padded)
         tops_ref:  VMEM (A_r, 128) int32 — folded top chars
         sides_ref: VMEM (R, 128) int32 — folded side chars (j=0 sentinel)
         out_ref:   SMEM (1, ROW_CHUNK) int32 — H[l2, kk-l2] stream
-        prev/prev2/ch: VMEM (R, 128) int32 scratch (persist across grid)
+        prev/prev2sh/ch: VMEM (R, 128) int32 scratch (persist across grid)
         """
         c = pl.program_id(0)
         m = mkd_ref[0, 0]
@@ -67,7 +72,7 @@ def _make_kernel(A: int, B: int, R: int):
         @pl.when(c == 0)
         def _init():
             prev_ref[...] = jnp.where(j_glob == 0, jnp.int32(0), jnp.int32(NEG_INF))
-            prev2_ref[...] = jnp.full((R, LANES), NEG_INF, jnp.int32)
+            prev2sh_ref[...] = jnp.full((R, LANES), NEG_INF, jnp.int32)
             ch_ref[...] = jnp.full((R, LANES), -4, jnp.int32)
 
         side_ch = sides_ref[...]
@@ -91,7 +96,6 @@ def _make_kernel(A: int, B: int, R: int):
             @pl.when(kk >= 1)
             def _():
                 prev = prev_ref[...]
-                prev2 = prev2_ref[...]
 
                 # top[kk-1]: sublane-dynamic row slice + lane-masked reduce
                 x = kk - 1
@@ -105,15 +109,11 @@ def _make_kernel(A: int, B: int, R: int):
                 sub = jnp.where(ch == side_ch, m, -kmis)
 
                 prev_sh = shift_j(prev, jnp.int32(NEG_INF))
-                prev2_sh = shift_j(prev2, jnp.int32(NEG_INF))
-
                 score = jnp.maximum(
-                    jnp.maximum(prev2_sh + sub, prev_sh - d), prev - d
+                    prev2sh_ref[...] + sub, jnp.maximum(prev_sh, prev) - d
                 )
-                boundary = (j_glob == 0) | (j_glob == kk)
-                score = jnp.where(boundary, -kk * d, score)
 
-                prev2_ref[...] = prev
+                prev2sh_ref[...] = prev_sh
                 prev_ref[...] = score
                 # emission row value: sublane-dynamic row slice +
                 # lane-masked reduce (lane-dynamic gathers are not
@@ -221,20 +221,29 @@ def score_pallas_single(top, side, m, k, d, interpret: bool = False):
 #
 # Same fold layout, plus a packed-arrow slab streamed to HBM per
 # ARROW_CHUNK diagonals.  The folded (R, 128) arrow block for diagonal kk
-# IS the diagonal-major row: reshaping the output (K_pad, R, 128) to
-# (K_pad, R*128) yields exactly the arrows_diag[k, j] layout the
-# traceback and counting ops consume.  Grid: (pair, K chunk).
+# IS the diagonal-major row: reshaping the output (K_pad//4, R, 128) to
+# (K_pad//4, R*128) yields exactly the packed words_diag[q, j] layout the
+# dtype-dispatching traceback and counting ops consume (4 diagonals per
+# int32 word, little-endian, as in fill_pallas._arrows_kernel).
+# Grid: (pair, K chunk).
 #
-# HBM bounds this to K_pad * N_pad ~ a few GB per sub-batch (e.g. 10 kb
-# pairs: ~200 MB/pair); 100 kb+ pairs use Hirschberg instead.
+# Hot-loop economies mirror fill_pallas._arrows_kernel: natural
+# boundaries (no boundary/interior selects — cells outside the table
+# rhombus hold unspecified garbage no consumer reads), carried
+# pre-shifted prev2, fused max-then-subtract, packed int32 stores, and a
+# scalar-gated corner capture (lens are SMEM scalars here, so the
+# capture runs on exactly one diagonal).
+#
+# HBM bounds this to K_pad * N_pad / 4 words ~ a few GB per sub-batch
+# (e.g. 10 kb pairs: ~200 MB/pair); 100 kb+ pairs use Hirschberg.
 
 ARROW_CHUNK = 32
 
 
 def _make_arrows_kernel(R: int, A_r: int):
     def kernel(
-        mkd_ref, lens_ref, tops_ref, sides_ref, arrows_ref, score_ref,
-        prev_ref, prev2_ref, ch_ref, cap_ref
+        mkd_ref, lens_ref, tops_ref, sides_ref, packed_ref, score_ref,
+        prev_ref, prev2sh_ref, ch_ref, pack_ref
     ):
         """Grid (nb, K_pad // ARROW_CHUNK).
 
@@ -242,10 +251,11 @@ def _make_arrows_kernel(R: int, A_r: int):
         lens_ref:   SMEM (1, 2) int32 — len1, len2 of this pair
         tops_ref:   VMEM (A_r, 128) int32 — folded top chars
         sides_ref:  VMEM (R, 128) int32 — folded side chars (j=0 sentinel)
-        arrows_ref: VMEM (ARROW_CHUNK, R, 128) uint8 out slab
+        packed_ref: VMEM (ARROW_CHUNK//4, R, 128) int32 out slab
         score_ref:  VMEM (1, 128) int32 out — corner score (broadcast)
-        prev/prev2/ch/cap: VMEM (R, 128) int32 scratch (persist across c)
+        prev/prev2sh/ch/pack: VMEM (R, 128) int32 scratch (persist across c)
         """
+        ARROW_CHUNK = packed_ref.shape[0] * 4
         c = pl.program_id(1)
         m = mkd_ref[0, 0]
         kmis = mkd_ref[0, 1]
@@ -262,11 +272,12 @@ def _make_arrows_kernel(R: int, A_r: int):
         @pl.when(c == 0)
         def _init():
             prev_ref[...] = jnp.where(j_glob == 0, jnp.int32(0), jnp.int32(NEG_INF))
-            prev2_ref[...] = jnp.full((R, LANES), NEG_INF, jnp.int32)
+            prev2sh_ref[...] = jnp.full((R, LANES), NEG_INF, jnp.int32)
             ch_ref[...] = jnp.full((R, LANES), -4, jnp.int32)
-            cap_ref[...] = jnp.where(
-                (k_corner == 0) & (j_glob == 0), jnp.int32(0), jnp.int32(NEG_INF)
-            )
+            # len-0+0 pairs have their corner at diagonal 0 = score 0
+            score_ref[...] = jnp.where(
+                k_corner == 0, jnp.int32(0), jnp.int32(NEG_INF)
+            ) + jnp.zeros((1, LANES), jnp.int32)
 
         side_ch = sides_ref[...]
 
@@ -288,7 +299,6 @@ def _make_arrows_kernel(R: int, A_r: int):
             @pl.when(kk >= 1)
             def _():
                 prev = prev_ref[...]
-                prev2 = prev2_ref[...]
 
                 x = kk - 1
                 xr = jnp.minimum(x // LANES, A_r - 1)
@@ -299,58 +309,66 @@ def _make_arrows_kernel(R: int, A_r: int):
                 sub = jnp.where(ch == side_ch, m, -kmis)
 
                 prev_sh = shift_j(prev, jnp.int32(NEG_INF))
-                prev2_sh = shift_j(prev2, jnp.int32(NEG_INF))
+                cand_d = prev2sh_ref[...] + sub
+                score = jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d)
 
-                cand_d = prev2_sh + sub
-                cand_u = prev_sh - d
-                cand_l = prev - d
-                score = jnp.maximum(jnp.maximum(cand_d, cand_u), cand_l)
+                prev2sh_ref[...] = prev_sh
+                prev_ref[...] = score
+
+                score_d = score + d
                 arrows = (
                     (cand_d == score).astype(jnp.int32)
-                    + (cand_l == score).astype(jnp.int32) * 2
-                    + (cand_u == score).astype(jnp.int32) * 4
+                    + (prev == score_d).astype(jnp.int32) * 2
+                    + (prev_sh == score_d).astype(jnp.int32) * 4
                 )
-                interior = (j_glob >= 1) & (j_glob < kk)
-                arrows = jnp.where(interior, arrows, 0)
+                r = jnp.bitwise_and(t, 3)
+                word = arrows << (r * 8)
 
-                on_top = j_glob == 0
-                on_left = j_glob == kk
-                score = jnp.where(on_top | on_left, -kk * d, score)
-                arrows = jnp.where(on_top, 2, arrows)
-                arrows = jnp.where(on_left, 4, arrows)
+                @pl.when(r == 0)
+                def _():
+                    pack_ref[...] = word
 
-                arrows_ref[pl.ds(t, 1), :, :] = arrows.astype(jnp.uint8)[None]
+                @pl.when(r != 0)
+                def _():
+                    pack_ref[...] = pack_ref[...] | word
 
-                hit = (k_corner == kk) & (j_glob == l2)
-                cap_ref[...] = jnp.where(hit, score, cap_ref[...])
+                @pl.when(r == 3)
+                def _():
+                    packed_ref[pl.ds(t // 4, 1), :, :] = pack_ref[...][None]
 
-                prev2_ref[...] = prev
-                prev_ref[...] = score
+                @pl.when(kk == k_corner)
+                def _():
+                    corner = jnp.max(
+                        jnp.where(j_glob == l2, score, NEG_INF)
+                    )
+                    score_ref[...] = corner[None, None] + jnp.zeros(
+                        (1, LANES), jnp.int32
+                    )
 
             @pl.when(kk == 0)
             def _():
-                arrows_ref[pl.ds(t, 1), :, :] = jnp.zeros(
-                    (1, R, LANES), jnp.uint8
-                )
+                pack_ref[...] = jnp.zeros((R, LANES), jnp.int32)
 
             return 0
 
         jax.lax.fori_loop(0, ARROW_CHUNK, step, 0)
-        score_ref[...] = jnp.max(cap_ref[...])[None, None] + jnp.zeros(
-            (1, LANES), jnp.int32
-        )
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def fill_arrows_fold_batch(tops, sides, lens1, lens2, m, k, d, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "packed"))
+def fill_arrows_fold_batch(
+    tops, sides, lens1, lens2, m, k, d, interpret=False, packed=False
+):
     """Long-pair batched fill emitting diagonal-major packed arrows.
 
     tops: int32[B, A]; sides: int32[B, Bs]; lens1/lens2: int32[B].
-    Returns (arrows uint8[B, K_pad, N_pad], scores int32[B]) where
-    ``arrows[b, i+j, j]`` is cell (j, i) of pair b (N_pad = Bs+1 rounded
-    to 128).
+    Returns ``packed=False``: (arrows uint8[B, K_pad, N_pad],
+    scores int32[B]) where ``arrows[b, i+j, j]`` is cell (j, i) of pair
+    b (N_pad = Bs+1 rounded to 128); ``packed=True``: (words
+    int32[B, K_pad//4, N_pad], scores) — the same cell is byte
+    ``(i+j) & 3`` of ``words[b, (i+j) >> 2, j]``.  Cells outside the
+    table rhombus are unspecified.
     """
     nb, A = tops.shape
     _, Bs = sides.shape
@@ -381,10 +399,10 @@ def fill_arrows_fold_batch(tops, sides, lens1, lens2, m, k, d, interpret=False):
     mkd = jnp.array([[m, k, d]], jnp.int32)
 
     grid = (nb, K_pad // ARROW_CHUNK)
-    arrows, scores = pl.pallas_call(
+    words, scores = pl.pallas_call(
         _make_arrows_kernel(R, A_r),
         out_shape=(
-            jax.ShapeDtypeStruct((nb, K_pad, R, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((nb, K_pad // 4, R, LANES), jnp.int32),
             jax.ShapeDtypeStruct((nb, 1, LANES), jnp.int32),
         ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -402,7 +420,7 @@ def fill_arrows_fold_batch(tops, sides, lens1, lens2, m, k, d, interpret=False):
             ],
             out_specs=(
                 pl.BlockSpec(
-                    (None, ARROW_CHUNK, R, LANES),
+                    (None, ARROW_CHUNK // 4, R, LANES),
                     lambda b, c: (b, c, 0, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -411,10 +429,10 @@ def fill_arrows_fold_batch(tops, sides, lens1, lens2, m, k, d, interpret=False):
                 ),
             ),
             scratch_shapes=[
-                pltpu.VMEM((R, LANES), jnp.int32),
-                pltpu.VMEM((R, LANES), jnp.int32),
-                pltpu.VMEM((R, LANES), jnp.int32),
-                pltpu.VMEM((R, LANES), jnp.int32),
+                pltpu.VMEM((R, LANES), jnp.int32),  # prev diagonal
+                pltpu.VMEM((R, LANES), jnp.int32),  # shift(prev2) diagonal
+                pltpu.VMEM((R, LANES), jnp.int32),  # rolling top chars
+                pltpu.VMEM((R, LANES), jnp.int32),  # 4-diagonal packing word
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -422,4 +440,9 @@ def fill_arrows_fold_batch(tops, sides, lens1, lens2, m, k, d, interpret=False):
         ),
         interpret=interpret,
     )(mkd, lens, top_fold, side_fold)
-    return arrows.reshape(nb, K_pad, N_pad), scores[:, 0, 0]
+    words = words.reshape(nb, K_pad // 4, N_pad)
+    if packed:
+        return words, scores[:, 0, 0]
+    from nw_tpu.ops.fill_pallas import unpack_arrows32
+
+    return unpack_arrows32(words.swapaxes(0, 1)).swapaxes(0, 1), scores[:, 0, 0]

@@ -130,3 +130,16 @@ def test_arrows_fold_kernel_interpret():
         A, B = len(a), len(bs)
         jj, ii = np.mgrid[0 : B + 1, 0 : A + 1]
         np.testing.assert_array_equal(arr[b][ii + jj, jj], ra[b][ii + jj, jj])
+    # packed layout: per-pair words feed the dtype-dispatching consumers
+    import jax
+
+    from nw_tpu.ops import pathcount
+
+    words, sc2 = fill_arrows_fold_batch(
+        tops, sides, l1, l2, 2, 1, 1, interpret=True, packed=True
+    )
+    np.testing.assert_array_equal(np.asarray(sc2), sc)
+    l1j, l2j = jnp.asarray(l1), jnp.asarray(l2)
+    cnt_u8 = jax.vmap(pathcount.count_paths)(jnp.asarray(arr), l1j, l2j)
+    cnt_pk = jax.vmap(pathcount.count_paths)(words, l1j, l2j)
+    np.testing.assert_array_equal(np.asarray(cnt_u8), np.asarray(cnt_pk))
