@@ -119,6 +119,18 @@ class BatchResult:
         ]
 
 
+@dataclasses.dataclass
+class HugeAlignmentResult:
+    """Result of :meth:`NWAligner.align_huge` — the first-optimal
+    alignment without any per-cell table state."""
+
+    s1: bytes
+    s2: bytes
+    score: int
+    X: bytes  # aligned top string (with '-' gaps)
+    Y: bytes  # aligned side string
+
+
 class NWAligner:
     """Needleman-Wunsch aligner configured once, applied to many inputs."""
 
@@ -154,6 +166,46 @@ class NWAligner:
             arrows_diag=np.asarray(out["arrows"]),
             scores_diag=np.asarray(out["scores"]),
         )
+
+    def align_huge(
+        self,
+        s1: str | bytes,
+        s2: str | bytes,
+        block_diagonals: int = 2048,
+    ) -> "HugeAlignmentResult":
+        """Exact first-optimal alignment of ONE huge pair (100kb+).
+
+        Uses the checkpointed re-fill traceback
+        (:mod:`nw_tpu.ops.checkpoint_traceback`): two fill passes, only
+        ``O(K*N/C + C*N)`` memory, and the alignment is byte-identical
+        to the reference DFS's *first-emitted* one
+        (needleman-wunsch.c:305-324) — unlike Hirschberg
+        (:func:`nw_tpu.ops.hirschberg.hirschberg_align`), which returns
+        an arbitrary optimal alignment.  The reference itself cannot
+        trace back pairs at this scale at all (136 B/cell of table
+        state, SURVEY.md §6: 13.6 GB at 10k x 10k).
+        """
+        from nw_tpu.ops.checkpoint_traceback import traceback_checkpointed
+
+        s1b, s2b = _as_bytes(s1), _as_bytes(s2)
+        m, k, d = self.config.scoring.as_tuple()
+        top = jnp.asarray(enc.encode(s1b))
+        side = jnp.asarray(enc.encode(s2b))
+        interpret = not pallas_supported()
+        ops, n = traceback_checkpointed(
+            top, side, m, k, d,
+            block_diagonals=block_diagonals, interpret=interpret,
+        )
+        X, Y = traceback.ops_to_strings(ops, n, s1b, s2b)
+        score = 0
+        for x, y in zip(X, Y):
+            if x == ord("-") or y == ord("-"):
+                score -= d
+            elif x == y:
+                score += m
+            else:
+                score -= k
+        return HugeAlignmentResult(s1=s1b, s2=s2b, score=score, X=X, Y=Y)
 
     # ---------------- batched (production path) ----------------
 

@@ -39,6 +39,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def fold_shift_j(x, fill, l_iota, j_glob):
+    """sh[j] = x[j-1] in the (R, 128) fold layout; sh[0] = fill.
+
+    A lane-rotate plus a lane-0 fix-up from the previous sublane row
+    (Mosaic has no cross-lane shift with carry).
+    """
+    R = x.shape[0]
+    y = pltpu.roll(x, 1, axis=1)  # lane rotate within each row
+    if R > 1:
+        y_down = jnp.concatenate(
+            [jnp.full((1, LANES), NEG_INF, jnp.int32), y[:-1, :]], axis=0
+        )
+    else:  # R == 1: the row above is outside the table
+        y_down = jnp.full((1, LANES), NEG_INF, jnp.int32)
+    z = jnp.where(l_iota == 0, y_down, y)
+    return jnp.where(j_glob == 0, fill, z)
+
+
 def _make_kernel(A: int, B: int, R: int):
     A_r = _round_up(max(A, 1), LANES) // LANES
 
@@ -78,17 +96,7 @@ def _make_kernel(A: int, B: int, R: int):
         side_ch = sides_ref[...]
 
         def shift_j(x, fill):
-            """sh[j] = x[j-1]; sh[0] = fill (scalar)."""
-            y = pltpu.roll(x, 1, axis=1)  # lane rotate within each row
-            if R > 1:
-                y_down = jnp.concatenate(
-                    [jnp.full((1, LANES), NEG_INF, jnp.int32), y[:-1, :]],
-                    axis=0,
-                )
-            else:  # R == 1: the row above is outside the table
-                y_down = jnp.full((1, LANES), NEG_INF, jnp.int32)
-            z = jnp.where(l_iota == 0, y_down, y)
-            return jnp.where(j_glob == 0, fill, z)
+            return fold_shift_j(x, fill, l_iota, j_glob)
 
         def step(t, _):
             kk = c * ROW_CHUNK + t
@@ -282,16 +290,7 @@ def _make_arrows_kernel(R: int, A_r: int):
         side_ch = sides_ref[...]
 
         def shift_j(x, fill):
-            y = pltpu.roll(x, 1, axis=1)
-            if R > 1:
-                y_down = jnp.concatenate(
-                    [jnp.full((1, LANES), NEG_INF, jnp.int32), y[:-1, :]],
-                    axis=0,
-                )
-            else:  # R == 1: the row above is outside the table
-                y_down = jnp.full((1, LANES), NEG_INF, jnp.int32)
-            z = jnp.where(l_iota == 0, y_down, y)
-            return jnp.where(j_glob == 0, fill, z)
+            return fold_shift_j(x, fill, l_iota, j_glob)
 
         def step(t, _):
             kk = c * ARROW_CHUNK + t
