@@ -220,13 +220,47 @@ def _needleman_wunsch(
     top = enc.pad_to(enc.encode(s1), _bucket(len1), enc.PAD_TOP)
     side = enc.pad_to(enc.encode(s2), _bucket(len2), enc.PAD_SIDE)
 
-    out = fill_diag(top, side, m, k, d, len1, len2, with_scores=True)
-    arrows_diag = np.asarray(out["arrows"])
-    score = int(out["score"])
-
     solution_count = 0  # uint32 semantics applied at print time
     need_walk = qflag != 1 or lflag == 1 or sflag == 1 or tflag == 1
     printing = qflag != 1 or lflag == 1
+
+    # Huge-pair fast path: when only the score (and count, -s) are
+    # observable, a single-pass O(N)-memory fused kernel replaces the
+    # full table fill — the reference at this scale needs 136 B/cell of
+    # RAM (13.6 GB at 10k x 10k, SURVEY.md §6) and we would need the
+    # full packed arrow table.  Output is byte-identical.
+    huge_cells = int(os.environ.get("NW_TPU_HUGE_CELLS", str(1 << 28)))
+    if (
+        (len1 + 1) * (len2 + 1) > huge_cells
+        and not printing
+        and tflag != 1
+    ):
+        import jax
+        import jax.numpy as jnp
+
+        from nw_tpu.ops.fill_pallas_single import score_count_fold
+
+        interpret = jax.devices()[0].platform != "tpu"
+        sc, cnt = score_count_fold(
+            jnp.asarray(top), jnp.asarray(side), m, k, d,
+            len1=len1, len2=len2, interpret=interpret,
+        )
+        score = int(sc)
+        if len1 == 0 and len2 == 0:
+            solution_count = 0  # reference DFS emits nothing on 1x1
+        elif need_walk:
+            solution_count = int(cnt)
+        if sflag == 1:
+            u = solution_count % (2**32)
+            signed = u - 2**32 if u >= 2**31 else u
+            plural = b"s" if u > 1 else b""
+            stderr.write(b"%d optimal alignment%s\n" % (signed, plural))
+            stderr.write(b"Optimal score is %d\n" % score)
+        return
+
+    out = fill_diag(top, side, m, k, d, len1, len2, with_scores=True)
+    arrows_diag = np.asarray(out["arrows"])
+    score = int(out["score"])
 
     if need_walk:
         if printing:

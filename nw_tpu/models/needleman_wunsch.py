@@ -207,6 +207,25 @@ class NWAligner:
                 score -= k
         return HugeAlignmentResult(s1=s1b, s2=s2b, score=score, X=X, Y=Y)
 
+    def summary_huge(
+        self, s1: str | bytes, s2: str | bytes
+    ) -> Tuple[int, int]:
+        """(optimal score, solution count mod 2^32) of ONE huge pair in
+        a single O(N)-memory pass (fused score+count fold kernel) — the
+        reference ``-s`` summary (computation.c:271-281) at scales
+        where no table can be materialized."""
+        from nw_tpu.ops.fill_pallas_single import score_count_fold
+
+        s1b, s2b = _as_bytes(s1), _as_bytes(s2)
+        m, k, d = self.config.scoring.as_tuple()
+        sc, cnt = score_count_fold(
+            jnp.asarray(enc.encode(s1b)),
+            jnp.asarray(enc.encode(s2b)),
+            m, k, d, interpret=not pallas_supported(),
+        )
+        count = 0 if not s1b and not s2b else int(cnt)
+        return int(sc), count
+
     # ---------------- batched (production path) ----------------
 
     def align_batch(

@@ -224,6 +224,164 @@ def score_pallas_single(top, side, m, k, d, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Fused score + solution-count kernel (huge-pair `-s` summary)
+# ---------------------------------------------------------------------------
+#
+# The optimal-alignment count is itself a wavefront DP (pathcount.py):
+# cnt[c] = sum of counts over optimal predecessors.  Carrying the count
+# diagonals alongside the score diagonals computes the reference's
+# summary (solution count + optimal score, computation.c:271-281) for
+# pairs whose arrow table could never be materialized — one pass, O(N)
+# memory.  Count arithmetic is int32 with wraparound — bit-identical to
+# the reference's unsigned overflow (computation.h:65).
+
+
+def _make_score_count_kernel(R: int, A_r: int, C: int):
+    def kernel(
+        mkd_ref, lens_ref, tops_ref, sides_ref, out_ref,
+        prev_ref, prev2sh_ref, ch_ref, cprev_ref, cprev2sh_ref
+    ):
+        """Grid (K_pad // C,).  out: SMEM (1, 2) = score, count.
+
+        lens_ref: SMEM (1, 2) = len1, len2.  Natural boundaries: the
+        count recurrence needs no boundary handling either — boundary
+        cells have exactly one optimal predecessor by construction, and
+        the shifted-in count rows are 0.
+        """
+        c = pl.program_id(0)
+        m = mkd_ref[0, 0]
+        kmis = mkd_ref[0, 1]
+        d = mkd_ref[0, 2]
+        l1 = lens_ref[0, 0]
+        l2 = lens_ref[0, 1]
+        k_corner = l1 + l2
+
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        j_glob = r_iota * LANES + l_iota
+        lane_row = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+
+        @pl.when(c == 0)
+        def _init():
+            prev_ref[...] = jnp.where(j_glob == 0, jnp.int32(0), jnp.int32(NEG_INF))
+            prev2sh_ref[...] = jnp.full((R, LANES), NEG_INF, jnp.int32)
+            ch_ref[...] = jnp.full((R, LANES), -4, jnp.int32)
+            cprev_ref[...] = jnp.where(j_glob == 0, jnp.int32(1), jnp.int32(0))
+            cprev2sh_ref[...] = jnp.zeros((R, LANES), jnp.int32)
+            # len-0+0 pair: corner at diagonal 0 (score 0, count 1)
+            out_ref[0, 0] = jnp.where(k_corner == 0, 0, NEG_INF)
+            out_ref[0, 1] = jnp.where(k_corner == 0, 1, 0)
+
+        side_ch = sides_ref[...]
+
+        def step(t, _):
+            kk = c * C + t
+
+            @pl.when(kk >= 1)
+            def _():
+                prev = prev_ref[...]
+                cprev = cprev_ref[...]
+
+                x = kk - 1
+                xr = jnp.minimum(x // LANES, A_r - 1)
+                row = tops_ref[pl.ds(xr, 1), :]
+                new_ch = jnp.sum(jnp.where(lane_row == x % LANES, row, 0))
+                ch = fold_shift_j(ch_ref[...], new_ch, l_iota, j_glob)
+                ch_ref[...] = ch
+                sub = jnp.where(ch == side_ch, m, -kmis)
+
+                prev_sh = fold_shift_j(prev, jnp.int32(NEG_INF), l_iota, j_glob)
+                cand_d = prev2sh_ref[...] + sub
+                score = jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d)
+                prev2sh_ref[...] = prev_sh
+                prev_ref[...] = score
+
+                # count: sum of predecessor counts over optimal arrows
+                cprev_sh = fold_shift_j(cprev, jnp.int32(0), l_iota, j_glob)
+                score_d = score + d
+                cnt = (
+                    jnp.where(cand_d == score, cprev2sh_ref[...], 0)
+                    + jnp.where(prev == score_d, cprev, 0)
+                    + jnp.where(prev_sh == score_d, cprev_sh, 0)
+                )
+                cprev2sh_ref[...] = cprev_sh
+                cprev_ref[...] = cnt
+
+                @pl.when(kk == k_corner)
+                def _():
+                    hit = j_glob == l2
+                    out_ref[0, 0] = jnp.max(jnp.where(hit, score, NEG_INF))
+                    out_ref[0, 1] = jnp.sum(jnp.where(hit, cnt, 0))
+
+            return 0
+
+        jax.lax.fori_loop(0, C, step, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def score_count_fold(top, side, m, k, d, len1=None, len2=None, interpret=False):
+    """(optimal score, solution count mod 2^32) of ONE pair, O(N) memory.
+
+    The count is what the reference's ``-s`` summary prints
+    (computation.c:277, %d of an overflowing unsigned counter).
+    """
+    A = top.shape[0]
+    B = side.shape[0]
+    l1 = jnp.asarray(A if len1 is None else len1, jnp.int32)
+    l2 = jnp.asarray(B if len2 is None else len2, jnp.int32)
+    N_pad = _round_up(B + 1, LANES)
+    R = N_pad // LANES
+    A_r = _round_up(max(A, 1), LANES) // LANES
+    C = ROW_CHUNK
+    K_pad = _round_up(A + B + 1, C)
+
+    side_fold = jnp.concatenate(
+        [
+            jnp.full((1,), -3, jnp.int32),
+            side.astype(jnp.int32),
+            jnp.full((N_pad - B - 1,), -5, jnp.int32),
+        ]
+    ).reshape(R, LANES)
+    top_fold = jnp.concatenate(
+        [top.astype(jnp.int32), jnp.full((A_r * LANES - A,), -1, jnp.int32)]
+    ).reshape(A_r, LANES)
+    mkd = jnp.array([[m, k, d]], jnp.int32)
+    lens = jnp.stack([l1, l2])[None, :]
+
+    out = pl.pallas_call(
+        _make_score_count_kernel(R, A_r, C),
+        out_shape=jax.ShapeDtypeStruct((1, 2), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(K_pad // C,),
+            in_specs=[
+                pl.BlockSpec((1, 3), lambda c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 2), lambda c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((A_r, LANES), lambda c: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((R, LANES), lambda c: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 2), lambda c: (0, 0), memory_space=pltpu.SMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((R, LANES), jnp.int32),  # prev score diagonal
+                pltpu.VMEM((R, LANES), jnp.int32),  # shift(prev2) score
+                pltpu.VMEM((R, LANES), jnp.int32),  # rolling top chars
+                pltpu.VMEM((R, LANES), jnp.int32),  # prev count diagonal
+                pltpu.VMEM((R, LANES), jnp.int32),  # shift(prev2) count
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(mkd, lens, top_fold, side_fold)
+    return out[0, 0], out[0, 1].astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
 # Arrows-emitting fold kernel (long-pair traceback batches)
 # ---------------------------------------------------------------------------
 #

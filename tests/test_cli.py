@@ -154,3 +154,18 @@ def test_empty_first_sequence():
     rc, out, err = run_ours(["-s", "1", "1", "1"], b" GT GA")
     assert out == b"--\nGT\n\n"
     assert err == b"1 optimal alignment\nOptimal score is -2\n"
+
+
+def test_huge_path_byte_identical(monkeypatch):
+    """Forcing the huge-pair fused-kernel path (-q/-q -s) produces the
+    same bytes as the full-table path."""
+    cases = [
+        (["-q", "-s", "1", "1", "1"], b"GCATGCU GATTACA"),
+        (["-q", "-s", "2", "1", "1"], b"GATTACA GCATGCU"),
+        (["-q", "1", "1", "1"], b"GT GA"),
+        (["-q", "-s", "0", "0", "0"], b"GT GA"),
+    ]
+    normal = [run_ours(a, s) for a, s in cases]
+    monkeypatch.setenv("NW_TPU_HUGE_CELLS", "1")
+    forced = [run_ours(a, s) for a, s in cases]
+    assert normal == forced

@@ -111,6 +111,40 @@ def test_arrows_batch_kernel_interpret(m, k, d):
     np.testing.assert_array_equal(np.asarray(ops_u8), np.asarray(ops_pk))
 
 
+@pytest.mark.parametrize("m,k,d", [(2, 1, 1), (1, 1, 1), (0, 0, 0)])
+def test_score_count_fold_interpret(m, k, d):
+    """Fused single-pass score+count == full fill + count_paths."""
+    import jax.numpy as jnp
+
+    from nw_tpu.ops import pathcount
+    from nw_tpu.ops.encode import encode
+    from nw_tpu.ops.fill_pallas_single import score_count_fold
+    from nw_tpu.ops.fill_scan import fill_diag
+
+    rng = np.random.default_rng(6)
+    cases = [
+        ("GCATGCU", "GATTACA"),
+        ("A", "A"),
+        ("", "ACG"),
+        ("ACG", ""),
+    ] + [
+        (
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 70)))),
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 70)))),
+        )
+        for _ in range(5)
+    ]
+    for s1, s2 in cases:
+        top, side = encode(s1.encode()), encode(s2.encode())
+        out = fill_diag(top, side, m, k, d)
+        cnt_ref = int(pathcount.count_paths(out["arrows"], len(s1), len(s2)))
+        sc, cnt = score_count_fold(
+            jnp.asarray(top), jnp.asarray(side), m, k, d, interpret=True
+        )
+        assert int(sc) == int(out["score"]), (s1, s2)
+        assert int(cnt) == cnt_ref, (s1, s2, int(cnt), cnt_ref)
+
+
 def test_arrows_fold_kernel_interpret():
     """Long-pair fold-layout arrows kernel vs scan (interpret mode)."""
     import jax.numpy as jnp
