@@ -113,10 +113,7 @@ class BatchResult:
     def alignment_strings(self) -> List[Tuple[bytes, bytes]]:
         """One (first-)optimal aligned pair of byte strings per input."""
         assert self.ops is not None, "batch was run without traceback"
-        return [
-            traceback.ops_to_strings(self.ops[b], self.ops_len[b], s1, s2)
-            for b, (s1, s2) in enumerate(self._pairs)
-        ]
+        return traceback.ops_to_strings_batch(self.ops, self.ops_len, self._pairs)
 
 
 @dataclasses.dataclass

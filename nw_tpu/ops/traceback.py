@@ -89,6 +89,56 @@ def traceback_greedy_batch(arrows_diag, lens1, lens2, max_steps: int):
     return jax.jit(fn)(arrows_diag, lens1, lens2)
 
 
+def ops_to_strings_batch(ops, ns, pairs, gap: int = ord("-")):
+    """Host: vectorized batched version of :func:`ops_to_strings`.
+
+    ops: int8[B, S] walk op codes (corner -> origin); ns: int32[B];
+    pairs: sequence of (s1 bytes, s2 bytes).  Returns a list of (X, Y)
+    aligned byte strings.  All per-step work is numpy over the whole
+    batch; Python touches each pair only once for the final tobytes.
+    """
+    import numpy as np
+
+    ops = np.asarray(ops)
+    ns = np.asarray(ns)
+    B, S = ops.shape
+    if B == 0:
+        return []
+    l1 = np.array([len(a) for a, _ in pairs], np.int32)
+    l2 = np.array([len(b) for _, b in pairs], np.int32)
+    col = np.arange(S, dtype=np.int32)[None, :]
+    valid = col < ns[:, None]
+    # plain ints, NOT the jnp OP_* scalars: comparing a numpy array
+    # against a jax scalar silently dispatches the whole expression to
+    # the device (a compile + 2 transfers per call)
+    take1 = (ops != int(OP_UP)) & valid  # diag/left consume an s1 char
+    take2 = (ops != int(OP_LEFT)) & valid  # diag/up consume an s2 char
+    # index of the consumed char: lengths minus running consumption
+    i_idx = l1[:, None] - np.cumsum(take1, axis=1, dtype=np.int32)
+    j_idx = l2[:, None] - np.cumsum(take2, axis=1, dtype=np.int32)
+    # padded char matrices (batch scatter, as in encode._scatter_encode)
+    s1m = np.full((B, max(int(l1.max()), 1)), gap, np.uint8)
+    s2m = np.full((B, max(int(l2.max()), 1)), gap, np.uint8)
+    m1 = np.arange(s1m.shape[1], dtype=np.int32)[None, :] < l1[:, None]
+    m2 = np.arange(s2m.shape[1], dtype=np.int32)[None, :] < l2[:, None]
+    if l1.sum():
+        s1m[m1] = np.frombuffer(b"".join(a for a, _ in pairs), np.uint8)
+    if l2.sum():
+        s2m[m2] = np.frombuffer(b"".join(b for _, b in pairs), np.uint8)
+    rows = np.arange(B)[:, None]
+    X = np.where(
+        take1, s1m[rows, np.clip(i_idx, 0, s1m.shape[1] - 1)], np.uint8(gap)
+    )
+    Y = np.where(
+        take2, s2m[rows, np.clip(j_idx, 0, s2m.shape[1] - 1)], np.uint8(gap)
+    )
+    result = []
+    for b in range(B):
+        n = int(ns[b])
+        result.append((X[b, :n][::-1].tobytes(), Y[b, :n][::-1].tobytes()))
+    return result
+
+
 def ops_to_strings(ops, n, s1: bytes, s2: bytes, gap: int = ord("-")):
     """Host: materialize (X, Y) aligned byte strings from walk ops.
 

@@ -158,3 +158,31 @@ def test_greedy_traceback_is_first_alignment():
         )
         X, Y = traceback.ops_to_strings(ops, int(n), s1.encode(), s2.encode())
         assert (X, Y) == first
+
+
+def test_ops_to_strings_batch_matches_scalar():
+    """Vectorized batched string rendering == per-pair rendering."""
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.fill_scan import fill_diag_batch
+
+    rng = np.random.default_rng(23)
+    pairs = [
+        (
+            rng.choice(list(b"ACGT"), int(rng.integers(0, 30))).astype("u1").tobytes(),
+            rng.choice(list(b"ACGT"), int(rng.integers(0, 30))).astype("u1").tobytes(),
+        )
+        for _ in range(40)
+    ]
+    tops, sides, l1, l2 = encode_batch(pairs, 30, 30)
+    out = fill_diag_batch(tops, sides, 2, 1, 1, jnp.asarray(l1), jnp.asarray(l2))
+    ops, ns = traceback.traceback_greedy_batch(
+        out["arrows"], jnp.asarray(l1), jnp.asarray(l2), max_steps=60
+    )
+    got = traceback.ops_to_strings_batch(ops, ns, pairs)
+    want = [
+        traceback.ops_to_strings(ops[b], int(ns[b]), s1, s2)
+        for b, (s1, s2) in enumerate(pairs)
+    ]
+    assert got == want
