@@ -28,12 +28,7 @@ import numpy as np
 from nw_tpu.config import AlignConfig, ScoringParams
 from nw_tpu.ops import encode as enc
 from nw_tpu.ops import enumerate_walk, pathcount, traceback
-from nw_tpu.ops.fill_scan import (
-    diag_to_matrix,
-    fill_diag,
-    fill_diag_batch,
-    fill_scores_batch,
-)
+from nw_tpu.ops.fill_scan import diag_to_matrix, fill_diag
 
 
 def _as_bytes(s: str | bytes) -> bytes:
@@ -268,43 +263,25 @@ class NWAligner:
         tops, sides, lens1, lens2 = enc.encode_batch(norm, len1, len2)
         l1j, l2j = jnp.asarray(lens1), jnp.asarray(lens2)
 
+        from nw_tpu.ops.fill_auto import fill_arrows_auto, fill_scores_auto
+
         need_arrows = traceback_strings or count
         use_pallas = self.config.use_pallas and pallas_supported()
+        platform = "tpu" if use_pallas else "cpu"
         if not need_arrows:
-            if use_pallas:
-                from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
-
-                scores = fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
-            else:
-                scores = fill_scores_batch(tops, sides, m, k, d, l1j, l2j)
+            scores = fill_scores_auto(
+                tops, sides, lens1, lens2, m, k, d, platform=platform
+            )
             return BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
 
         # arrow-emitting fill: batch-in-lanes Pallas kernel for short
-        # sides, fold-layout kernel for long sides (both TPU), lax.scan
-        # fill otherwise
-        if use_pallas and len2 <= 2048:
-            from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
-
-            # packed layout (4 diagonals / int32 word): pathcount and
-            # traceback dispatch on dtype, so no unpack pass is paid
-            arrows3, scores = fill_arrows_pallas_batch(
-                tops, sides, lens1, lens2, m, k, d, packed=True
-            )  # (K_pad//4, N, B) layout
-            arrows_axis = 2
-            result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
-        elif use_pallas:
-            from nw_tpu.ops.fill_pallas_single import fill_arrows_fold_batch
-
-            arrows3, scores = fill_arrows_fold_batch(
-                tops, sides, lens1, lens2, m, k, d, packed=True
-            )  # (B, K_pad//4, N_pad) packed-word layout
-            arrows_axis = 0
-            result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
-        else:
-            out = fill_diag_batch(tops, sides, m, k, d, l1j, l2j)
-            arrows3 = out["arrows"]  # (B, K, N)
-            arrows_axis = 0
-            result = BatchResult(scores=np.asarray(out["score"]), status=status, _pairs=norm)
+        # sides, fold-layout kernel for long sides (both TPU, packed
+        # 4-diagonals-per-word layout — pathcount and traceback dispatch
+        # on dtype), lax.scan fill otherwise
+        arrows3, arrows_axis, scores = fill_arrows_auto(
+            tops, sides, lens1, lens2, m, k, d, platform=platform
+        )
+        result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
         if count:
             cnts = _count_vmapped(arrows_axis)(arrows3, l1j, l2j)
             result.counts = np.asarray(cnts)

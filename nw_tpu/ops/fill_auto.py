@@ -1,0 +1,84 @@
+"""Platform/shape routing for the DP fill kernels.
+
+One place that decides which fill implementation a batch takes, shared
+by the single-host batched API (models.needleman_wunsch.align_batch)
+and the mesh-sharded path (parallel.data_parallel):
+
+* TPU + score-only            -> fill_pallas.fill_scores_pallas_batch
+* TPU + arrows, side <= 2048  -> fill_pallas.fill_arrows_pallas_batch
+                                 (batch-in-lanes, packed words)
+* TPU + arrows, side > 2048   -> fill_pallas_single.fill_arrows_fold_batch
+                                 (fold layout, packed words)
+* otherwise                   -> fill_scan (lax.scan wavefront)
+
+Arrow outputs are the packed 4-diagonals-per-int32 layout wherever a
+Pallas kernel runs; pathcount/traceback dispatch on dtype, so consumers
+need only the (array, batch_axis) pair this module returns.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+
+from nw_tpu.ops.fill_scan import fill_diag_batch, fill_scores_batch
+
+# side-length bound for the batch-in-lanes arrows kernel (VMEM: rolling
+# state + double-buffered slab; see fill_pallas._arrow_chunk_for)
+LANES_ARROWS_MAX_SIDE = 2048
+
+
+def default_platform() -> str:
+    try:
+        return jax.devices()[0].platform
+    except Exception:  # pragma: no cover
+        return "cpu"
+
+
+def fill_scores_auto(
+    tops, sides, lens1, lens2, m, k, d, platform: Optional[str] = None
+):
+    """int32[B] optimal scores via the best kernel for ``platform``."""
+    if (platform or default_platform()) == "tpu":
+        from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
+
+        return fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
+    import jax.numpy as jnp
+
+    return fill_scores_batch(
+        tops, sides, m, k, d, jnp.asarray(lens1), jnp.asarray(lens2)
+    )
+
+
+def fill_arrows_auto(
+    tops, sides, lens1, lens2, m, k, d, platform: Optional[str] = None
+) -> Tuple[jax.Array, int, jax.Array]:
+    """(arrows, batch_axis, scores) via the best kernel for ``platform``.
+
+    ``arrows`` is uint8 diagonal-major (scan path) or int32 packed words
+    (Pallas paths); index it with ``jnp.take(arrows, b, batch_axis)``
+    or vmap with ``in_axes=batch_axis``.
+    """
+    plat = platform or default_platform()
+    Bs = sides.shape[1]
+    if plat == "tpu" and Bs <= LANES_ARROWS_MAX_SIDE:
+        from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+
+        words, scores = fill_arrows_pallas_batch(
+            tops, sides, lens1, lens2, m, k, d, packed=True
+        )
+        return words, 2, scores
+    if plat == "tpu":
+        from nw_tpu.ops.fill_pallas_single import fill_arrows_fold_batch
+
+        words, scores = fill_arrows_fold_batch(
+            tops, sides, lens1, lens2, m, k, d, packed=True
+        )
+        return words, 0, scores
+    import jax.numpy as jnp
+
+    out = fill_diag_batch(
+        tops, sides, m, k, d, jnp.asarray(lens1), jnp.asarray(lens2)
+    )
+    return out["arrows"], 0, out["score"]

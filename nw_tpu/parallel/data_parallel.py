@@ -19,32 +19,12 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding
 from jax.sharding import PartitionSpec as P
 
-from nw_tpu.ops.fill_scan import fill_diag
+from nw_tpu.ops.fill_auto import fill_arrows_auto, fill_scores_auto
 
 try:  # jax >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
 except AttributeError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map
-
-
-def _local_fill_scores(tops, sides, m, k, d, lens1, lens2):
-    fn = jax.vmap(
-        lambda t, s, l1, l2: fill_diag(
-            t, s, m, k, d, l1, l2, with_scores=False, with_arrows=False
-        )["score"],
-        in_axes=(0, 0, 0, 0),
-    )
-    return fn(tops, sides, lens1, lens2)
-
-
-def _local_fill_arrows(tops, sides, m, k, d, lens1, lens2):
-    fn = jax.vmap(
-        lambda t, s, l1, l2: fill_diag(
-            t, s, m, k, d, l1, l2, with_scores=False, with_arrows=True
-        ),
-        in_axes=(0, 0, 0, 0),
-    )
-    return fn(tops, sides, lens1, lens2)
 
 
 @functools.partial(
@@ -79,16 +59,25 @@ def align_batch_sharded(
        counter.)
     """
 
+    # per-device kernel choice follows the mesh's platform (TPU shards
+    # run the Pallas kernels; CPU/virtual meshes the lax.scan fill)
+    platform = mesh.devices.flat[0].platform
+
     def shardfn(tops, sides, lens1, lens2):
         if with_counts:
             from nw_tpu.ops.pathcount import count_paths
 
-            out = _local_fill_arrows(tops, sides, m, k, d, lens1, lens2)
-            scores = out["score"]
-            counts = jax.vmap(count_paths)(out["arrows"], lens1, lens2)
+            arrows, arrows_axis, scores = fill_arrows_auto(
+                tops, sides, lens1, lens2, m, k, d, platform=platform
+            )
+            counts = jax.vmap(count_paths, in_axes=(arrows_axis, 0, 0))(
+                arrows, lens1, lens2
+            )
             solutions = jax.lax.psum(counts.sum().astype(jnp.uint32), axis)
         else:
-            scores = _local_fill_scores(tops, sides, m, k, d, lens1, lens2)
+            scores = fill_scores_auto(
+                tops, sides, lens1, lens2, m, k, d, platform=platform
+            )
             solutions = None
 
         real = (lens1 > 0) | (lens2 > 0)
@@ -117,6 +106,9 @@ def align_batch_sharded(
         mesh=mesh,
         in_specs=(spec, spec, spec, spec),
         out_specs=(spec, P()),
+        # pallas_call outputs carry no varying-mesh-axes metadata; the
+        # explicit in/out specs above are the contract
+        check_vma=False,
     )
     return mapped(tops, sides, jnp.asarray(lens1), jnp.asarray(lens2))
 
