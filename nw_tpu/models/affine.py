@@ -103,3 +103,31 @@ def affine_score(top, side, m, k, open_, extend):
 affine_score_batch = jax.jit(
     jax.vmap(affine_score, in_axes=(0, 0, None, None, None, None))
 )
+
+
+def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
+    """Optimal affine-gap score per pair (int32[B]), variable lengths.
+
+    Batched production path: the Pallas Gotoh kernel
+    (:func:`nw_tpu.ops.variants_pallas.affine_scores_pallas_batch`, 88
+    GCUPS/chip at 150bp) on TPU; the same kernel interpreted elsewhere.
+    (``affine_score_batch`` above vmaps the scan over uniform-length
+    arrays; this API handles ragged pairs via length buckets.)
+    """
+    import numpy as np
+
+    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.variants_pallas import affine_scores_pallas_batch
+
+    norm = [
+        (a.encode() if isinstance(a, str) else bytes(a),
+         b.encode() if isinstance(b, str) else bytes(b))
+        for a, b in pairs
+    ]
+    tops, sides, l1, l2 = encode_batch(norm)
+    interpret = jax.devices()[0].platform != "tpu"
+    return np.asarray(
+        affine_scores_pallas_batch(
+            tops, sides, l1, l2, m, k, open_, extend, interpret=interpret
+        )
+    )

@@ -145,3 +145,27 @@ def sw_align(s1: str | bytes, s2: str | bytes, m: int = 2, k: int = 1, d: int = 
     out = sw_fill_diag(encode(s1b), encode(s2b), m, k, d)
     X, Y, start = sw_traceback(out["arrows"], out["argmax"], s1b, s2b)
     return int(out["score"]), X, Y, start
+
+
+def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
+    """Best local-alignment score per pair (int32[B]).
+
+    Batched production path: the Pallas batch-in-lanes kernel
+    (:func:`nw_tpu.ops.variants_pallas.sw_scores_pallas_batch`, 110
+    GCUPS/chip at 150bp) on TPU; the same kernel interpreted elsewhere.
+    """
+    import jax
+
+    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.variants_pallas import sw_scores_pallas_batch
+
+    norm = [
+        (a.encode() if isinstance(a, str) else bytes(a),
+         b.encode() if isinstance(b, str) else bytes(b))
+        for a, b in pairs
+    ]
+    tops, sides, l1, l2 = encode_batch(norm)
+    interpret = jax.devices()[0].platform != "tpu"
+    return np.asarray(
+        sw_scores_pallas_batch(tops, sides, l1, l2, m, k, d, interpret=interpret)
+    )

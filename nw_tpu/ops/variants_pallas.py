@@ -1,0 +1,271 @@
+"""Pallas TPU kernels for the model variants (reference FUTURE WORK).
+
+Batch-in-lanes wavefront kernels — same layout and hot-loop economies
+as :mod:`nw_tpu.ops.fill_pallas` — for:
+
+* **Smith-Waterman local alignment** (README:179-186): the linear-gap
+  recurrence clamped at zero, best score tracked over every cell of the
+  true rectangle.  Boundaries are naturally zero (all candidates arrive
+  as NEG_INF and the clamp wins).
+* **Gotoh affine-gap global alignment** (README:187-193): the
+  three-matrix recurrence.  The M matrix needs ``shift(best(k-2))``
+  (carried, like the linear kernel's prev2), and the IY row-shift is
+  fused: ``IY = shift(max(M - (open-extend), IY)) - extend`` — one
+  sublane shift instead of two.  Boundary gap costs
+  ``-(open + (L-1)*extend)`` emerge naturally from the IX/IY chains.
+
+Score-only; tracebacks for the variants run on the lax.scan engines
+(models/smith_waterman.py renders local alignments from scan arrows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nw_tpu.ops.encode import PAD_SIDE, PAD_TOP
+from nw_tpu.ops.fill_pallas import LANES, _round_up
+
+# headroom for the affine chains: NEG - open - extend must not wrap
+NEG = -(2**29)
+
+
+def _sw_kernel(
+    mkd_ref, tops_ref, sides_ref, lens_ref, out_ref, prev_ref, prev2sh_ref,
+    ch_ref, best_ref
+):
+    """Smith-Waterman best-local-score kernel.
+
+    Refs as in fill_pallas._scores_kernel; out (1, BT) = best local
+    score per pair (>= 0).  The best-update is masked to the pair's
+    true rectangle so pad/garbage cells (clamped to >= 0) can never
+    contribute.
+    """
+    N, BT = sides_ref.shape
+    A_pad = tops_ref.shape[0]
+    m = mkd_ref[0, 0]
+    kmis = mkd_ref[0, 1]
+    d = mkd_ref[0, 2]
+
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
+    len1 = lens_ref[0:1, :]
+    len2 = lens_ref[1:2, :]
+
+    prev_ref[...] = jnp.zeros((N, BT), jnp.int32)  # row/col 0 = 0 in SW
+    prev2sh_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+    ch_ref[...] = jnp.full((N, BT), -4, jnp.int32)
+    best_ref[...] = jnp.zeros((N, BT), jnp.int32)
+
+    side_ch = sides_ref[...]
+    neg_row = jnp.full((1, BT), NEG, jnp.int32)
+
+    def body(kk, _):
+        prev = prev_ref[...]
+
+        new_top = tops_ref[pl.ds(jnp.minimum(kk - 1, A_pad - 1), 1), :]
+        ch_top = jnp.concatenate([new_top, ch_ref[:-1, :]], axis=0)
+        ch_ref[...] = ch_top
+        sub = jnp.where(ch_top == side_ch, m, -kmis)
+
+        prev_sh = jnp.concatenate([neg_row, prev[:-1, :]], axis=0)
+        score = jnp.maximum(
+            jnp.maximum(prev2sh_ref[...] + sub, jnp.maximum(prev_sh, prev) - d),
+            0,
+        )
+        prev2sh_ref[...] = prev_sh
+        prev_ref[...] = score
+
+        i_val = kk - j_iota
+        in_rect = (
+            (j_iota >= 1) & (j_iota <= len2) & (i_val >= 1) & (i_val <= len1)
+        )
+        best_ref[...] = jnp.maximum(
+            best_ref[...], jnp.where(in_rect, score, 0)
+        )
+        return 0
+
+    K = (A_pad - 1) + (N - 1)
+    jax.lax.fori_loop(1, K + 1, body, 0)
+    out_ref[...] = jnp.max(best_ref[...], axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_pairs"))
+def sw_scores_pallas_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False, block_pairs: int = LANES,
+):
+    """Best local-alignment score per pair (int32[B], >= 0)."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    N = _round_up(Bs + 1, 8)
+    A_pad = _round_up(max(A, 1), 8)
+    BT = block_pairs
+    nb_pad = _round_up(max(nb, 1), BT)
+
+    tops = jnp.pad(
+        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
+    )
+    sides = jnp.pad(
+        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
+    )
+    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
+    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
+
+    sides_sh = jnp.concatenate(
+        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
+    ).T
+    tops_t = tops.astype(jnp.int32).T
+    lens = jnp.stack([lens1, lens2], axis=0)
+    mkd = jnp.array([[m, k, d]], jnp.int32)
+
+    out = pl.pallas_call(
+        _sw_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb_pad // BT,),
+            in_specs=[
+                pl.BlockSpec((1, 3), lambda b: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((A_pad, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, BT), lambda b: (0, b), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((N, BT), jnp.int32)] * 4,
+        ),
+        interpret=interpret,
+    )(mkd, tops_t, sides_sh, lens)
+    return out[0, :nb]
+
+
+def _affine_kernel(
+    mkd_ref, tops_ref, sides_ref, lens_ref, out_ref,
+    mprev_ref, ixprev_ref, iyprev_ref, b2sh_ref, bprev_ref, ch_ref, cap_ref
+):
+    """Gotoh three-matrix kernel.
+
+    State per diagonal: M/IX/IY on k-1, best(k-1) (for the carried
+    shift), shift(best(k-2)), rolling top chars, and the corner capture
+    accumulator.  out (1, BT) = global affine score per pair.
+    """
+    N, BT = sides_ref.shape
+    A_pad = tops_ref.shape[0]
+    m = mkd_ref[0, 0]
+    kmis = mkd_ref[0, 1]
+    op = mkd_ref[0, 2]
+    ex = mkd_ref[0, 3]
+    min_corner = mkd_ref[0, 4]
+
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
+    len1 = lens_ref[0:1, :]
+    len2 = lens_ref[1:2, :]
+    k_corner = len1 + len2
+
+    # diagonal 0: M(0,0) = 0; IX/IY undefined
+    mprev_ref[...] = jnp.where(j_iota == 0, jnp.int32(0), jnp.int32(NEG))
+    ixprev_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+    iyprev_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+    bprev_ref[...] = jnp.where(j_iota == 0, jnp.int32(0), jnp.int32(NEG))
+    b2sh_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+    ch_ref[...] = jnp.full((N, BT), -4, jnp.int32)
+    cap_ref[...] = jnp.where(
+        (k_corner == 0) & (j_iota == 0), jnp.int32(0), jnp.int32(NEG)
+    )
+
+    side_ch = sides_ref[...]
+    neg_row = jnp.full((1, BT), NEG, jnp.int32)
+
+    def shift(x):
+        return jnp.concatenate([neg_row, x[:-1, :]], axis=0)
+
+    def body(kk, _):
+        new_top = tops_ref[pl.ds(jnp.minimum(kk - 1, A_pad - 1), 1), :]
+        ch_top = jnp.concatenate([new_top, ch_ref[:-1, :]], axis=0)
+        ch_ref[...] = ch_top
+        sub = jnp.where(ch_top == side_ch, m, -kmis)
+
+        mp = mprev_ref[...]
+        M = b2sh_ref[...] + sub
+        IX = jnp.maximum(mp - op, ixprev_ref[...] - ex)
+        # fused row-shift: shift(max(Mp - (op-ex), IYp)) - ex
+        IY = shift(jnp.maximum(mp - (op - ex), iyprev_ref[...])) - ex
+
+        best = jnp.maximum(jnp.maximum(M, IX), IY)
+        b2sh_ref[...] = shift(bprev_ref[...])
+        bprev_ref[...] = best
+        mprev_ref[...] = M
+        ixprev_ref[...] = IX
+        iyprev_ref[...] = IY
+
+        @pl.when(kk >= min_corner)
+        def _():
+            hit = (k_corner == kk) & (j_iota == len2)
+            cap_ref[...] = jnp.where(hit, best, cap_ref[...])
+
+        return 0
+
+    K = (A_pad - 1) + (N - 1)
+    jax.lax.fori_loop(1, K + 1, body, 0)
+    out_ref[...] = jnp.max(cap_ref[...], axis=0, keepdims=True)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_pairs"))
+def affine_scores_pallas_batch(
+    tops, sides, lens1, lens2, m, k, open_, extend,
+    interpret: bool = False, block_pairs: int = LANES,
+):
+    """Optimal affine-gap global score per pair (int32[B])."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    N = _round_up(Bs + 1, 8)
+    A_pad = _round_up(max(A, 1), 8)
+    BT = block_pairs
+    nb_pad = _round_up(max(nb, 1), BT)
+
+    tops = jnp.pad(
+        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
+    )
+    sides = jnp.pad(
+        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
+    )
+    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
+    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
+
+    sides_sh = jnp.concatenate(
+        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
+    ).T
+    tops_t = tops.astype(jnp.int32).T
+    lens = jnp.stack([lens1, lens2], axis=0)
+    min_corner = (
+        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
+    )
+    mkd = jnp.concatenate(
+        [jnp.array([m, k, open_, extend], jnp.int32), min_corner[None]]
+    )[None]
+
+    out = pl.pallas_call(
+        _affine_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb_pad // BT,),
+            in_specs=[
+                pl.BlockSpec((1, 5), lambda b: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((A_pad, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, BT), lambda b: (0, b), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[pltpu.VMEM((N, BT), jnp.int32)] * 7,
+        ),
+        interpret=interpret,
+    )(mkd, tops_t, sides_sh, lens)
+    return out[0, :nb]

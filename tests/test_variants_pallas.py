@@ -1,0 +1,80 @@
+"""Variant Pallas kernels (SW local, affine Gotoh) vs the scan engines."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nw_tpu.models.affine import affine_score
+from nw_tpu.models.smith_waterman import sw_fill_diag
+from nw_tpu.ops.encode import encode, encode_batch
+from nw_tpu.ops.variants_pallas import (
+    affine_scores_pallas_batch,
+    sw_scores_pallas_batch,
+)
+
+
+def _pairs(rng, n, lo, hi):
+    return [
+        (
+            "".join(rng.choice(list("ACGT"), int(rng.integers(lo, hi)))),
+            "".join(rng.choice(list("ACGT"), int(rng.integers(lo, hi)))),
+        )
+        for _ in range(n)
+    ]
+
+
+@pytest.mark.parametrize("m,k,d", [(2, 1, 1), (1, 1, 1), (3, 2, 5), (2, 3, 1)])
+def test_sw_batch_matches_scan(m, k, d):
+    rng = np.random.default_rng(7)
+    pairs = _pairs(rng, 10, 1, 40) + [("A", "A"), ("AC", "GT")]
+    tops, sides, l1, l2 = encode_batch(pairs, 40, 40)
+    got = np.asarray(
+        sw_scores_pallas_batch(tops, sides, l1, l2, m, k, d, interpret=True)
+    )
+    for b, (a, s) in enumerate(pairs):
+        ref = int(
+            sw_fill_diag(
+                jnp.asarray(encode(a.encode())),
+                jnp.asarray(encode(s.encode())),
+                m, k, d, with_arrows=False,
+            )["score"]
+        )
+        assert got[b] == ref, (b, a, s, got[b], ref)
+
+
+@pytest.mark.parametrize(
+    "m,k,op,ex", [(2, 1, 3, 1), (1, 1, 1, 1), (2, 3, 5, 2), (3, 1, 4, 0)]
+)
+def test_affine_batch_matches_scan(m, k, op, ex):
+    rng = np.random.default_rng(8)
+    pairs = _pairs(rng, 10, 1, 40) + [("A", "A"), ("", "ACG"), ("ACG", "")]
+    tops, sides, l1, l2 = encode_batch(pairs, 40, 40)
+    got = np.asarray(
+        affine_scores_pallas_batch(
+            tops, sides, l1, l2, m, k, op, ex, interpret=True
+        )
+    )
+    for b, (a, s) in enumerate(pairs):
+        ref = int(
+            affine_score(
+                jnp.asarray(encode(a.encode())),
+                jnp.asarray(encode(s.encode())),
+                m, k, op, ex,
+            )
+        )
+        assert got[b] == ref, (b, a, s, got[b], ref)
+
+
+def test_model_batch_apis():
+    """Model-level ragged batch scoring == per-pair scan engines."""
+    from nw_tpu.models.affine import affine_score_pairs
+    from nw_tpu.models.smith_waterman import sw_score_batch
+
+    rng = np.random.default_rng(9)
+    pairs = _pairs(rng, 8, 1, 50)
+    sw = sw_score_batch(pairs, 2, 1, 1)
+    af = affine_score_pairs(pairs, 2, 1, 3, 1)
+    for b, (a, s) in enumerate(pairs):
+        t, si = jnp.asarray(encode(a.encode())), jnp.asarray(encode(s.encode()))
+        assert sw[b] == int(sw_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"])
+        assert af[b] == int(affine_score(t, si, 2, 1, 3, 1))
