@@ -163,7 +163,7 @@ class NWAligner:
         self,
         s1: str | bytes,
         s2: str | bytes,
-        block_diagonals: int = 2048,
+        block_diagonals: Optional[int] = None,
     ) -> "HugeAlignmentResult":
         """Exact first-optimal alignment of ONE huge pair (100kb+).
 

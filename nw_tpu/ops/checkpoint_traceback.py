@@ -274,19 +274,29 @@ def _refill_block(
 # ---------------------------------------------------------------------------
 
 
+def auto_block_diagonals(A: int, B: int) -> int:
+    """Memory-optimal C: checkpoints cost 8*K*N/C bytes, the live block
+    C*N bytes — minimized at C = sqrt(8K), rounded to the refill grid
+    granularity (and to >= 512 so grid overhead stays negligible)."""
+    K = A + B + 1
+    C = int((8 * K) ** 0.5)
+    return max(512, _round_up(C, ARROW_CHUNK * 4))
+
+
 @functools.partial(
     jax.jit, static_argnames=("block_diagonals", "interpret")
 )
 def traceback_checkpointed(
     top, side, m, k, d, len1=None, len2=None,
-    block_diagonals: int = 2048, interpret: bool = False,
+    block_diagonals: int | None = None, interpret: bool = False,
 ):
     """Exact greedy-first traceback of ONE huge pair in O(K*N/C) memory.
 
     Args:
       top: int32[A] encoded top string; side: int32[B] (bucket-padded
         OK; pass true lengths via len1/len2).
-      block_diagonals: C — diagonals re-filled per backward block.
+      block_diagonals: C — diagonals re-filled per backward block
+        (default: the memory-optimal sqrt(8K)).
     Returns:
       (ops int8[A+B], n int32) — op codes corner -> origin exactly as
       :func:`nw_tpu.ops.traceback.traceback_greedy` (and therefore the
@@ -299,7 +309,7 @@ def traceback_checkpointed(
     l1 = jnp.asarray(A if len1 is None else len1, jnp.int32)
     l2 = jnp.asarray(B if len2 is None else len2, jnp.int32)
 
-    C = block_diagonals
+    C = block_diagonals or auto_block_diagonals(A, B)
     assert C % ARROW_CHUNK == 0 and C % 4 == 0
     N_pad = _round_up(B + 1, LANES)
     R = N_pad // LANES
