@@ -274,6 +274,19 @@ class NWAligner:
             )
             return BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
 
+        if count and not traceback_strings and use_pallas and len2 <= 2048:
+            # fused score+count wavefront: no arrows materialized at all
+            from nw_tpu.ops.fill_pallas import fill_scores_counts_pallas_batch
+
+            scores, counts = fill_scores_counts_pallas_batch(
+                tops, sides, lens1, lens2, m, k, d
+            )
+            result = BatchResult(
+                scores=np.asarray(scores), status=status, _pairs=norm
+            )
+            result.counts = np.asarray(counts)
+            return result
+
         # arrow-emitting fill: batch-in-lanes Pallas kernel for short
         # sides, fold-layout kernel for long sides (both TPU, packed
         # 4-diagonals-per-word layout — pathcount and traceback dispatch

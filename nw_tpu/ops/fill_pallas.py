@@ -236,6 +236,158 @@ def fill_scores_pallas_batch(
 
 
 # ---------------------------------------------------------------------------
+# Fused score + solution-count kernel (batched `-q -s` summaries)
+# ---------------------------------------------------------------------------
+#
+# The optimal-alignment count is itself a wavefront DP (pathcount.py);
+# carrying the count diagonals next to the score diagonals answers
+# ``align_batch(count=True)`` without materializing any arrows at all.
+# Count arithmetic is int32 wraparound — bit-identical to the
+# reference's unsigned solution counter (computation.h:65).
+
+
+def _scores_counts_kernel(
+    mkd_ref, tops_ref, sides_ref, lens_ref, out_ref, cout_ref,
+    prev_ref, prev2sh_ref, ch_ref, cap_ref, cprev_ref, cprev2sh_ref, ccap_ref
+):
+    """Like _scores_kernel plus count diagonals (see the count
+    recurrence notes in fill_pallas_single._make_score_count_kernel:
+    natural boundaries hold for counts too)."""
+    N, BT = sides_ref.shape
+    A_pad = tops_ref.shape[0]
+    m = mkd_ref[0, 0]
+    kmis = mkd_ref[0, 1]
+    d = mkd_ref[0, 2]
+    min_corner = mkd_ref[0, 3]
+
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
+    len1 = lens_ref[0:1, :]
+    len2 = lens_ref[1:2, :]
+    k_corner = len1 + len2
+
+    prev_ref[...] = jnp.where(j_iota == 0, jnp.int32(0), jnp.int32(NEG_INF))
+    prev2sh_ref[...] = jnp.full((N, BT), NEG_INF, jnp.int32)
+    cap_ref[...] = jnp.where(
+        (k_corner == 0) & (j_iota == 0), jnp.int32(0), jnp.int32(NEG_INF)
+    )
+    ch_ref[...] = jnp.full((N, BT), -4, jnp.int32)
+    cprev_ref[...] = jnp.where(j_iota == 0, jnp.int32(1), jnp.int32(0))
+    cprev2sh_ref[...] = jnp.zeros((N, BT), jnp.int32)
+    ccap_ref[...] = jnp.where(
+        (k_corner == 0) & (j_iota == 0), jnp.int32(1), jnp.int32(0)
+    )
+
+    side_ch = sides_ref[...]
+    neg_row = jnp.full((1, BT), NEG_INF, jnp.int32)
+    zero_row = jnp.zeros((1, BT), jnp.int32)
+
+    def body(kk, _):
+        prev = prev_ref[...]
+        cprev = cprev_ref[...]
+
+        new_top = tops_ref[pl.ds(jnp.minimum(kk - 1, A_pad - 1), 1), :]
+        ch_top = jnp.concatenate([new_top, ch_ref[:-1, :]], axis=0)
+        ch_ref[...] = ch_top
+        sub = jnp.where(ch_top == side_ch, m, -kmis)
+
+        prev_sh = jnp.concatenate([neg_row, prev[:-1, :]], axis=0)
+        cand_d = prev2sh_ref[...] + sub
+        score = jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d)
+        prev2sh_ref[...] = prev_sh
+        prev_ref[...] = score
+
+        cprev_sh = jnp.concatenate([zero_row, cprev[:-1, :]], axis=0)
+        score_d = score + d
+        cnt = (
+            jnp.where(cand_d == score, cprev2sh_ref[...], 0)
+            + jnp.where(prev == score_d, cprev, 0)
+            + jnp.where(prev_sh == score_d, cprev_sh, 0)
+        )
+        cprev2sh_ref[...] = cprev_sh
+        cprev_ref[...] = cnt
+
+        @pl.when(kk >= min_corner)
+        def _():
+            hit = (k_corner == kk) & (j_iota == len2)
+            cap_ref[...] = jnp.where(hit, score, cap_ref[...])
+            ccap_ref[...] = jnp.where(hit, cnt, ccap_ref[...])
+
+        return 0
+
+    K = (A_pad - 1) + (N - 1)
+    jax.lax.fori_loop(1, K + 1, body, 0)
+    out_ref[...] = jnp.max(cap_ref[...], axis=0, keepdims=True)
+    # each lane captured at exactly row len2; sum-select that row
+    cout_ref[...] = jnp.sum(
+        jnp.where(j_iota == len2, ccap_ref[...], 0), axis=0, keepdims=True
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_pairs"))
+def fill_scores_counts_pallas_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False, block_pairs: int = LANES,
+):
+    """(scores int32[B], counts uint32[B]) with no arrow materialization.
+
+    The batched equivalent of the reference's ``-q -s`` summary path:
+    one fused wavefront carrying score + solution-count diagonals.
+    """
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    N = _round_up(Bs + 1, 8)
+    A_pad = _round_up(max(A, 1), 8)
+    BT = block_pairs
+    nb_pad = _round_up(max(nb, 1), BT)
+
+    tops = jnp.pad(
+        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
+    )
+    sides = jnp.pad(
+        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
+    )
+    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
+    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
+
+    sides_sh = jnp.concatenate(
+        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
+    ).T
+    tops_t = tops.astype(jnp.int32).T
+    lens = jnp.stack([lens1, lens2], axis=0)
+    min_corner = (
+        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
+    )
+    mkd = jnp.concatenate(
+        [jnp.array([m, k, d], jnp.int32), min_corner[None]]
+    )[None]
+
+    scores, counts = pl.pallas_call(
+        _scores_counts_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb_pad // BT,),
+            in_specs=[
+                pl.BlockSpec((1, 4), lambda b: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((A_pad, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BT), lambda b: (0, b), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((N, BT), jnp.int32)] * 7,
+        ),
+        interpret=interpret,
+    )(mkd, tops_t, sides_sh, lens)
+    return scores[0, :nb], counts[0, :nb].astype(jnp.uint32)
+
+
+# ---------------------------------------------------------------------------
 # Arrows-emitting kernel (traceback batches)
 # ---------------------------------------------------------------------------
 #

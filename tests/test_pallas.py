@@ -112,6 +112,30 @@ def test_arrows_batch_kernel_interpret(m, k, d):
 
 
 @pytest.mark.parametrize("m,k,d", [(2, 1, 1), (1, 1, 1), (0, 0, 0)])
+def test_scores_counts_batch_interpret(m, k, d):
+    """Fused batched score+count == scan fill + count_paths."""
+    import jax
+    import jax.numpy as jnp
+
+    from nw_tpu.ops import pathcount
+    from nw_tpu.ops.fill_pallas import fill_scores_counts_pallas_batch
+    from nw_tpu.ops.fill_scan import fill_diag_batch
+
+    rng = np.random.default_rng(5)
+    pairs = _random_pairs(rng, 9, 1, 30) + [("A", "A"), ("", "ACG"), ("ACG", "")]
+    tops, sides, l1, l2 = encode_batch(pairs, 30, 30)
+    ref = fill_diag_batch(tops, sides, m, k, d, jnp.asarray(l1), jnp.asarray(l2))
+    cnt_ref = jax.vmap(pathcount.count_paths)(
+        ref["arrows"], jnp.asarray(l1), jnp.asarray(l2)
+    )
+    sc, cnt = fill_scores_counts_pallas_batch(
+        tops, sides, l1, l2, m, k, d, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(sc), np.asarray(ref["score"]))
+    np.testing.assert_array_equal(np.asarray(cnt), np.asarray(cnt_ref))
+
+
+@pytest.mark.parametrize("m,k,d", [(2, 1, 1), (1, 1, 1), (0, 0, 0)])
 def test_score_count_fold_interpret(m, k, d):
     """Fused single-pass score+count == full fill + count_paths."""
     import jax.numpy as jnp
