@@ -105,6 +105,165 @@ affine_score_batch = jax.jit(
 )
 
 
+@jax.jit
+def affine_fill_arrows(top, side, m, k, open_, extend):
+    """Gotoh fill emitting per-cell traceback state bits.
+
+    Per cell (diagonal-major uint8[K, N]):
+      bits 0-1: the M cell's predecessor state at (j-1, i-1)
+                (0 = M, 1 = IX, 2 = IY; ties resolve M > IX > IY)
+      bit 2:    the IX cell extends (pred IX) rather than opens (pred M);
+                ties resolve to open
+      bit 3:    same for IY
+
+    Returns dict(score, state, arrows) — ``state`` is the corner cell's
+    best matrix (0/1/2, ties M > IX > IY), the traceback start.
+    """
+    A = top.shape[0]
+    B = side.shape[0]
+    N = B + 1
+    K = A + B + 1
+
+    m = jnp.asarray(m, jnp.int32)
+    k = jnp.asarray(k, jnp.int32)
+    op = jnp.asarray(open_, jnp.int32)
+    ex = jnp.asarray(extend, jnp.int32)
+
+    side_sh = jnp.concatenate([jnp.full((1,), -3, jnp.int32), side.astype(jnp.int32)])
+    top_rev = top[::-1].astype(jnp.int32)
+    pad = jnp.full((N,), -4, jnp.int32)
+    top_ext = jnp.concatenate([pad, top_rev, pad])
+
+    j_idx = jnp.arange(N, dtype=jnp.int32)
+    vary0 = (top.sum() + side.sum()).astype(jnp.int32) * 0
+    NEGc = jnp.int32(NEG_INF // 2)
+
+    def boundary_gap(L):
+        return -(op + (L - 1) * ex)
+
+    M0 = jnp.where(j_idx == 0, jnp.int32(0), NEGc) + vary0
+    IX0 = jnp.full((N,), NEGc, jnp.int32) + vary0
+    IY0 = jnp.full((N,), NEGc, jnp.int32) + vary0
+    negs = jnp.full((N,), NEGc, jnp.int32) + vary0
+
+    def shift(v):
+        return jnp.concatenate([jnp.full((1,), NEGc, jnp.int32), v[:-1]])
+
+    def step(carry, kk):
+        (Mp, IXp, IYp, Mp2, IXp2, IYp2, cap, cstate) = carry
+        i_idx = kk - j_idx
+        valid = (i_idx >= 0) & (i_idx <= A)
+        interior = valid & (j_idx >= 1) & (i_idx >= 1)
+
+        ch_top = jax.lax.dynamic_slice(top_ext, (N + A - kk,), (N,))
+        sub = jnp.where(ch_top == side_sh, m, -k)
+
+        Ms, IXs, IYs = shift(Mp2), shift(IXp2), shift(IYp2)
+        best_p2 = jnp.maximum(jnp.maximum(Ms, IXs), IYs)
+        M = best_p2 + sub
+        # M pred state, priority M > IX > IY on ties
+        mpred = jnp.where(Ms >= best_p2, 0, jnp.where(IXs >= IYs, 1, 2))
+
+        cand_open_x = Mp - op
+        cand_ext_x = IXp - ex
+        IX = jnp.maximum(cand_open_x, cand_ext_x)
+        ixext = cand_ext_x > cand_open_x  # ties open (pred M)
+
+        Mps, IYps = shift(Mp), shift(IYp)
+        cand_open_y = Mps - op
+        cand_ext_y = IYps - ex
+        IY = jnp.maximum(cand_open_y, cand_ext_y)
+        iyext = cand_ext_y > cand_open_y
+
+        bits = (
+            mpred + (ixext.astype(jnp.int32) << 2) + (iyext.astype(jnp.int32) << 3)
+        ).astype(jnp.uint8)
+
+        M = jnp.where(interior, M, NEGc)
+        IX = jnp.where(interior, IX, NEGc)
+        IY = jnp.where(interior, IY, NEGc)
+        on_top = valid & (j_idx == 0)
+        on_left = valid & (i_idx == 0)
+        IX = jnp.where(on_top, boundary_gap(kk), IX)
+        IY = jnp.where(on_left, boundary_gap(kk), IY)
+
+        best = jnp.maximum(jnp.maximum(M, IX), IY)
+        state = jnp.where(M >= best, 0, jnp.where(IX >= IY, 1, 2))
+        at_corner = kk == A + B
+        cap = jnp.where(
+            at_corner, jax.lax.dynamic_index_in_dim(best, B, keepdims=False), cap
+        )
+        cstate = jnp.where(
+            at_corner, jax.lax.dynamic_index_in_dim(state, B, keepdims=False), cstate
+        )
+        return (M, IX, IY, Mp, IXp, IYp, cap, cstate), bits
+
+    cap0 = jnp.int32(0) + vary0
+    st0 = jnp.int32(0) + vary0
+    ks = jnp.arange(1, K, dtype=jnp.int32)
+    (_, _, _, _, _, _, cap, cstate), bits_tail = jax.lax.scan(
+        step, (M0, IX0, IY0, negs, negs, negs, cap0, st0), ks
+    )
+    bits0 = jnp.zeros((1, N), jnp.uint8) + bits_tail[:1] * 0
+    return {
+        "score": cap,
+        "state": cstate,
+        "arrows": jnp.concatenate([bits0, bits_tail]),
+    }
+
+
+GAP = ord("-")
+
+
+def affine_traceback(bits_diag, state, top: bytes, side: bytes):
+    """Host walk over :func:`affine_fill_arrows` bits -> (X, Y)."""
+    import numpy as np
+
+    bits = np.asarray(bits_diag)
+    i, j = len(top), len(side)
+    st = int(state)
+    X, Y = bytearray(), bytearray()
+    while i > 0 or j > 0:
+        b = int(bits[i + j, j])
+        if st == 0:  # M: consume both
+            X.append(top[i - 1])
+            Y.append(side[j - 1])
+            i -= 1
+            j -= 1
+            st = b & 3
+        elif st == 1:  # IX: consume top char
+            X.append(top[i - 1])
+            Y.append(GAP)
+            i -= 1
+            st = 1 if (b >> 2) & 1 else 0
+        else:  # IY: consume side char
+            X.append(GAP)
+            Y.append(side[j - 1])
+            j -= 1
+            st = 2 if (b >> 3) & 1 else 0
+    return bytes(X[::-1]), bytes(Y[::-1])
+
+
+def affine_align(s1, s2, m: int, k: int, open_: int, extend: int):
+    """One optimal affine-gap global alignment: (score, X, Y).
+
+    Completes the reference's affine-gap wishlist (README:187-193) with
+    actual aligned output, not just the score.  Gap runs cost
+    ``open + (L-1) * extend``; tie-breaking prefers M > IX > IY and
+    gap-open over gap-extend (there is no reference convention to
+    match — the reference never implemented affine gaps).
+    """
+    from nw_tpu.ops.encode import encode
+
+    s1b = s1.encode() if isinstance(s1, str) else bytes(s1)
+    s2b = s2.encode() if isinstance(s2, str) else bytes(s2)
+    out = affine_fill_arrows(
+        jnp.asarray(encode(s1b)), jnp.asarray(encode(s2b)), m, k, open_, extend
+    )
+    X, Y = affine_traceback(out["arrows"], out["state"], s1b, s2b)
+    return int(out["score"]), X, Y
+
+
 def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
     """Optimal affine-gap score per pair (int32[B]), variable lengths.
 

@@ -91,3 +91,52 @@ def test_affine_linear_equivalence():
         )
         aff = int(affine_score(encode(s1), encode(s2), 2, 1, 3, 3))
         assert lin == aff
+
+
+def test_affine_align_is_optimal():
+    """affine_align produces a valid alignment achieving affine_score."""
+    import numpy as np
+
+    from nw_tpu.models.affine import affine_align, affine_score
+    from nw_tpu.ops.encode import encode
+    import jax.numpy as jnp
+
+    def affine_cost(X, Y, m, k, op, ex):
+        total, run_x, run_y = 0, 0, 0
+        for x, y in zip(X, Y):
+            if x == ord("-"):
+                total += -(op if run_y == 0 else ex)
+                run_y += 1
+                run_x = 0
+            elif y == ord("-"):
+                total += -(op if run_x == 0 else ex)
+                run_x += 1
+                run_y = 0
+            else:
+                total += m if x == y else -k
+                run_x = run_y = 0
+        return total
+
+    rng = np.random.default_rng(12)
+    cases = [("GCATGCU", "GATTACA"), ("A", "A"), ("", "ACG"), ("ACG", ""), ("", "")]
+    cases += [
+        (
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 60)))),
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 60)))),
+        )
+        for _ in range(8)
+    ]
+    for m, k, op, ex in [(2, 1, 3, 1), (1, 1, 1, 1), (2, 3, 5, 2), (3, 1, 4, 0)]:
+        for s1, s2 in cases:
+            sc, X, Y = affine_align(s1, s2, m, k, op, ex)
+            ref = int(
+                affine_score(
+                    jnp.asarray(encode(s1.encode())),
+                    jnp.asarray(encode(s2.encode())),
+                    m, k, op, ex,
+                )
+            )
+            assert sc == ref, (s1, s2, sc, ref)
+            assert bytes(c for c in X if c != ord("-")) == s1.encode()
+            assert bytes(c for c in Y if c != ord("-")) == s2.encode()
+            assert affine_cost(X, Y, m, k, op, ex) == ref, (s1, s2, X, Y)
