@@ -291,13 +291,27 @@ class NWAligner:
         # sides, fold-layout kernel for long sides (both TPU, packed
         # 4-diagonals-per-word layout — pathcount and traceback dispatch
         # on dtype), lax.scan fill otherwise
-        arrows3, arrows_axis, scores = fill_arrows_auto(
-            tops, sides, lens1, lens2, m, k, d, platform=platform
-        )
+        counts = None
+        if count and use_pallas and len2 <= 1024:
+            # fused: counts ride the arrow fill, no second DP pass
+            # (VMEM bounds the extra count diagonals to ~1k sides; longer
+            # batches take the two-pass arrows + count_paths route)
+            from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+
+            arrows3, scores, counts = fill_arrows_pallas_batch(
+                tops, sides, lens1, lens2, m, k, d,
+                packed=True, with_counts=True,
+            )
+            arrows_axis = 2
+        else:
+            arrows3, arrows_axis, scores = fill_arrows_auto(
+                tops, sides, lens1, lens2, m, k, d, platform=platform
+            )
         result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
         if count:
-            cnts = _count_vmapped(arrows_axis)(arrows3, l1j, l2j)
-            result.counts = np.asarray(cnts)
+            if counts is None:
+                counts = _count_vmapped(arrows_axis)(arrows3, l1j, l2j)
+            result.counts = np.asarray(counts)
         if traceback_strings:
             ops, n = _traceback_vmapped(arrows_axis, len1 + len2)(
                 arrows3, l1j, l2j

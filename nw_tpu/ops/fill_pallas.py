@@ -412,7 +412,7 @@ def fill_scores_counts_pallas_batch(
 # lax.scan fill, and score-only fills the sequence-sharded wavefront
 # (parallel/wavefront.py).
 
-def _arrow_chunk_for(N: int, BT: int) -> int:
+def _arrow_chunk_for(N: int, BT: int, extra_scratch: int = 0) -> int:
     """Diagonals per grid step (multiple of 4 = packed int32 sublanes).
 
     Bigger chunks amortize grid-step overhead; the double-buffered out
@@ -422,15 +422,42 @@ def _arrow_chunk_for(N: int, BT: int) -> int:
     """
     unit = N * BT * 4  # one (N, BT) int32 buffer
     budget_units = int(0.85 * 16 * 1024 * 1024 / unit)
+    # each extra scratch diagonal brings ~2 more vector-stack temps
+    base = 12 + 4 * extra_scratch
     for chunk in (64, 32, 16, 8):
-        if 12 + chunk <= budget_units:
+        if base + chunk <= budget_units:
             return chunk
     return 4
 
 
-def _arrows_kernel(
-    mkd_ref, tops_ref, sides_ref, lens_ref, packed_ref, score_ref,
-    prev_ref, prev2sh_ref, ch_ref, pack_ref
+def _make_arrows_kernel(with_counts: bool):
+    """Build the arrows kernel, optionally carrying solution-count
+    diagonals so traceback+count batches need a single fill pass."""
+
+    def _arrows_kernel(mkd_ref, tops_ref, sides_ref, lens_ref, *refs):
+        if with_counts:
+            (packed_ref, score_ref, count_ref,
+             prev_ref, prev2sh_ref, ch_ref, pack_ref,
+             cprev_ref, cprev2sh_ref) = refs
+        else:
+            (packed_ref, score_ref,
+             prev_ref, prev2sh_ref, ch_ref, pack_ref) = refs
+        _arrows_body(
+            with_counts, mkd_ref, tops_ref, sides_ref, lens_ref,
+            packed_ref, score_ref,
+            count_ref if with_counts else None,
+            prev_ref, prev2sh_ref, ch_ref, pack_ref,
+            cprev_ref if with_counts else None,
+            cprev2sh_ref if with_counts else None,
+        )
+
+    return _arrows_kernel
+
+
+def _arrows_body(
+    with_counts, mkd_ref, tops_ref, sides_ref, lens_ref, packed_ref,
+    score_ref, count_ref, prev_ref, prev2sh_ref, ch_ref, pack_ref,
+    cprev_ref, cprev2sh_ref
 ):
     """Grid (batch_blocks, K_pad // ARROW_CHUNK).
 
@@ -476,9 +503,14 @@ def _arrows_kernel(
         score_ref[...] = jnp.where(
             k_corner == 0, jnp.int32(0), jnp.int32(NEG_INF)
         )
+        if with_counts:
+            cprev_ref[...] = jnp.where(j_iota == 0, jnp.int32(1), jnp.int32(0))
+            cprev2sh_ref[...] = jnp.zeros((N, BT), jnp.int32)
+            count_ref[...] = jnp.where(k_corner == 0, jnp.int32(1), jnp.int32(0))
 
     side_ch = sides_ref[...]
     neg_row = jnp.full((1, BT), NEG_INF, jnp.int32)
+    zero_row = jnp.zeros((1, BT), jnp.int32)
 
     def step(t, _):
         kk = c * ARROW_CHUNK + t
@@ -502,10 +534,13 @@ def _arrows_kernel(
             # arrow bits: left/up candidates aren't materialized (fused
             # max-then-subtract), so compare against score + d instead
             score_d = score + d
+            b_diag = cand_d == score
+            b_left = prev == score_d
+            b_up = prev_sh == score_d
             arrows = (
-                (cand_d == score).astype(jnp.int32)
-                + (prev == score_d).astype(jnp.int32) * 2
-                + (prev_sh == score_d).astype(jnp.int32) * 4
+                b_diag.astype(jnp.int32)
+                + b_left.astype(jnp.int32) * 2
+                + b_up.astype(jnp.int32) * 4
             )
             # pack byte kk & 3 of the current word
             r = jnp.bitwise_and(t, 3)
@@ -523,6 +558,17 @@ def _arrows_kernel(
             def _():
                 packed_ref[pl.ds(t // 4, 1), :, :] = pack_ref[...][None]
 
+            if with_counts:
+                cprev = cprev_ref[...]
+                cprev_sh = jnp.concatenate([zero_row, cprev[:-1, :]], axis=0)
+                cnt = (
+                    jnp.where(b_diag, cprev2sh_ref[...], 0)
+                    + jnp.where(b_left, cprev, 0)
+                    + jnp.where(b_up, cprev_sh, 0)
+                )
+                cprev2sh_ref[...] = cprev_sh
+                cprev_ref[...] = cnt
+
             @pl.when(kk >= min_corner)
             def _():
                 hit = (k_corner == kk) & (j_iota == len2)
@@ -530,6 +576,11 @@ def _arrows_kernel(
                     jnp.where(hit, score, NEG_INF), axis=0, keepdims=True
                 )
                 score_ref[...] = jnp.maximum(score_ref[...], hit_score)
+                if with_counts:
+                    count_ref[...] = count_ref[...] + jnp.sum(
+                        jnp.where(hit, cprev_ref[...], 0),
+                        axis=0, keepdims=True,
+                    )
 
         @pl.when(kk == 0)
         def _():
@@ -553,18 +604,21 @@ def unpack_arrows32(packed):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block_pairs", "packed")
+    jax.jit, static_argnames=("interpret", "block_pairs", "packed", "with_counts")
 )
 def fill_arrows_pallas_batch(
     tops, sides, lens1, lens2, m, k, d,
     interpret: bool = False, block_pairs: int = LANES,
-    packed: bool = False,
+    packed: bool = False, with_counts: bool = False,
 ):
     """Batched fill emitting diagonal-major packed arrows + scores.
 
     Args:
       tops: int32[B, A]; sides: int32[B, Bs]; lens1/lens2: int32[B].
       packed: return the 4-diagonals-per-int32 layout without unpacking.
+      with_counts: also carry solution-count diagonals and return
+        per-pair counts (uint32, reference-wrapping) as a third output —
+        one fused pass instead of fill + count_paths.
     Returns:
       ``packed=False``: (arrows uint8[K_pad, N, B], scores int32[B]) —
       cell (j, i) of pair b lives at ``arrows[i + j, j, b]``.
@@ -580,7 +634,7 @@ def fill_arrows_pallas_batch(
     A_pad = _round_up(max(A, 1), 8)
     BT = block_pairs
     nb_pad = _round_up(max(nb, 1), BT)
-    ARROW_CHUNK = _arrow_chunk_for(N, BT)
+    ARROW_CHUNK = _arrow_chunk_for(N, BT, extra_scratch=1 if with_counts else 0)
     K_true = A_pad + (N - 1)
     K_pad = _round_up(K_true + 1, ARROW_CHUNK)
 
@@ -606,12 +660,17 @@ def fill_arrows_pallas_batch(
     )[None]
 
     grid = (nb_pad // BT, K_pad // ARROW_CHUNK)
-    words, scores = pl.pallas_call(
-        _arrows_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((K_pad // 4, N, nb_pad), jnp.int32),
-            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
-        ),
+    out_shapes = [
+        jax.ShapeDtypeStruct((K_pad // 4, N, nb_pad), jnp.int32),
+        jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+    ]
+    n_scratch = 4
+    if with_counts:
+        out_shapes.append(jax.ShapeDtypeStruct((1, nb_pad), jnp.int32))
+        n_scratch = 6
+    outs = pl.pallas_call(
+        _make_arrows_kernel(with_counts),
+        out_shape=tuple(out_shapes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
@@ -623,26 +682,30 @@ def fill_arrows_pallas_batch(
                 pl.BlockSpec((N, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
                 pl.BlockSpec((2, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec(
-                    (ARROW_CHUNK // 4, N, BT),
-                    lambda b, c: (c, 0, b),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec((1, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+            out_specs=tuple(
+                [
+                    pl.BlockSpec(
+                        (ARROW_CHUNK // 4, N, BT),
+                        lambda b, c: (c, 0, b),
+                        memory_space=pltpu.VMEM,
+                    )
+                ]
+                + [
+                    pl.BlockSpec(
+                        (1, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM
+                    )
+                ]
+                * (len(out_shapes) - 1)
             ),
-            scratch_shapes=[
-                pltpu.VMEM((N, BT), jnp.int32),  # prev diagonal
-                pltpu.VMEM((N, BT), jnp.int32),  # shift(prev2) diagonal
-                pltpu.VMEM((N, BT), jnp.int32),  # rolling top chars
-                pltpu.VMEM((N, BT), jnp.int32),  # 4-diagonal packing word
-            ],
+            scratch_shapes=[pltpu.VMEM((N, BT), jnp.int32)] * n_scratch,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
     )(mkd, tops_t, sides_sh, lens)
-    if packed:
-        return words[:, :, :nb], scores[0, :nb]
-    return unpack_arrows32(words)[:, :, :nb], scores[0, :nb]
+    words, scores = outs[0], outs[1]
+    arrows = words[:, :, :nb] if packed else unpack_arrows32(words)[:, :, :nb]
+    if with_counts:
+        return arrows, scores[0, :nb], outs[2][0, :nb].astype(jnp.uint32)
+    return arrows, scores[0, :nb]

@@ -110,6 +110,15 @@ def test_arrows_batch_kernel_interpret(m, k, d):
     np.testing.assert_array_equal(np.asarray(n_u8), np.asarray(n_pk))
     np.testing.assert_array_equal(np.asarray(ops_u8), np.asarray(ops_pk))
 
+    # with_counts: fused counts == count_paths, arrows/scores unchanged
+    words3, sc3, cnt3 = fill_arrows_pallas_batch(
+        tops, sides, l1, l2, m, k, d,
+        interpret=True, packed=True, with_counts=True,
+    )
+    np.testing.assert_array_equal(np.asarray(sc3), sc)
+    np.testing.assert_array_equal(np.asarray(cnt3), np.asarray(cnt_u8))
+    np.testing.assert_array_equal(np.asarray(unpack_arrows32(words3)), arr)
+
 
 @pytest.mark.parametrize("m,k,d", [(2, 1, 1), (1, 1, 1), (0, 0, 0)])
 def test_scores_counts_batch_interpret(m, k, d):
