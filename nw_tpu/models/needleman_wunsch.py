@@ -309,7 +309,12 @@ class NWAligner:
             )
         result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
         if count:
-            if counts is None:
+            if counts is None and arrows_axis == 2 and use_pallas:
+                # second pass over the stored packed slabs, at fill speed
+                from nw_tpu.ops.fill_pallas import count_packed_pallas_batch
+
+                counts = count_packed_pallas_batch(arrows3, lens1, lens2)
+            elif counts is None:
                 counts = _count_vmapped(arrows_axis)(arrows3, l1j, l2j)
             result.counts = np.asarray(counts)
         if traceback_strings:

@@ -709,3 +709,126 @@ def fill_arrows_pallas_batch(
     if with_counts:
         return arrows, scores[0, :nb], outs[2][0, :nb].astype(jnp.uint32)
     return arrows, scores[0, :nb]
+
+
+# ---------------------------------------------------------------------------
+# Count-from-stored-arrows kernel (two-pass batches beyond the fused gate)
+# ---------------------------------------------------------------------------
+#
+# When the fused with_counts variant doesn't fit VMEM (sides > ~1k), the
+# counts come from a second pass over the packed arrow slabs.  The XLA
+# scan version (pathcount._count_paths_packed vmapped) costs ~2x the
+# fill itself; this kernel streams the slabs back through VMEM with the
+# same batch-in-lanes layout and runs the count recurrence at fill
+# speed.
+
+
+def _count_kernel(
+    lens_ref, words_ref, count_ref, cprev_ref, cprev2sh_ref
+):
+    """Grid (batch_blocks, K_pad // chunk); words block (chunk//4, N, BT).
+
+    count_ref: (1, BT) int32 out, c-invariant (capture accumulator).
+    """
+    W4, N, BT = words_ref.shape
+    c = pl.program_id(1)
+
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
+    len1 = lens_ref[0:1, :]
+    len2 = lens_ref[1:2, :]
+    k_corner = len1 + len2
+
+    @pl.when(c == 0)
+    def _init():
+        cprev_ref[...] = jnp.zeros((N, BT), jnp.int32)
+        cprev2sh_ref[...] = jnp.zeros((N, BT), jnp.int32)
+        count_ref[...] = jnp.where(k_corner == 0, jnp.int32(1), jnp.int32(0))
+
+    zero_row = jnp.zeros((1, BT), jnp.int32)
+    seed = jnp.where(j_iota == 0, jnp.int32(1), jnp.int32(0))
+
+    def word_step(q, _):
+        w = words_ref[pl.ds(q, 1), :, :][0]
+        for r in range(4):  # static unroll: 4 diagonals per word read
+            kk = (c * W4 + q) * 4 + r
+            arr = (w >> (r * 8)) & 0xFF
+            cprev = cprev_ref[...]
+            cprev_sh = jnp.concatenate([zero_row, cprev[:-1, :]], axis=0)
+            cnt = (
+                jnp.where((arr & 1) != 0, cprev2sh_ref[...], 0)
+                + jnp.where((arr & 2) != 0, cprev, 0)
+                + jnp.where((arr & 4) != 0, cprev_sh, 0)
+            )
+            cnt = jnp.where(kk == 0, seed, cnt)
+            cprev2sh_ref[...] = cprev_sh
+            cprev_ref[...] = cnt
+
+            @pl.when(kk >= 1)
+            def _():
+                # capture at each pair's corner diagonal
+                hit = (k_corner == kk) & (j_iota == len2)
+                count_ref[...] = count_ref[...] + jnp.sum(
+                    jnp.where(hit, cnt, 0), axis=0, keepdims=True
+                )
+
+        return 0
+
+    jax.lax.fori_loop(0, W4, word_step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_pairs"))
+def count_packed_pallas_batch(
+    words, lens1, lens2,
+    interpret: bool = False, block_pairs: int = LANES,
+):
+    """uint32[B] solution counts from packed arrow words int32[K4, N, B].
+
+    ``words`` as produced by :func:`fill_arrows_pallas_batch`
+    (packed=True); B must already be a multiple of ``block_pairs``
+    (it is, coming straight from the fill).
+    """
+    K4, N, nb = words.shape
+    BT = block_pairs
+    nb_pad = _round_up(max(nb, 1), BT)
+    if nb_pad != nb:
+        words = jnp.pad(words, ((0, 0), (0, 0), (0, nb_pad - nb)))
+    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
+    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
+    lens = jnp.stack([lens1, lens2], axis=0)
+
+    # stream slabs at the same chunking the fill used (VMEM: in slab
+    # double-buffered + 2 scratch + temps)
+    chunk = _arrow_chunk_for(N, BT)
+    K_pad4 = _round_up(K4, chunk // 4)
+    if K_pad4 != K4:
+        # beyond-corner words are never captured; zero-pad is safe
+        words = jnp.pad(words, ((0, K_pad4 - K4), (0, 0), (0, 0)))
+
+    counts = pl.pallas_call(
+        _count_kernel,
+        out_shape=jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb_pad // BT, K_pad4 // (chunk // 4)),
+            in_specs=[
+                pl.BlockSpec((2, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (chunk // 4, N, BT),
+                    lambda b, c: (c, 0, b),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((N, BT), jnp.int32),  # prev count diagonal
+                pltpu.VMEM((N, BT), jnp.int32),  # shift(prev2) count
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lens, words)
+    return counts[0, :nb].astype(jnp.uint32)

@@ -210,3 +210,28 @@ def test_arrows_fold_kernel_interpret():
     cnt_u8 = jax.vmap(pathcount.count_paths)(jnp.asarray(arr), l1j, l2j)
     cnt_pk = jax.vmap(pathcount.count_paths)(words, l1j, l2j)
     np.testing.assert_array_equal(np.asarray(cnt_u8), np.asarray(cnt_pk))
+
+
+def test_count_packed_kernel_interpret():
+    """Pallas count-from-arrows kernel == count_paths (packed scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nw_tpu.ops import pathcount
+    from nw_tpu.ops.fill_pallas import (
+        count_packed_pallas_batch,
+        fill_arrows_pallas_batch,
+    )
+
+    rng = np.random.default_rng(15)
+    pairs = _random_pairs(rng, 10, 1, 35) + [("A", "A"), ("", "ACG"), ("ACG", "")]
+    for m, k, d in [(2, 1, 1), (0, 0, 0)]:
+        tops, sides, l1, l2 = encode_batch(pairs, 35, 35)
+        words, sc = fill_arrows_pallas_batch(
+            tops, sides, l1, l2, m, k, d, interpret=True, packed=True
+        )
+        ref = jax.vmap(pathcount.count_paths, in_axes=(2, 0, 0))(
+            words, jnp.asarray(l1), jnp.asarray(l2)
+        )
+        got = count_packed_pallas_batch(words, l1, l2, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
