@@ -48,6 +48,20 @@ CASES = [
 ]
 
 
+CASES += [
+    # arbitrary non-whitespace bytes are valid sequence characters
+    (["-s", "1", "1", "1"], b"a+b/c a-b*c"),
+    (["-l", "2", "1", "1"], b"Hello! hello?"),
+    (["-s", "-l", "1", "2", "3"], b"12345 54321"),
+    (["-c", "-t", "1", "1", "1"], b"A.B A,B"),
+    (["-s", "1", "1", "1"], bytes([200, 201, 202]) + b" " + bytes([200, 202])),
+    # extreme / degenerate params
+    (["-s", "--", "-3", "-2", "-1"], b"ACGT TGCA"),
+    (["-s", "1000000", "1000000", "1000000"], b"ACGT ACG"),
+    (["-q", "-s", "--", "0", "0", "-1"], b"AC GT"),  # gap reward
+]
+
+
 @pytest.mark.parametrize("args,stdin", CASES, ids=[str(i) for i in range(len(CASES))])
 def test_differential(reference_binary, args, stdin):
     rc_ref, out_ref, err_ref = run_ref(reference_binary, args, stdin)
@@ -92,3 +106,21 @@ def test_differential_table_random(reference_binary):
         rc_ref, out_ref, err_ref = run_ref(reference_binary, args, stdin)
         rc_our, out_our, err_our = run_ours(args, stdin)
         assert out_our == out_ref, (s1, s2, m, k, d)
+
+
+def test_differential_random_bytes(reference_binary):
+    """Random printable-byte alphabets + negative params (fixed shapes)."""
+    rng = np.random.default_rng(44)
+    alphabet = [c for c in range(33, 127)]  # non-whitespace printable
+    for trial in range(12):
+        s1 = bytes(rng.choice(alphabet, 7).astype("u1").tolist())
+        s2 = bytes(rng.choice(alphabet, 5).astype("u1").tolist())
+        m, k, d = (str(int(x)) for x in rng.integers(-3, 4, 3))
+        args = ["-s", "-l", "--", m, k, d]
+        stdin = s1 + b" " + s2
+        rc_ref, out_ref, err_ref = run_ref(reference_binary, args, stdin)
+        rc_our, out_our, err_our = run_ours(args, stdin)
+        assert out_our == out_ref, (s1, s2, m, k, d)
+        assert err_our == err_ref.replace(
+            b"./needleman-wunsch", b"needleman-wunsch"
+        ), (s1, s2, m, k, d)
