@@ -1,0 +1,192 @@
+"""On-hardware validation sweep: every Pallas path vs the scan oracles.
+
+The pytest suite runs on CPU (interpret mode) by design; this script
+exercises the COMPILED kernels on the real TPU and cross-checks them
+against the lax.scan reference implementations.  Run on a TPU host:
+
+    python scripts/tpu_validate.py
+
+Prints one PASS/FAIL line per path and exits nonzero on any failure.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+FAILED = []
+
+
+def check(name, fn):
+    try:
+        fn()
+        print(f"PASS {name}")
+    except Exception as e:  # noqa: BLE001
+        FAILED.append(name)
+        print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
+
+
+def main() -> int:
+    if jax.devices()[0].platform != "tpu":
+        print("not a TPU host; nothing to validate", file=sys.stderr)
+        return 1
+
+    rng = np.random.default_rng(0)
+
+    def pairs(n, lo, hi):
+        return [
+            (
+                "".join(rng.choice(list("ACGT"), int(rng.integers(lo, hi)))),
+                "".join(rng.choice(list("ACGT"), int(rng.integers(lo, hi)))),
+            )
+            for _ in range(n)
+        ]
+
+    from nw_tpu.ops import encode as enc
+    from nw_tpu.ops import pathcount, traceback
+    from nw_tpu.ops.fill_scan import fill_diag_batch, fill_scores_batch
+
+    ps = pairs(140, 1, 120)
+    tops, sides, l1, l2 = enc.encode_batch(
+        [(a.encode(), b.encode()) for a, b in ps], 120, 120
+    )
+    l1j, l2j = jnp.asarray(l1), jnp.asarray(l2)
+    ref = fill_diag_batch(tops, sides, 2, 1, 1, l1j, l2j)
+    ref_scores = np.asarray(ref["score"])
+    ref_counts = np.asarray(jax.vmap(pathcount.count_paths)(ref["arrows"], l1j, l2j))
+
+    def scores():
+        from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
+
+        got = np.asarray(fill_scores_pallas_batch(tops, sides, l1, l2, 2, 1, 1))
+        assert (got == ref_scores).all()
+
+    def arrows():
+        from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+
+        w, s = fill_arrows_pallas_batch(tops, sides, l1, l2, 2, 1, 1, packed=True)
+        assert (np.asarray(s) == ref_scores).all()
+        c = jax.vmap(pathcount.count_paths, in_axes=(2, 0, 0))(w, l1j, l2j)
+        assert (np.asarray(c) == ref_counts).all()
+        tb = lambda a, a1, a2: traceback.traceback_greedy(a, a1, a2, max_steps=240)
+        o1, n1 = jax.vmap(tb)(ref["arrows"], l1j, l2j)
+        o2, n2 = jax.vmap(tb, in_axes=(2, 0, 0))(w, l1j, l2j)
+        assert (np.asarray(n1) == np.asarray(n2)).all()
+        assert (np.asarray(o1) == np.asarray(o2)).all()
+
+    def arrows_counts_fused():
+        from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+
+        _, s, c = fill_arrows_pallas_batch(
+            tops, sides, l1, l2, 2, 1, 1, packed=True, with_counts=True
+        )
+        assert (np.asarray(s) == ref_scores).all()
+        assert (np.asarray(c) == ref_counts).all()
+
+    def scores_counts_fused():
+        from nw_tpu.ops.fill_pallas import fill_scores_counts_pallas_batch
+
+        s, c = fill_scores_counts_pallas_batch(tops, sides, l1, l2, 2, 1, 1)
+        assert (np.asarray(s) == ref_scores).all()
+        assert (np.asarray(c) == ref_counts).all()
+
+    def count_kernel():
+        from nw_tpu.ops.fill_pallas import (
+            count_packed_pallas_batch,
+            fill_arrows_pallas_batch,
+        )
+
+        w, _ = fill_arrows_pallas_batch(tops, sides, l1, l2, 2, 1, 1, packed=True)
+        c = count_packed_pallas_batch(w, l1, l2)
+        assert (np.asarray(c) == ref_counts).all()
+
+    def fold_arrows():
+        from nw_tpu.ops.fill_pallas_single import fill_arrows_fold_batch
+
+        w, s = fill_arrows_fold_batch(
+            tops[:6], sides[:6], l1[:6], l2[:6], 2, 1, 1, packed=True
+        )
+        assert (np.asarray(s) == ref_scores[:6]).all()
+        c = jax.vmap(pathcount.count_paths)(w, l1j[:6], l2j[:6])
+        assert (np.asarray(c) == ref_counts[:6]).all()
+
+    def fold_scalar():
+        from nw_tpu.ops.fill_pallas_single import last_row_pallas, score_count_fold
+
+        for b in (0, 3):
+            a, s2 = ps[b]
+            t = jnp.asarray(enc.encode(a.encode()))
+            si = jnp.asarray(enc.encode(s2.encode()))
+            row = last_row_pallas(t, si, 2, 1, 1)
+            assert int(row[-1]) == ref_scores[b]
+            sc, cnt = score_count_fold(t, si, 2, 1, 1)
+            assert int(sc) == ref_scores[b] and int(cnt) == ref_counts[b]
+
+    def checkpoint_walk():
+        from nw_tpu.ops.checkpoint_traceback import traceback_checkpointed
+
+        for b in (0, 5):
+            a, s2 = ps[b]
+            t = jnp.asarray(enc.encode(a.encode()))
+            si = jnp.asarray(enc.encode(s2.encode()))
+            ops, n = traceback_checkpointed(t, si, 2, 1, 1, block_diagonals=64)
+            opsr, nr = traceback.traceback_greedy(
+                jnp.asarray(ref["arrows"])[b], len(a), len(s2),
+                max_steps=len(a) + len(s2),
+            )
+            assert int(n) == int(nr)
+            assert (np.asarray(ops)[: int(n)] == np.asarray(opsr)[: int(n)]).all()
+
+    def variants():
+        from nw_tpu.models.affine import affine_score
+        from nw_tpu.models.smith_waterman import sw_fill_diag
+        from nw_tpu.ops.variants_pallas import (
+            affine_scores_pallas_batch,
+            sw_scores_pallas_batch,
+        )
+
+        sw = np.asarray(sw_scores_pallas_batch(tops, sides, l1, l2, 2, 1, 1))
+        af = np.asarray(affine_scores_pallas_batch(tops, sides, l1, l2, 2, 1, 3, 1))
+        for b in range(0, len(ps), 23):
+            a, s2 = ps[b]
+            t = jnp.asarray(enc.encode(a.encode()))
+            si = jnp.asarray(enc.encode(s2.encode()))
+            assert sw[b] == int(
+                sw_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+            )
+            assert af[b] == int(affine_score(t, si, 2, 1, 3, 1))
+
+    def sharded():
+        from jax.sharding import Mesh
+
+        from nw_tpu.parallel.data_parallel import align_batch_sharded
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+        sc, stats = align_batch_sharded(
+            jnp.asarray(tops)[:128], jnp.asarray(sides)[:128],
+            l1j[:128], l2j[:128],
+            m=2, k=1, d=1, mesh=mesh, with_counts=True,
+        )
+        assert (np.asarray(sc) == ref_scores[:128]).all()
+
+    check("score kernel", scores)
+    check("arrows kernel + packed consumers", arrows)
+    check("arrows + fused counts", arrows_counts_fused)
+    check("fused score+count", scores_counts_fused)
+    check("count-from-arrows kernel", count_kernel)
+    check("fold arrows kernel", fold_arrows)
+    check("fold last-row + score_count", fold_scalar)
+    check("checkpointed traceback", checkpoint_walk)
+    check("SW + affine kernels", variants)
+    check("sharded pallas path", sharded)
+    return 1 if FAILED else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
