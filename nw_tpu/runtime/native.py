@@ -107,6 +107,19 @@ class NativeRuntime:
         self._free = lib.nw_buffer_free
         self._free.argtypes = [ctypes.POINTER(ctypes.c_char)]
 
+        rd = lib.nw_read_two_sequences
+        rd.restype = ctypes.c_int
+        rd.argtypes = [
+            ctypes.c_int,  # fd
+            ctypes.POINTER(ctypes.c_void_p),  # s1
+            ctypes.POINTER(ctypes.c_longlong),  # n1
+            ctypes.POINTER(ctypes.c_void_p),  # s2
+            ctypes.POINTER(ctypes.c_longlong),  # n2
+        ]
+        self._read_two = rd
+        self._read_free = lib.nw_read_free
+        self._read_free.argtypes = [ctypes.c_void_p]
+
     # ---- all-optimal-alignments walker ----
 
     def enumerate(
@@ -149,6 +162,35 @@ class NativeRuntime:
         if exc:
             raise exc[0]
         return int(count)
+
+    # ---- input reader ----
+
+    def read_two_sequences(self, fd: int):
+        """Native read-sequences.c equivalent over a file descriptor.
+
+        Returns (s1, s2) bytes; raises EOFError on the reference's
+        fatal early-EOF case (read-sequences.c:50-53).
+        """
+        s1 = ctypes.c_void_p()
+        s2 = ctypes.c_void_p()
+        n1 = ctypes.c_longlong()
+        n2 = ctypes.c_longlong()
+        rc = self._read_two(
+            fd, ctypes.byref(s1), ctypes.byref(n1),
+            ctypes.byref(s2), ctypes.byref(n2),
+        )
+        if rc == 1:
+            raise EOFError("got EOF too early when reading input strings")
+        if rc != 0:
+            raise MemoryError("nw_read_two_sequences allocation failed")
+        try:
+            return (
+                ctypes.string_at(s1, n1.value),
+                ctypes.string_at(s2, n2.value),
+            )
+        finally:
+            self._read_free(s1)
+            self._read_free(s2)
 
     # ---- table renderer ----
 

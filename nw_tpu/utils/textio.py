@@ -45,7 +45,31 @@ def read_two_sequences(stream: BinaryIO) -> Tuple[bytes, bytes]:
     the reference's fgetc loop, input after sequence 2's terminator is
     left unread, up to chunk granularity), so piped/endless inputs
     terminate.
+
+    Streams backed by a real file descriptor take the native C++ reader
+    (runtime/cc/nwread.cc); in-memory streams use the Python path below
+    (identical semantics, equivalence-tested).
     """
+    fd = None
+    try:
+        fd = stream.fileno()
+    except Exception:
+        fd = None
+    if fd is not None:
+        import os as _os
+
+        if not _os.environ.get("NW_TPU_NO_NATIVE"):
+            from nw_tpu.runtime import native
+
+            rt = native.load()
+            if rt is not None:
+                try:
+                    return rt.read_two_sequences(fd)
+                except EOFError:
+                    raise EarlyEOFError(
+                        "got EOF too early when reading input strings"
+                    )
+
     buf = bytearray()
 
     def fill() -> bool:

@@ -107,3 +107,45 @@ def test_native_renderer_matches_python():
                 py = render_table_py(sc, ar, marks, s1.encode(), s2.encode(), uni, col)
                 cc = rt.render_table(sc, ar, marks, s1.encode(), s2.encode(), uni, col)
                 assert py == cc, (s1, s2, m, k, d, uni, col)
+
+
+def test_native_reader_equivalence(tmp_path):
+    """Native C++ reader == Python reader on fd-backed streams."""
+    import io
+
+    from nw_tpu.runtime import native
+    from nw_tpu.utils.textio import EarlyEOFError, read_two_sequences
+
+    rt = native.load()
+    if rt is None:
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+
+    cases = [
+        b"GT GA",
+        b"  GT \t\n GA  trailing ignored",
+        b"G\nGATTACA\n",
+        b" AB CD",            # empty first sequence
+        bytes([200, 201]) + b"\v" + bytes([202]),
+    ]
+    for data in cases:
+        p = tmp_path / "in.txt"
+        p.write_bytes(data)
+        with open(p, "rb") as f:
+            got = read_two_sequences(f)  # routes native (real fd)
+        want = read_two_sequences(io.BytesIO(data))  # python path
+        assert got == want, data
+
+    # early-EOF fatal cases raise identically through both paths
+    # (EOF while skipping whitespace before seq 2 is fatal too)
+    for data in [b"", b"GT", b"GT "]:
+        p = tmp_path / "in.txt"
+        p.write_bytes(data)
+        import pytest
+
+        with open(p, "rb") as f:
+            with pytest.raises(EarlyEOFError):
+                read_two_sequences(f)
+        with pytest.raises(EarlyEOFError):
+            read_two_sequences(io.BytesIO(data))
