@@ -149,3 +149,47 @@ def test_native_reader_equivalence(tmp_path):
                 read_two_sequences(f)
         with pytest.raises(EarlyEOFError):
             read_two_sequences(io.BytesIO(data))
+
+
+def test_batch_cli(tmp_path):
+    """nw-tpu-batch: TSV output matches per-pair align(); resume works."""
+    import numpy as np
+
+    from nw_tpu.batch_cli import main as batch_main
+    from nw_tpu.models.needleman_wunsch import NWAligner
+
+    rng = np.random.default_rng(27)
+    pairs = [
+        (
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 20)))),
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 20)))),
+        )
+        for _ in range(9)
+    ]
+    src = tmp_path / "pairs.txt"
+    src.write_text("".join(f"{a} {b}\n" for a, b in pairs))
+    out = tmp_path / "out.tsv"
+    ck = tmp_path / "ck"
+    rc = batch_main([
+        "--pairs", str(src), "--out", str(out), "--counts", "--alignments",
+        "-m", "2", "-k", "1", "-d", "1", "--chunk", "4",
+        "--checkpoint-dir", str(ck), "--sort-by-length",
+    ])
+    assert rc == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    assert len(rows) == len(pairs)
+    al = NWAligner(match=2, mismatch=1, indel=1)
+    for i, (a, b) in enumerate(pairs):
+        full = al.align(a, b)
+        assert int(rows[i][1]) == full.score, (i, a, b)
+        assert int(rows[i][2]) == full.solution_count % 2**32
+        X, Y = full.best_alignment()
+        assert rows[i][3] == X.decode() and rows[i][4] == Y.decode()
+    # resume: rerun with chunks on disk produces identical output
+    out2 = tmp_path / "out2.tsv"
+    rc = batch_main([
+        "--pairs", str(src), "--out", str(out2), "--counts", "--alignments",
+        "-m", "2", "-k", "1", "-d", "1", "--chunk", "4",
+        "--checkpoint-dir", str(ck), "--sort-by-length",
+    ])
+    assert rc == 0 and out2.read_text() == out.read_text()
