@@ -230,17 +230,21 @@ def _needleman_wunsch(
     # RAM (13.6 GB at 10k x 10k, SURVEY.md §6) and we would need the
     # full packed arrow table.  Output is byte-identical.
     huge_cells = int(os.environ.get("NW_TPU_HUGE_CELLS", str(1 << 28)))
+    import jax
+
+    interpret = jax.devices()[0].platform != "tpu"
     if (
         (len1 + 1) * (len2 + 1) > huge_cells
         and not printing
         and tflag != 1
+        # interpret-mode pallas is only viable at test scale; real CPU
+        # runs of genuinely huge tables fall through to the scan fill
+        and (not interpret or huge_cells < (1 << 24))
     ):
-        import jax
         import jax.numpy as jnp
 
         from nw_tpu.ops.fill_pallas_single import score_count_fold
 
-        interpret = jax.devices()[0].platform != "tpu"
         sc, cnt = score_count_fold(
             jnp.asarray(top), jnp.asarray(side), m, k, d,
             len1=len1, len2=len2, interpret=interpret,

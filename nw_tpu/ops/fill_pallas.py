@@ -9,22 +9,26 @@ order, so there is nothing to lock.
 
 Memory behavior (the whole point of the design):
 
-* the two rolling diagonals live in a VMEM ping-pong buffer
-  ``(2, N, BT)`` — scores never touch HBM during the fill;
+* the rolling diagonals (prev, and prev2 pre-shifted) live in VMEM
+  scratch — scores never touch HBM during the fill;
 * the encoded sequences are loaded once per batch block into VMEM;
 * for score-only fills (reference ``-q`` mode) the only HBM write is the
-  final ``(1, BT)`` score row per block.
+  final ``(1, BT)`` score row per block; arrow fills stream 4 diagonals
+  per int32 word as tile-aligned slabs.
 
 Layout per batch block (BT = 128 pairs wide):
 
 * ``sides_sh``: int32[N, BT] — side char per row j (row 0 = sentinel);
-* ``tops_ext``: int32[2N+A, BT] — reversed, padded top strings such that
-  the chars needed by diagonal ``kk`` are rows ``N+A-kk .. N+A-kk+N`` —
-  one dynamic sublane slice per step (same trick as
-  :mod:`nw_tpu.ops.fill_scan`);
-* per step: compare, three adds, two maxes, arrowless (score-only);
-  the true-corner score is captured by a masked reduce when the
-  wavefront crosses each pair's ``len1+len2`` diagonal.
+* ``tops_t``: int32[A_pad, BT] — row i = top[i]; the rolling top-char
+  register needs one single-row dynamic slice per step (char top[kk-1]
+  enters at row 0 and shifts down);
+* per step: one compare+select (substitution), two adds, two maxes, two
+  sublane shifts; the true-corner score is captured by a masked select
+  once the wavefront reaches ``min(len1+len2)`` (see _scores_kernel's
+  docstring for the hot-loop economies).
+
+Kernels here: score-only, packed arrows (opt. fused counts), fused
+score+count (no arrows), and count-from-stored-arrows.
 """
 
 from __future__ import annotations
