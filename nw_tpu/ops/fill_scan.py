@@ -34,8 +34,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.int32(-(2**30))  # sentinel for cells outside the table
+NEG_INF = np.int32(-(2**30))  # sentinel (numpy: module-scope jnp would init the backend)
 
 
 def num_diagonals(len1: int, len2: int) -> int:

@@ -22,11 +22,16 @@ import functools
 import jax
 import jax.numpy as jnp
 
-# op codes emitted per step (order matters: reference DFS descend priority)
-OP_DIAG = jnp.int8(0)
-OP_LEFT = jnp.int8(1)
-OP_UP = jnp.int8(2)
-OP_NONE = jnp.int8(3)
+# op codes emitted per step (order matters: reference DFS descend
+# priority).  numpy scalars, NOT jnp: module-scope jnp constants
+# initialize the XLA backend at import time, which breaks
+# jax.distributed.initialize in multi-process programs.
+import numpy as _np
+
+OP_DIAG = _np.int8(0)
+OP_LEFT = _np.int8(1)
+OP_UP = _np.int8(2)
+OP_NONE = _np.int8(3)
 
 
 @functools.partial(jax.jit, static_argnames=("max_steps",))
