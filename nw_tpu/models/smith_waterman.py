@@ -169,3 +169,83 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     return np.asarray(
         sw_scores_pallas_batch(tops, sides, l1, l2, m, k, d, interpret=interpret)
     )
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _sw_walk_packed(words, j0, i0, max_steps: int):
+    """Greedy local-alignment walk over packed arrow words (one pair).
+
+    Starts at (j0, i0), follows diag > left > up (sw_traceback order),
+    stops at the first zero-arrow cell.  Returns (ops, n) in
+    ops_to_strings' corner->origin convention.
+    """
+    from nw_tpu.ops.traceback import OP_DIAG, OP_LEFT, OP_NONE, OP_UP
+
+    def step(t, st):
+        i, j, n, ops, done = st
+        kk = i + j
+        a = (words[kk >> 2, j] >> ((kk & 3) * 8)) & 0xFF
+        active = jnp.logical_and(~done, a != 0)
+        take_diag = active & ((a & 1) != 0)
+        take_left = active & ~take_diag & ((a & 2) != 0)
+        take_up = active & ~take_diag & ~take_left & ((a & 4) != 0)
+        op = jnp.where(
+            take_diag, OP_DIAG, jnp.where(take_left, OP_LEFT, OP_UP)
+        ).astype(jnp.int8)
+        ops = ops.at[t].set(jnp.where(active, op, jnp.int8(OP_NONE)))
+        i = i - jnp.where(take_diag | take_left, 1, 0)
+        j = j - jnp.where(take_diag | take_up, 1, 0)
+        n = n + active.astype(jnp.int32)
+        done = ~active
+        return (i, j, n, ops, done)
+
+    ops0 = jnp.full((max_steps,), int(3), jnp.int8)  # OP_NONE
+    i, j, n, ops, _ = jax.lax.fori_loop(
+        0, max_steps,
+        step,
+        (jnp.asarray(i0, jnp.int32), jnp.asarray(j0, jnp.int32),
+         jnp.int32(0), ops0, jnp.asarray(False)),
+    )
+    return ops, n, i, j
+
+
+def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
+    """Batched local alignment with strings: one (score, X, Y, start)
+    per pair, identical to :func:`sw_align` (scan tie rules).
+
+    Production path: the Pallas SW arrows+argmax kernel
+    (:func:`nw_tpu.ops.variants_pallas.sw_arrows_pallas_batch`) plus a
+    vmapped device walk; host only renders the byte strings.
+    """
+    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.traceback import ops_to_strings
+    from nw_tpu.ops.variants_pallas import sw_arrows_pallas_batch
+
+    norm = [
+        (a.encode() if isinstance(a, str) else bytes(a),
+         b.encode() if isinstance(b, str) else bytes(b))
+        for a, b in pairs
+    ]
+    tops, sides, l1, l2 = encode_batch(norm)
+    interpret = jax.devices()[0].platform != "tpu"
+    words, best, j0, i0 = sw_arrows_pallas_batch(
+        tops, sides, l1, l2, m, k, d, interpret=interpret
+    )
+    max_steps = int(tops.shape[1] + sides.shape[1])
+    walk = jax.jit(
+        jax.vmap(
+            lambda w, jj, ii: _sw_walk_packed(w, jj, ii, max_steps=max_steps),
+            in_axes=(2, 0, 0),
+        ),
+        static_argnames=(),
+    )
+    ops, n, i_end, j_end = walk(words, j0, i0)
+    best = np.asarray(best)
+    ops, n = np.asarray(ops), np.asarray(n)
+    i0n, j0n = np.asarray(i0), np.asarray(j0)
+    i_end, j_end = np.asarray(i_end), np.asarray(j_end)
+    out = []
+    for b, (s1, s2) in enumerate(norm):
+        X, Y = ops_to_strings(ops[b], int(n[b]), s1[: int(i0n[b])], s2[: int(j0n[b])])
+        out.append((int(best[b]), X, Y, (int(j_end[b]), int(i_end[b]))))
+    return out

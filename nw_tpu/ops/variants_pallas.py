@@ -269,3 +269,198 @@ def affine_scores_pallas_batch(
         interpret=interpret,
     )(mkd, tops_t, sides_sh, lens)
     return out[0, :nb]
+
+
+# ---------------------------------------------------------------------------
+# SW arrows + argmax kernel (batched local-alignment traceback)
+# ---------------------------------------------------------------------------
+#
+# Emits the same packed 4-diagonals-per-int32 arrow words as the NW
+# kernels (bits additionally zeroed where score == 0 — a local-alignment
+# start point has no arrows, models/smith_waterman.py) plus each pair's
+# argmax cell with the scan engine's exact tie rule: first diagonal
+# achieving the global max wins, then the lowest row within it.  The
+# rule is tracked O(1)/step with per-row (bestrow, first-kk) registers
+# and decoded in the epilogue via a packed min-key reduce.
+
+ARROW_CHUNK = 8  # diagonals per grid step (2 packed int32 sublanes)
+
+
+def _sw_arrows_kernel(
+    mkd_ref, tops_ref, sides_ref, lens_ref, packed_ref, best_ref, arg_ref,
+    prev_ref, prev2sh_ref, ch_ref, pack_ref, bestrow_ref, bestk_ref
+):
+    """Grid (batch_blocks, K_pad // ARROW_CHUNK).
+
+    Outputs (c-invariant accumulators except the slab):
+      packed_ref: (ARROW_CHUNK//4, N, BT) int32 arrow words
+      best_ref:   (1, BT) int32 best local score (>= 0)
+      arg_ref:    (1, BT) int32 packed argmax key = kk * N + j
+    """
+    _, N, BT = packed_ref.shape
+    CHUNK = packed_ref.shape[0] * 4
+    A_pad = tops_ref.shape[0]
+    c = pl.program_id(1)
+    m = mkd_ref[0, 0]
+    kmis = mkd_ref[0, 1]
+    d = mkd_ref[0, 2]
+
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
+    len1 = lens_ref[0:1, :]
+    len2 = lens_ref[1:2, :]
+
+    @pl.when(c == 0)
+    def _init():
+        prev_ref[...] = jnp.zeros((N, BT), jnp.int32)
+        prev2sh_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+        ch_ref[...] = jnp.full((N, BT), -4, jnp.int32)
+        bestrow_ref[...] = jnp.zeros((N, BT), jnp.int32)
+        bestk_ref[...] = jnp.zeros((N, BT), jnp.int32)
+        best_ref[...] = jnp.zeros((1, BT), jnp.int32)
+        arg_ref[...] = jnp.zeros((1, BT), jnp.int32)
+
+    side_ch = sides_ref[...]
+    neg_row = jnp.full((1, BT), NEG, jnp.int32)
+
+    def step(t, _):
+        kk = c * CHUNK + t
+
+        @pl.when(kk >= 1)
+        def _():
+            prev = prev_ref[...]
+            new_top = tops_ref[pl.ds(jnp.minimum(kk - 1, A_pad - 1), 1), :]
+            ch_top = jnp.concatenate([new_top, ch_ref[:-1, :]], axis=0)
+            ch_ref[...] = ch_top
+            sub = jnp.where(ch_top == side_ch, m, -kmis)
+
+            prev_sh = jnp.concatenate([neg_row, prev[:-1, :]], axis=0)
+            cand_d = prev2sh_ref[...] + sub
+            score = jnp.maximum(
+                jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d), 0
+            )
+            prev2sh_ref[...] = prev_sh
+            prev_ref[...] = score
+
+            score_d = score + d
+            arrows = (
+                (cand_d == score).astype(jnp.int32)
+                + (prev == score_d).astype(jnp.int32) * 2
+                + (prev_sh == score_d).astype(jnp.int32) * 4
+            )
+            arrows = jnp.where(score > 0, arrows, 0)  # clamp cells: no arrows
+            r = jnp.bitwise_and(t, 3)
+            word = arrows << (r * 8)
+
+            @pl.when(r == 0)
+            def _():
+                pack_ref[...] = word
+
+            @pl.when(r != 0)
+            def _():
+                pack_ref[...] = pack_ref[...] | word
+
+            @pl.when(r == 3)
+            def _():
+                packed_ref[pl.ds(t // 4, 1), :, :] = pack_ref[...][None]
+
+            # per-row running max + first diagonal achieving it, masked
+            # to each pair's true rectangle
+            i_val = kk - j_iota
+            in_rect = (
+                (j_iota >= 1) & (j_iota <= len2)
+                & (i_val >= 1) & (i_val <= len1)
+            )
+            sc = jnp.where(in_rect, score, 0)
+            u = sc > bestrow_ref[...]
+            bestrow_ref[...] = jnp.where(u, sc, bestrow_ref[...])
+            bestk_ref[...] = jnp.where(u, kk, bestk_ref[...])
+
+        @pl.when(kk == 0)
+        def _():
+            pack_ref[...] = jnp.zeros((N, BT), jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, step, 0)
+
+    @pl.when(c == pl.num_programs(1) - 1)
+    def _finish():
+        best = jnp.max(bestrow_ref[...], axis=0, keepdims=True)
+        big = jnp.int32(2**30)
+        key = jnp.where(
+            bestrow_ref[...] == best,
+            bestk_ref[...] * N + j_iota,
+            big,
+        )
+        arg = jnp.min(key, axis=0, keepdims=True)
+        best_ref[...] = best
+        # best == 0 (no positive cell): scan semantics give argmax (0,0)
+        arg_ref[...] = jnp.where(best > 0, arg, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_pairs"))
+def sw_arrows_pallas_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False, block_pairs: int = LANES,
+):
+    """Batched SW fill: (words int32[K_pad//4, N, B], best int32[B],
+    arg_j int32[B], arg_i int32[B]) — packed arrows + per-pair best
+    local score and argmax cell (scan tie rule)."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    N = _round_up(Bs + 1, 8)
+    A_pad = _round_up(max(A, 1), 8)
+    BT = block_pairs
+    nb_pad = _round_up(max(nb, 1), BT)
+    K_pad = _round_up(A_pad + (N - 1) + 1, ARROW_CHUNK)
+
+    tops = jnp.pad(
+        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
+    )
+    sides = jnp.pad(
+        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
+    )
+    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
+    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
+
+    sides_sh = jnp.concatenate(
+        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
+    ).T
+    tops_t = tops.astype(jnp.int32).T
+    lens = jnp.stack([lens1, lens2], axis=0)
+    mkd = jnp.array([[m, k, d]], jnp.int32)
+
+    words, best, arg = pl.pallas_call(
+        _sw_arrows_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((K_pad // 4, N, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb_pad // BT, K_pad // ARROW_CHUNK),
+            in_specs=[
+                pl.BlockSpec((1, 3), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((A_pad, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (ARROW_CHUNK // 4, N, BT),
+                    lambda b, c: (c, 0, b),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((N, BT), jnp.int32)] * 6,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(mkd, tops_t, sides_sh, lens)
+    arg = arg[0, :nb]
+    return words[:, :, :nb], best[0, :nb], arg % N, arg // N - arg % N

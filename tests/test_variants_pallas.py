@@ -78,3 +78,16 @@ def test_model_batch_apis():
         t, si = jnp.asarray(encode(a.encode())), jnp.asarray(encode(s.encode()))
         assert sw[b] == int(sw_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"])
         assert af[b] == int(affine_score(t, si, 2, 1, 3, 1))
+
+
+def test_sw_align_batch_matches_single():
+    """Batched SW alignment (kernel argmax + device walk) == sw_align."""
+    from nw_tpu.models.smith_waterman import sw_align, sw_align_batch
+
+    rng = np.random.default_rng(31)
+    pairs = _pairs(rng, 10, 1, 45) + [("AAAA", "TTTT"), ("A", "A"), ("AC", "CA")]
+    for m, k, d in [(2, 1, 1), (3, 2, 2), (1, 1, 1)]:
+        got = sw_align_batch(pairs, m, k, d)
+        for b, (a, s) in enumerate(pairs):
+            want = sw_align(a, s, m, k, d)
+            assert got[b] == want, (b, a, s, m, k, d, got[b], want)
