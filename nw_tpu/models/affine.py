@@ -290,3 +290,83 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
             tops, sides, l1, l2, m, k, open_, extend, interpret=interpret
         )
     )
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _affine_walk_packed(words, state0, l1, l2, max_steps: int):
+    """Device walk over packed Gotoh bits (one pair): the jitted
+    counterpart of :func:`affine_traceback`, emitting traceback.py op
+    codes (M->OP_DIAG, IX->OP_LEFT, IY->OP_UP) corner -> origin."""
+    import numpy as _np
+
+    def step(t, st):
+        i, j, s, n, ops = st
+        active = (i > 0) | (j > 0)
+        kk = i + j
+        b = (words[kk >> 2, j] >> ((kk & 3) * 8)) & 0xFF
+        is_m = s == 0
+        is_ix = s == 1
+        op = jnp.where(is_m, 0, jnp.where(is_ix, 1, 2)).astype(jnp.int8)
+        ops = ops.at[t].set(jnp.where(active, op, jnp.int8(3)))
+        di = jnp.where(is_m | is_ix, 1, 0)
+        dj = jnp.where(is_ix, 0, 1)
+        ns = jnp.where(
+            is_m, b & 3,
+            jnp.where(
+                is_ix,
+                jnp.where((b >> 2) & 1, 1, 0),
+                jnp.where((b >> 3) & 1, 2, 0),
+            ),
+        )
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        s = jnp.where(active, ns, s)
+        n = n + active.astype(jnp.int32)
+        return (i, j, s, n, ops)
+
+    ops0 = jnp.full((max_steps,), 3, jnp.int8)
+    _, _, _, n, ops = jax.lax.fori_loop(
+        0, max_steps, step,
+        (jnp.asarray(l1, jnp.int32), jnp.asarray(l2, jnp.int32),
+         jnp.asarray(state0, jnp.int32), jnp.int32(0), ops0),
+    )
+    return ops, n
+
+
+def affine_align_batch(pairs, m: int, k: int, open_: int, extend: int):
+    """Batched affine-gap alignment: one (score, X, Y) per pair.
+
+    Production path: the Pallas Gotoh arrows kernel
+    (:func:`nw_tpu.ops.variants_pallas.affine_arrows_pallas_batch`) +
+    vmapped device walk; identical tie conventions to
+    :func:`affine_align` (M > IX > IY, open over extend).
+    """
+    import numpy as np
+
+    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.traceback import ops_to_strings_batch
+    from nw_tpu.ops.variants_pallas import affine_arrows_pallas_batch
+
+    norm = [
+        (a.encode() if isinstance(a, str) else bytes(a),
+         b.encode() if isinstance(b, str) else bytes(b))
+        for a, b in pairs
+    ]
+    tops, sides, l1, l2 = encode_batch(norm)
+    interpret = jax.devices()[0].platform != "tpu"
+    words, best, states = affine_arrows_pallas_batch(
+        tops, sides, l1, l2, m, k, open_, extend, interpret=interpret
+    )
+    max_steps = int(tops.shape[1] + sides.shape[1])
+    walk = jax.jit(
+        jax.vmap(
+            lambda w, s, a1, a2: _affine_walk_packed(
+                w, s, a1, a2, max_steps=max_steps
+            ),
+            in_axes=(2, 0, 0, 0),
+        )
+    )
+    ops, n = walk(words, states, jnp.asarray(l1), jnp.asarray(l2))
+    strs = ops_to_strings_batch(np.asarray(ops), np.asarray(n), norm)
+    best = np.asarray(best)
+    return [(int(best[b]), X, Y) for b, (X, Y) in enumerate(strs)]

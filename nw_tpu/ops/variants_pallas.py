@@ -14,8 +14,9 @@ as :mod:`nw_tpu.ops.fill_pallas` — for:
   sublane shift instead of two.  Boundary gap costs
   ``-(open + (L-1)*extend)`` emerge naturally from the IX/IY chains.
 
-Score-only; tracebacks for the variants run on the lax.scan engines
-(models/smith_waterman.py renders local alignments from scan arrows).
+Score kernels plus arrows+argmax/state kernels for full batched
+tracebacks (models/smith_waterman.sw_align_batch,
+models/affine.affine_align_batch walk the packed words on device).
 """
 
 from __future__ import annotations
@@ -464,3 +465,210 @@ def sw_arrows_pallas_batch(
     )(mkd, tops_t, sides_sh, lens)
     arg = arg[0, :nb]
     return words[:, :, :nb], best[0, :nb], arg % N, arg // N - arg % N
+
+
+# ---------------------------------------------------------------------------
+# Affine (Gotoh) arrows kernel — batched affine traceback
+# ---------------------------------------------------------------------------
+#
+# Per-cell state bits as models/affine.affine_fill_arrows (bits 0-1 the
+# M cell's predecessor matrix, bit 2 IX extends, bit 3 IY opens/extends),
+# packed 4 cells per int32 word.  Register schedule: the recurrence
+# needs the k-1 matrices both unshifted (IX) and shifted (IY), and the
+# k-2 matrices shifted (M + the mpred bits), so the kernel carries
+# (Mp, IXp) unshifted, (m1sh, iy1sh) = shift(k-1), and
+# (m2sh, ix2sh, iy2sh) = shift(k-2) — 4 sublane shifts per step.
+
+
+def _affine_arrows_kernel(
+    mkd_ref, tops_ref, sides_ref, lens_ref, packed_ref, best_ref, state_ref,
+    mp_ref, ixp_ref, m1sh_ref, iy1sh_ref, m2sh_ref, ix2sh_ref, iy2sh_ref,
+    ch_ref, pack_ref
+):
+    _, N, BT = packed_ref.shape
+    CHUNK = packed_ref.shape[0] * 4
+    A_pad = tops_ref.shape[0]
+    c = pl.program_id(1)
+    m = mkd_ref[0, 0]
+    kmis = mkd_ref[0, 1]
+    op = mkd_ref[0, 2]
+    ex = mkd_ref[0, 3]
+    min_corner = mkd_ref[0, 4]
+
+    j_iota = jax.lax.broadcasted_iota(jnp.int32, (N, BT), 0)
+    len1 = lens_ref[0:1, :]
+    len2 = lens_ref[1:2, :]
+    k_corner = len1 + len2
+
+    @pl.when(c == 0)
+    def _init():
+        # diagonal 0: M(0,0) = 0, IX/IY undefined
+        mp_ref[...] = jnp.where(j_iota == 0, jnp.int32(0), jnp.int32(NEG))
+        ixp_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+        m1sh_ref[...] = jnp.where(j_iota == 1, jnp.int32(0), jnp.int32(NEG))
+        iy1sh_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+        m2sh_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+        ix2sh_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+        iy2sh_ref[...] = jnp.full((N, BT), NEG, jnp.int32)
+        ch_ref[...] = jnp.full((N, BT), -4, jnp.int32)
+        best_ref[...] = jnp.where(
+            k_corner == 0, jnp.int32(0), jnp.int32(NEG)
+        )
+        state_ref[...] = jnp.zeros((1, BT), jnp.int32)
+
+    side_ch = sides_ref[...]
+    neg_row = jnp.full((1, BT), NEG, jnp.int32)
+
+    def shift(x):
+        return jnp.concatenate([neg_row, x[:-1, :]], axis=0)
+
+    def step(t, _):
+        kk = c * CHUNK + t
+
+        @pl.when(kk >= 1)
+        def _():
+            new_top = tops_ref[pl.ds(jnp.minimum(kk - 1, A_pad - 1), 1), :]
+            ch_top = jnp.concatenate([new_top, ch_ref[:-1, :]], axis=0)
+            ch_ref[...] = ch_top
+            sub = jnp.where(ch_top == side_ch, m, -kmis)
+
+            Mp, IXp = mp_ref[...], ixp_ref[...]
+            m1sh, iy1sh = m1sh_ref[...], iy1sh_ref[...]
+            m2sh, ix2sh, iy2sh = m2sh_ref[...], ix2sh_ref[...], iy2sh_ref[...]
+
+            best_p2 = jnp.maximum(jnp.maximum(m2sh, ix2sh), iy2sh)
+            M = best_p2 + sub
+            mpred = jnp.where(
+                m2sh >= best_p2, 0, jnp.where(ix2sh >= iy2sh, 1, 2)
+            )
+            cand_open_x = Mp - op
+            cand_ext_x = IXp - ex
+            IX = jnp.maximum(cand_open_x, cand_ext_x)
+            ixext = cand_ext_x > cand_open_x
+            cand_open_y = m1sh - op
+            cand_ext_y = iy1sh - ex
+            IY = jnp.maximum(cand_open_y, cand_ext_y)
+            iyext = cand_ext_y > cand_open_y
+
+            bits = (
+                mpred
+                + (ixext.astype(jnp.int32) << 2)
+                + (iyext.astype(jnp.int32) << 3)
+            )
+            r = jnp.bitwise_and(t, 3)
+            word = bits << (r * 8)
+
+            @pl.when(r == 0)
+            def _():
+                pack_ref[...] = word
+
+            @pl.when(r != 0)
+            def _():
+                pack_ref[...] = pack_ref[...] | word
+
+            @pl.when(r == 3)
+            def _():
+                packed_ref[pl.ds(t // 4, 1), :, :] = pack_ref[...][None]
+
+            # register rollover (order matters: 2-step shadows first)
+            m2sh_ref[...] = m1sh
+            iy2sh_ref[...] = iy1sh
+            ix2sh_ref[...] = shift(IXp)
+            m1sh_ref[...] = shift(M)
+            iy1sh_ref[...] = shift(IY)
+            mp_ref[...] = M
+            ixp_ref[...] = IX
+
+            @pl.when(kk >= min_corner)
+            def _():
+                best = jnp.maximum(jnp.maximum(M, IX), IY)
+                st = jnp.where(M >= best, 0, jnp.where(IX >= IY, 1, 2))
+                hit = (k_corner == kk) & (j_iota == len2)
+                hb = jnp.max(jnp.where(hit, best, NEG), axis=0, keepdims=True)
+                hs = jnp.sum(jnp.where(hit, st, 0), axis=0, keepdims=True)
+                upd = hb > jnp.int32(NEG)
+                best_ref[...] = jnp.where(upd, hb, best_ref[...])
+                state_ref[...] = jnp.where(upd, hs, state_ref[...])
+
+        @pl.when(kk == 0)
+        def _():
+            pack_ref[...] = jnp.zeros((N, BT), jnp.int32)
+
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, step, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "block_pairs"))
+def affine_arrows_pallas_batch(
+    tops, sides, lens1, lens2, m, k, open_, extend,
+    interpret: bool = False, block_pairs: int = LANES,
+):
+    """Batched Gotoh fill emitting packed traceback bits + corner state.
+
+    Returns (words int32[K_pad//4, N, B], scores int32[B],
+    states int32[B]) — bit semantics as affine_fill_arrows; ``states``
+    is the corner cell's best matrix (0=M, 1=IX, 2=IY), the walk start.
+    """
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    N = _round_up(Bs + 1, 8)
+    A_pad = _round_up(max(A, 1), 8)
+    BT = block_pairs
+    nb_pad = _round_up(max(nb, 1), BT)
+    K_pad = _round_up(A_pad + (N - 1) + 1, ARROW_CHUNK)
+
+    tops = jnp.pad(
+        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
+    )
+    sides = jnp.pad(
+        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
+    )
+    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
+    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
+
+    sides_sh = jnp.concatenate(
+        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
+    ).T
+    tops_t = tops.astype(jnp.int32).T
+    lens = jnp.stack([lens1, lens2], axis=0)
+    min_corner = (
+        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
+    )
+    mkd = jnp.concatenate(
+        [jnp.array([m, k, open_, extend], jnp.int32), min_corner[None]]
+    )[None]
+
+    words, best, states = pl.pallas_call(
+        _affine_arrows_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((K_pad // 4, N, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(nb_pad // BT, K_pad // ARROW_CHUNK),
+            in_specs=[
+                pl.BlockSpec((1, 5), lambda b, c: (0, 0), memory_space=pltpu.SMEM),
+                pl.BlockSpec((A_pad, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((N, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (ARROW_CHUNK // 4, N, BT),
+                    lambda b, c: (c, 0, b),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, BT), lambda b, c: (0, b), memory_space=pltpu.VMEM),
+            ),
+            scratch_shapes=[pltpu.VMEM((N, BT), jnp.int32)] * 9,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(mkd, tops_t, sides_sh, lens)
+    return words[:, :, :nb], best[0, :nb], states[0, :nb]

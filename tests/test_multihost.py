@@ -135,10 +135,7 @@ def test_two_process_distributed(tmp_path):
     ref = np.asarray(
         fill_scores_batch(tops, sides, 2, 1, 1, jnp.asarray(l1), jnp.asarray(l2))
     )
-    got = np.array(
-        sorted(outs[0]["local_scores"]) if False else
-        outs[0]["local_scores"] + outs[1]["local_scores"]
-    )
+    got = np.array(outs[0]["local_scores"] + outs[1]["local_scores"])
     np.testing.assert_array_equal(np.sort(got), np.sort(ref))
     assert outs[0]["stats"]["pairs"] == 64
     assert outs[0]["stats"]["score_sum"] == int(ref.astype(np.int64).sum())

@@ -91,3 +91,17 @@ def test_sw_align_batch_matches_single():
         for b, (a, s) in enumerate(pairs):
             want = sw_align(a, s, m, k, d)
             assert got[b] == want, (b, a, s, m, k, d, got[b], want)
+
+
+def test_affine_align_batch_matches_single():
+    """Batched affine alignment (Gotoh arrows kernel + device walk)
+    == per-pair affine_align."""
+    from nw_tpu.models.affine import affine_align, affine_align_batch
+
+    rng = np.random.default_rng(41)
+    pairs = _pairs(rng, 9, 1, 45) + [("A", "A"), ("", "ACG"), ("ACG", "")]
+    for m, k, op, ex in [(2, 1, 3, 1), (1, 1, 1, 1), (3, 1, 4, 0)]:
+        got = affine_align_batch(pairs, m, k, op, ex)
+        for b, (a, s) in enumerate(pairs):
+            want = affine_align(a, s, m, k, op, ex)
+            assert got[b] == want, (b, a, s, m, k, op, ex, got[b], want)
