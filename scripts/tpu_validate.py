@@ -162,6 +162,17 @@ def main() -> int:
             )
             assert af[b] == int(affine_score(t, si, 2, 1, 3, 1))
 
+    def variant_alignments():
+        from nw_tpu.models.affine import affine_align, affine_align_batch
+        from nw_tpu.models.smith_waterman import sw_align, sw_align_batch
+
+        sub = ps[:24]
+        sw = sw_align_batch(sub, 2, 1, 1)
+        af = affine_align_batch(sub, 2, 1, 3, 1)
+        for b, (a, s2) in enumerate(sub):
+            assert sw[b] == sw_align(a, s2, 2, 1, 1), b
+            assert af[b] == affine_align(a, s2, 2, 1, 3, 1), b
+
     def sharded():
         from jax.sharding import Mesh
 
@@ -184,6 +195,7 @@ def main() -> int:
     check("fold last-row + score_count", fold_scalar)
     check("checkpointed traceback", checkpoint_walk)
     check("SW + affine kernels", variants)
+    check("SW + affine batched alignments", variant_alignments)
     check("sharded pallas path", sharded)
     return 1 if FAILED else 0
 
