@@ -333,6 +333,20 @@ def _affine_walk_packed(words, state0, l1, l2, max_steps: int):
     return ops, n
 
 
+@functools.lru_cache(maxsize=None)
+def _affine_walk_vmapped(max_steps: int):
+    """Cached jitted batched walk (a fresh jax.jit per call recompiles
+    every invocation)."""
+    return jax.jit(
+        jax.vmap(
+            lambda w, s, a1, a2: _affine_walk_packed(
+                w, s, a1, a2, max_steps=max_steps
+            ),
+            in_axes=(2, 0, 0, 0),
+        )
+    )
+
+
 def affine_align_batch(pairs, m: int, k: int, open_: int, extend: int):
     """Batched affine-gap alignment: one (score, X, Y) per pair.
 
@@ -358,15 +372,9 @@ def affine_align_batch(pairs, m: int, k: int, open_: int, extend: int):
         tops, sides, l1, l2, m, k, open_, extend, interpret=interpret
     )
     max_steps = int(tops.shape[1] + sides.shape[1])
-    walk = jax.jit(
-        jax.vmap(
-            lambda w, s, a1, a2: _affine_walk_packed(
-                w, s, a1, a2, max_steps=max_steps
-            ),
-            in_axes=(2, 0, 0, 0),
-        )
+    ops, n = _affine_walk_vmapped(max_steps)(
+        words, states, jnp.asarray(l1), jnp.asarray(l2)
     )
-    ops, n = walk(words, states, jnp.asarray(l1), jnp.asarray(l2))
     strs = ops_to_strings_batch(np.asarray(ops), np.asarray(n), norm)
     best = np.asarray(best)
     return [(int(best[b]), X, Y) for b, (X, Y) in enumerate(strs)]

@@ -209,6 +209,18 @@ def _sw_walk_packed(words, j0, i0, max_steps: int):
     return ops, n, i, j
 
 
+@functools.lru_cache(maxsize=None)
+def _sw_walk_vmapped(max_steps: int):
+    """Cached jitted batched walk (a fresh jax.jit per call recompiles
+    every invocation)."""
+    return jax.jit(
+        jax.vmap(
+            lambda w, jj, ii: _sw_walk_packed(w, jj, ii, max_steps=max_steps),
+            in_axes=(2, 0, 0),
+        )
+    )
+
+
 def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     """Batched local alignment with strings: one (score, X, Y, start)
     per pair, identical to :func:`sw_align` (scan tie rules).
@@ -232,14 +244,7 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
         tops, sides, l1, l2, m, k, d, interpret=interpret
     )
     max_steps = int(tops.shape[1] + sides.shape[1])
-    walk = jax.jit(
-        jax.vmap(
-            lambda w, jj, ii: _sw_walk_packed(w, jj, ii, max_steps=max_steps),
-            in_axes=(2, 0, 0),
-        ),
-        static_argnames=(),
-    )
-    ops, n, i_end, j_end = walk(words, j0, i0)
+    ops, n, i_end, j_end = _sw_walk_vmapped(max_steps)(words, j0, i0)
     best = np.asarray(best)
     ops, n = np.asarray(ops), np.asarray(n)
     i0n, j0n = np.asarray(i0), np.asarray(j0)
