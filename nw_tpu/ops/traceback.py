@@ -85,13 +85,20 @@ def traceback_greedy(arrows_diag, len1, len2, max_steps: int):
     return ops, n
 
 
+@functools.lru_cache(maxsize=None)
+def _greedy_batch_vmapped(max_steps: int):
+    # cached: a fresh jax.jit wrapper per call would recompile every time
+    return jax.jit(
+        jax.vmap(
+            lambda a, l1, l2: traceback_greedy(a, l1, l2, max_steps),
+            in_axes=(0, 0, 0),
+        )
+    )
+
+
 def traceback_greedy_batch(arrows_diag, lens1, lens2, max_steps: int):
     """Batched greedy traceback: arrows_diag uint8[B, K, N]."""
-    fn = jax.vmap(
-        lambda a, l1, l2: traceback_greedy(a, l1, l2, max_steps),
-        in_axes=(0, 0, 0),
-    )
-    return jax.jit(fn)(arrows_diag, lens1, lens2)
+    return _greedy_batch_vmapped(max_steps)(arrows_diag, lens1, lens2)
 
 
 def ops_to_strings_batch(ops, ns, pairs, gap: int = ord("-")):
