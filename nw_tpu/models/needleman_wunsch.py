@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import jax
@@ -239,9 +240,52 @@ class NWAligner:
         pairs longer than ``max_length`` are masked out of the batch and
         reported per-pair in ``result.status`` instead of failing the
         whole run.
+
+        Arrow-emitting batches are auto-split into HBM-sized sub-batches
+        (a 10kb pair's packed arrows are ~200 MB; the whole batch need
+        not fit at once).
         """
         m, k, d = self.config.scoring.as_tuple()
         norm = [(_as_bytes(a), _as_bytes(b)) for a, b in pairs]
+
+        # HBM-aware auto-chunking for arrow-emitting runs
+        if (traceback_strings or count) and len(norm) > 1:
+            L1 = self.config.bucket_for(max((len(a) for a, _ in norm), default=1))
+            L2 = self.config.bucket_for(max((len(b) for _, b in norm), default=1))
+            arrow_bytes = (L1 + L2 + 2) * (L2 + 1)  # packed words/pair
+            budget = int(os.environ.get("NW_TPU_ARROW_HBM", str(4 << 30)))
+            chunk = max(1, budget // max(arrow_bytes, 1))
+            if chunk < len(norm):
+                parts = [
+                    self.align_batch(
+                        norm[i : i + chunk],
+                        traceback_strings=traceback_strings,
+                        count=count,
+                        max_length=max_length,
+                        on_error=on_error,
+                    )
+                    for i in range(0, len(norm), chunk)
+                ]
+                merged = BatchResult(
+                    scores=np.concatenate([p.scores for p in parts]),
+                    status=np.concatenate([p.status for p in parts]),
+                    _pairs=norm,
+                )
+                if count:
+                    merged.counts = np.concatenate([p.counts for p in parts])
+                if traceback_strings:
+                    S = max(p.ops.shape[1] for p in parts)
+                    merged.ops = np.concatenate(
+                        [
+                            np.pad(
+                                p.ops, ((0, 0), (0, S - p.ops.shape[1])),
+                                constant_values=3,  # OP_NONE
+                            )
+                            for p in parts
+                        ]
+                    )
+                    merged.ops_len = np.concatenate([p.ops_len for p in parts])
+                return merged
         status = np.zeros((len(norm),), np.uint8)
         if max_length is not None:
             bad = [

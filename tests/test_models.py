@@ -48,3 +48,27 @@ def test_empty_pair_library_semantics():
     r = align("", "", 1, 1, 1)
     assert r.score == 0 and r.solution_count == 0
     assert list(r.alignments()) == []
+
+
+def test_align_batch_auto_chunking(monkeypatch):
+    """HBM-aware auto-split produces identical results to one batch."""
+    import numpy as np
+
+    from nw_tpu.models.needleman_wunsch import NWAligner
+
+    rng = np.random.default_rng(33)
+    pairs = [
+        (
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 25)))),
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 25)))),
+        )
+        for _ in range(17)
+    ]
+    al = NWAligner(match=2, mismatch=1, indel=1)
+    whole = al.align_batch(pairs, traceback_strings=True, count=True)
+    # force ~3-pair chunks
+    monkeypatch.setenv("NW_TPU_ARROW_HBM", str(3 * (32 + 32 + 2) * 33))
+    split = al.align_batch(pairs, traceback_strings=True, count=True)
+    np.testing.assert_array_equal(whole.scores, split.scores)
+    np.testing.assert_array_equal(whole.counts, split.counts)
+    assert whole.alignment_strings() == split.alignment_strings()
