@@ -87,13 +87,19 @@ def fill_score_seq_sharded(top, side, *, m: int, k: int, d: int, mesh: Mesh, axi
         halo_prev = jnp.full((1,), NEG_INF, jnp.int32) + vary0
         cap = NEG_INF + vary0
 
+        is_p0 = (p == 0)
+
         def step(carry, kk):
             prev, prev2, halo_prev, cap = carry
 
-            # neighbor's last lane of the previous diagonal (device 0
-            # receives wrap-around garbage; its lane 0 is the j == 0
-            # boundary and gets overwritten below)
-            halo = jax.lax.ppermute(prev[-1:], axis, perm)
+            # neighbor's last lane of the previous diagonal; device 0's
+            # wrap-around halo is masked to NEG_INF so the j == 0 and
+            # j == kk boundary values emerge naturally from the
+            # recurrence (prev[0] - d chain), exactly as in the Pallas
+            # kernels (fill_pallas._scores_kernel) — no boundary select
+            halo = jnp.where(
+                is_p0, NEG_INF, jax.lax.ppermute(prev[-1:], axis, perm)
+            )
 
             prev_sh = jnp.concatenate([halo, prev[:-1]])
             prev2_sh = jnp.concatenate([halo_prev, prev2[:-1]])
@@ -104,10 +110,8 @@ def fill_score_seq_sharded(top, side, *, m: int, k: int, d: int, mesh: Mesh, axi
             sub = jnp.where(ch_top == side_local, m, -k)
 
             score = jnp.maximum(
-                jnp.maximum(prev2_sh + sub, prev_sh - d), prev - d
+                prev2_sh + sub, jnp.maximum(prev_sh, prev) - d
             )
-            boundary = (jg == 0) | (jg == kk)
-            score = jnp.where(boundary, -kk * d, score)
 
             hit = (kk == A + B) & (jg == B)
             cap = jnp.where(jnp.any(hit), jnp.where(hit, score, NEG_INF).max(), cap)
