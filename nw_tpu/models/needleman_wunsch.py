@@ -351,7 +351,6 @@ class NWAligner:
             arrows3, arrows_axis, scores = fill_arrows_auto(
                 tops, sides, lens1, lens2, m, k, d, platform=platform
             )
-        result = BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
         if count:
             if counts is None and arrows_axis == 2 and use_pallas:
                 # second pass over the stored packed slabs, at fill speed
@@ -360,13 +359,20 @@ class NWAligner:
                 counts = count_packed_pallas_batch(arrows3, lens1, lens2)
             elif counts is None:
                 counts = _count_vmapped(arrows_axis)(arrows3, l1j, l2j)
-            result.counts = np.asarray(counts)
+        ops = n = None
         if traceback_strings:
             ops, n = _traceback_vmapped(arrows_axis, len1 + len2)(
                 arrows3, l1j, l2j
             )
-            result.ops = np.asarray(ops)
-            result.ops_len = np.asarray(n)
+        # one device round-trip for all outputs (each np.asarray pays a
+        # full host<->device latency; batching matters on remote links)
+        scores, counts, ops, n = jax.device_get((scores, counts, ops, n))
+        result = BatchResult(scores=scores, status=status, _pairs=norm)
+        if count:
+            result.counts = counts
+        if traceback_strings:
+            result.ops = ops
+            result.ops_len = n
         return result
 
 
