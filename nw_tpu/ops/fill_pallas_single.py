@@ -403,7 +403,18 @@ def score_count_fold(top, side, m, k, d, len1=None, len2=None, interpret=False):
 # HBM bounds this to K_pad * N_pad / 4 words ~ a few GB per sub-batch
 # (e.g. 10 kb pairs: ~200 MB/pair); 100 kb+ pairs use Hirschberg.
 
-ARROW_CHUNK = 32
+def _fold_chunk_for(R: int) -> int:
+    """Diagonals per refill grid step: bigger amortizes grid overhead;
+    the double-buffered (chunk//4, R, 128) int32 slab plus 4 scratch
+    diagonals must stay well inside VMEM."""
+    for chunk in (128, 64, 32, 16):
+        slab = 2 * (chunk // 4) * R * LANES * 4
+        if slab + 6 * R * LANES * 4 < 12 * 1024 * 1024:
+            return chunk
+    return 8
+
+
+ARROW_CHUNK = 128  # upper bound; _fold_chunk_for picks per shape
 
 
 def _make_arrows_kernel(R: int, A_r: int):
@@ -532,6 +543,7 @@ def fill_arrows_fold_batch(
     N_pad = _round_up(Bs + 1, LANES)
     R = N_pad // LANES
     A_r = _round_up(max(A, 1), LANES) // LANES
+    ARROW_CHUNK = _fold_chunk_for(R)
     K_true = A + Bs
     K_pad = _round_up(K_true + 1, ARROW_CHUNK)
 
