@@ -368,6 +368,12 @@ def affine_align_batch(pairs, m: int, k: int, open_: int, extend: int):
     ]
     tops, sides, l1, l2 = encode_batch(norm)
     interpret = jax.devices()[0].platform != "tpu"
+    if sides.shape[1] > 1024:
+        # the Gotoh arrows kernel carries 9 scratch diagonals and is
+        # VMEM-bounded to ~1k sides; longer pairs take the scan engine
+        return [
+            affine_align(a, b, m, k, open_, extend) for a, b in norm
+        ]
     words, best, states = affine_arrows_pallas_batch(
         tops, sides, l1, l2, m, k, open_, extend, interpret=interpret
     )

@@ -240,6 +240,10 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     ]
     tops, sides, l1, l2 = encode_batch(norm)
     interpret = jax.devices()[0].platform != "tpu"
+    if sides.shape[1] > 2048:
+        # the arrows+argmax kernel is VMEM-bounded to ~2k sides;
+        # longer pairs take the per-pair scan engine
+        return [sw_align(a, b, m, k, d) for a, b in norm]
     words, best, j0, i0 = sw_arrows_pallas_batch(
         tops, sides, l1, l2, m, k, d, interpret=interpret
     )

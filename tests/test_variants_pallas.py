@@ -105,3 +105,24 @@ def test_affine_align_batch_matches_single():
         for b, (a, s) in enumerate(pairs):
             want = affine_align(a, s, m, k, op, ex)
             assert got[b] == want, (b, a, s, m, k, op, ex, got[b], want)
+
+
+def test_variant_batch_long_side_fallback():
+    """Sides beyond the kernels' VMEM bounds fall back to the scan
+    engines with identical results."""
+    import numpy as np
+
+    from nw_tpu.models.affine import affine_align, affine_align_batch
+    from nw_tpu.models.smith_waterman import sw_align, sw_align_batch
+
+    rng = np.random.default_rng(53)
+    long_b = "".join(rng.choice(list("ACGT"), 2100))
+    pairs = [("ACGTAC", long_b), ("GATTACA", "GCATGCU")]
+    got = sw_align_batch(pairs, 2, 1, 1)
+    assert got[0] == sw_align(*pairs[0], 2, 1, 1)
+    assert got[1] == sw_align(*pairs[1], 2, 1, 1)
+    long_b2 = "".join(rng.choice(list("ACGT"), 1100))
+    pairs2 = [("ACGTAC", long_b2), ("GATTACA", "GCATGCU")]
+    got2 = affine_align_batch(pairs2, 2, 1, 3, 1)
+    assert got2[0] == affine_align(*pairs2[0], 2, 1, 3, 1)
+    assert got2[1] == affine_align(*pairs2[1], 2, 1, 3, 1)
