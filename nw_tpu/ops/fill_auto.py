@@ -27,6 +27,9 @@ from nw_tpu.ops.fill_scan import fill_diag_batch, fill_scores_batch
 # side-length bound for the batch-in-lanes arrows kernel (VMEM: rolling
 # state + double-buffered slab; see fill_pallas._arrow_chunk_for)
 LANES_ARROWS_MAX_SIDE = 2048
+# side-length bound for the batch-in-lanes SCORE kernel (4 rolling
+# (N, 128) scratch diagonals; probed OK at 4000, OOM at 6000)
+LANES_SCORES_MAX_SIDE = 4096
 
 
 def default_platform() -> str:
@@ -40,11 +43,30 @@ def fill_scores_auto(
     tops, sides, lens1, lens2, m, k, d, platform: Optional[str] = None
 ):
     """int32[B] optimal scores via the best kernel for ``platform``."""
-    if (platform or default_platform()) == "tpu":
-        from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
-
-        return fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
     import jax.numpy as jnp
+
+    if (platform or default_platform()) == "tpu":
+        if sides.shape[1] <= LANES_SCORES_MAX_SIDE:
+            from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
+
+            return fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
+        # longer sides: the rolling diagonals outgrow VMEM with the
+        # batch in lanes; run the fold-layout single-pair kernel over
+        # the batch inside one dispatch (~60 GCUPS/pair)
+        from nw_tpu.ops.fill_pallas_single import score_count_fold
+
+        def one(args):
+            top, side, l1, l2 = args
+            sc, _ = score_count_fold(top, side, m, k, d, len1=l1, len2=l2)
+            return sc
+
+        return jax.lax.map(
+            one,
+            (
+                jnp.asarray(tops), jnp.asarray(sides),
+                jnp.asarray(lens1, jnp.int32), jnp.asarray(lens2, jnp.int32),
+            ),
+        )
 
     return fill_scores_batch(
         tops, sides, m, k, d, jnp.asarray(lens1), jnp.asarray(lens2)
