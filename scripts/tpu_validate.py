@@ -162,6 +162,19 @@ def main() -> int:
             )
             assert af[b] == int(affine_score(t, si, 2, 1, 3, 1))
 
+    def long_side_scores():
+        from nw_tpu.ops.fill_auto import fill_scores_auto
+        from nw_tpu.ops.fill_pallas_single import score_pallas_single
+
+        L = 6000
+        t6 = jnp.asarray(rng.integers(65, 69, (8, L)), jnp.int32)
+        s6 = jnp.asarray(rng.integers(65, 69, (8, L)), jnp.int32)
+        lv = np.full((8,), L, np.int32)
+        got = np.asarray(fill_scores_auto(t6, s6, lv, lv, 2, 1, 1, platform="tpu"))
+        for b in (0, 7):
+            ref = int(score_pallas_single(t6[b], s6[b], 2, 1, 1))
+            assert got[b] == ref
+
     def variant_alignments():
         from nw_tpu.models.affine import affine_align, affine_align_batch
         from nw_tpu.models.smith_waterman import sw_align, sw_align_batch
@@ -196,6 +209,7 @@ def main() -> int:
     check("checkpointed traceback", checkpoint_walk)
     check("SW + affine kernels", variants)
     check("SW + affine batched alignments", variant_alignments)
+    check("long-side score routing (lax.map fold)", long_side_scores)
     check("sharded pallas path", sharded)
     return 1 if FAILED else 0
 
