@@ -58,6 +58,48 @@ def _round_up(x: int, mult: int) -> int:
     return -(-x // mult) * mult
 
 
+def prep_batch(tops, sides, lens1, lens2, block_pairs: int = LANES):
+    """Shared wrapper plumbing for the batch-in-lanes kernels.
+
+    Pads the side bucket so N = Bs+1 is a sublane multiple, the top
+    bucket to a sublane multiple, and the batch to a lane multiple
+    (extra lanes are dummy pairs of length 0); transposes to the
+    kernel layouts.
+
+    Returns (tops_t int32[A_pad, nb_pad] — row i = top[i],
+             sides_sh int32[N, nb_pad] — row j = side[j-1], row 0 sentinel,
+             lens int32[2, nb_pad], min_corner scalar, dims (nb, nb_pad,
+             A_pad, N)).
+    """
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    N = _round_up(Bs + 1, 8)
+    A_pad = _round_up(max(A, 1), 8)
+    BT = block_pairs
+    nb_pad = _round_up(max(nb, 1), BT)
+
+    tops = jnp.pad(
+        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
+    )
+    sides = jnp.pad(
+        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
+    )
+    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
+    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
+
+    sides_sh = jnp.concatenate(
+        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
+    ).T
+    tops_t = tops.astype(jnp.int32).T
+    lens = jnp.stack([lens1, lens2], axis=0)
+    # no corner can be hit before diagonal min(len1+len2) over real pairs
+    min_corner = (
+        jnp.min(lens[0, :nb] + lens[1, :nb]) if nb else jnp.int32(0)
+    )
+    return tops_t, sides_sh, lens, min_corner, (nb, nb_pad, A_pad, N)
+
+
+
 def _scores_kernel(
     mkd_ref, tops_ref, sides_ref, lens_ref, out_ref, prev_ref, prev2sh_ref,
     ch_ref, cap_ref
@@ -176,37 +218,10 @@ def fill_scores_pallas_batch(
     Returns:
       int32[B] optimal scores (true corner per pair).
     """
-    nb, A = tops.shape
-    _, Bs = sides.shape
-
-    # pad the side bucket so N = Bs+1 is a sublane multiple, the top
-    # bucket to a sublane multiple, and the batch to a lane multiple
-    # (extra lanes are dummy pairs)
-    N = _round_up(Bs + 1, 8)
-    Bs_pad = N - 1
-    A_pad = _round_up(max(A, 1), 8)
+    tops_t, sides_sh, lens, min_corner, (nb, nb_pad, A_pad, N) = prep_batch(
+        tops, sides, lens1, lens2, block_pairs
+    )
     BT = block_pairs
-    nb_pad = _round_up(max(nb, 1), BT)
-
-    tops = jnp.pad(
-        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
-    )
-    sides = jnp.pad(
-        sides, ((0, nb_pad - nb), (0, Bs_pad - Bs)), constant_values=PAD_SIDE
-    )
-    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
-    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
-
-    # (N, nb) side chars, shifted: row j holds side[j-1]
-    sides_sh = jnp.concatenate(
-        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
-    ).T
-    tops_t = tops.astype(jnp.int32).T  # (A_pad, nb): row i = top[i]
-    lens = jnp.stack([lens1, lens2], axis=0)  # (2, nb)
-    # no corner can be hit before diagonal min(len1+len2) over real pairs
-    min_corner = (
-        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
-    )
     mkd = jnp.concatenate(
         [jnp.array([m, k, d], jnp.int32), min_corner[None]]
     )[None]
@@ -337,30 +352,10 @@ def fill_scores_counts_pallas_batch(
     The batched equivalent of the reference's ``-q -s`` summary path:
     one fused wavefront carrying score + solution-count diagonals.
     """
-    nb, A = tops.shape
-    _, Bs = sides.shape
-    N = _round_up(Bs + 1, 8)
-    A_pad = _round_up(max(A, 1), 8)
+    tops_t, sides_sh, lens, min_corner, (nb, nb_pad, A_pad, N) = prep_batch(
+        tops, sides, lens1, lens2, block_pairs
+    )
     BT = block_pairs
-    nb_pad = _round_up(max(nb, 1), BT)
-
-    tops = jnp.pad(
-        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
-    )
-    sides = jnp.pad(
-        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
-    )
-    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
-    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
-
-    sides_sh = jnp.concatenate(
-        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
-    ).T
-    tops_t = tops.astype(jnp.int32).T
-    lens = jnp.stack([lens1, lens2], axis=0)
-    min_corner = (
-        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
-    )
     mkd = jnp.concatenate(
         [jnp.array([m, k, d], jnp.int32), min_corner[None]]
     )[None]
@@ -631,34 +626,12 @@ def fill_arrows_pallas_batch(
       Cells outside the table rhombus are unspecified.  ``N = Bs+1``
       rounded to a sublane multiple; ``K_pad >= A + Bs + 1``.
     """
-    nb, A = tops.shape
-    _, Bs = sides.shape
-
-    N = _round_up(Bs + 1, 8)  # int32 slab sublane tile
-    A_pad = _round_up(max(A, 1), 8)
+    tops_t, sides_sh, lens, min_corner, (nb, nb_pad, A_pad, N) = prep_batch(
+        tops, sides, lens1, lens2, block_pairs
+    )
     BT = block_pairs
-    nb_pad = _round_up(max(nb, 1), BT)
     ARROW_CHUNK = _arrow_chunk_for(N, BT, extra_scratch=1 if with_counts else 0)
-    K_true = A_pad + (N - 1)
-    K_pad = _round_up(K_true + 1, ARROW_CHUNK)
-
-    tops = jnp.pad(
-        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
-    )
-    sides = jnp.pad(
-        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
-    )
-    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
-    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
-
-    sides_sh = jnp.concatenate(
-        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
-    ).T
-    tops_t = tops.astype(jnp.int32).T
-    lens = jnp.stack([lens1, lens2], axis=0)
-    min_corner = (
-        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
-    )
+    K_pad = _round_up(A_pad + (N - 1) + 1, ARROW_CHUNK)
     mkd = jnp.concatenate(
         [jnp.array([m, k, d], jnp.int32), min_corner[None]]
     )[None]

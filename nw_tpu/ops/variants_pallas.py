@@ -28,8 +28,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nw_tpu.ops.encode import PAD_SIDE, PAD_TOP
-from nw_tpu.ops.fill_pallas import LANES, _round_up
+
+from nw_tpu.ops.fill_pallas import LANES, _round_up, prep_batch
 
 # headroom for the affine chains: NEG - open - extend must not wrap
 NEG = -(2**29)
@@ -100,27 +100,10 @@ def sw_scores_pallas_batch(
     interpret: bool = False, block_pairs: int = LANES,
 ):
     """Best local-alignment score per pair (int32[B], >= 0)."""
-    nb, A = tops.shape
-    _, Bs = sides.shape
-    N = _round_up(Bs + 1, 8)
-    A_pad = _round_up(max(A, 1), 8)
+    tops_t, sides_sh, lens, _, (nb, nb_pad, A_pad, N) = prep_batch(
+        tops, sides, lens1, lens2, block_pairs
+    )
     BT = block_pairs
-    nb_pad = _round_up(max(nb, 1), BT)
-
-    tops = jnp.pad(
-        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
-    )
-    sides = jnp.pad(
-        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
-    )
-    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
-    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
-
-    sides_sh = jnp.concatenate(
-        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
-    ).T
-    tops_t = tops.astype(jnp.int32).T
-    lens = jnp.stack([lens1, lens2], axis=0)
     mkd = jnp.array([[m, k, d]], jnp.int32)
 
     out = pl.pallas_call(
@@ -222,30 +205,10 @@ def affine_scores_pallas_batch(
     interpret: bool = False, block_pairs: int = LANES,
 ):
     """Optimal affine-gap global score per pair (int32[B])."""
-    nb, A = tops.shape
-    _, Bs = sides.shape
-    N = _round_up(Bs + 1, 8)
-    A_pad = _round_up(max(A, 1), 8)
+    tops_t, sides_sh, lens, min_corner, (nb, nb_pad, A_pad, N) = prep_batch(
+        tops, sides, lens1, lens2, block_pairs
+    )
     BT = block_pairs
-    nb_pad = _round_up(max(nb, 1), BT)
-
-    tops = jnp.pad(
-        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
-    )
-    sides = jnp.pad(
-        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
-    )
-    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
-    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
-
-    sides_sh = jnp.concatenate(
-        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
-    ).T
-    tops_t = tops.astype(jnp.int32).T
-    lens = jnp.stack([lens1, lens2], axis=0)
-    min_corner = (
-        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
-    )
     mkd = jnp.concatenate(
         [jnp.array([m, k, open_, extend], jnp.int32), min_corner[None]]
     )[None]
@@ -407,28 +370,11 @@ def sw_arrows_pallas_batch(
     """Batched SW fill: (words int32[K_pad//4, N, B], best int32[B],
     arg_j int32[B], arg_i int32[B]) — packed arrows + per-pair best
     local score and argmax cell (scan tie rule)."""
-    nb, A = tops.shape
-    _, Bs = sides.shape
-    N = _round_up(Bs + 1, 8)
-    A_pad = _round_up(max(A, 1), 8)
+    tops_t, sides_sh, lens, _, (nb, nb_pad, A_pad, N) = prep_batch(
+        tops, sides, lens1, lens2, block_pairs
+    )
     BT = block_pairs
-    nb_pad = _round_up(max(nb, 1), BT)
     K_pad = _round_up(A_pad + (N - 1) + 1, ARROW_CHUNK)
-
-    tops = jnp.pad(
-        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
-    )
-    sides = jnp.pad(
-        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
-    )
-    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
-    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
-
-    sides_sh = jnp.concatenate(
-        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
-    ).T
-    tops_t = tops.astype(jnp.int32).T
-    lens = jnp.stack([lens1, lens2], axis=0)
     mkd = jnp.array([[m, k, d]], jnp.int32)
 
     words, best, arg = pl.pallas_call(
@@ -610,31 +556,11 @@ def affine_arrows_pallas_batch(
     states int32[B]) — bit semantics as affine_fill_arrows; ``states``
     is the corner cell's best matrix (0=M, 1=IX, 2=IY), the walk start.
     """
-    nb, A = tops.shape
-    _, Bs = sides.shape
-    N = _round_up(Bs + 1, 8)
-    A_pad = _round_up(max(A, 1), 8)
+    tops_t, sides_sh, lens, min_corner, (nb, nb_pad, A_pad, N) = prep_batch(
+        tops, sides, lens1, lens2, block_pairs
+    )
     BT = block_pairs
-    nb_pad = _round_up(max(nb, 1), BT)
     K_pad = _round_up(A_pad + (N - 1) + 1, ARROW_CHUNK)
-
-    tops = jnp.pad(
-        tops, ((0, nb_pad - nb), (0, A_pad - A)), constant_values=PAD_TOP
-    )
-    sides = jnp.pad(
-        sides, ((0, nb_pad - nb), (0, N - 1 - Bs)), constant_values=PAD_SIDE
-    )
-    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
-    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
-
-    sides_sh = jnp.concatenate(
-        [jnp.full((nb_pad, 1), -3, jnp.int32), sides.astype(jnp.int32)], axis=1
-    ).T
-    tops_t = tops.astype(jnp.int32).T
-    lens = jnp.stack([lens1, lens2], axis=0)
-    min_corner = (
-        jnp.min(lens1[:nb] + lens2[:nb]) if nb else jnp.int32(0)
-    )
     mkd = jnp.concatenate(
         [jnp.array([m, k, open_, extend], jnp.int32), min_corner[None]]
     )[None]
