@@ -46,6 +46,7 @@ from nw_tpu.ops.fill_pallas_single import (
     LANES,
     NEG_INF,
     _round_up,
+    fold_pair,
     fold_shift_j,
 )
 
@@ -318,16 +319,7 @@ def traceback_checkpointed(
     S = K_pad // C
     MAX_OPS = A + B
 
-    side_fold = jnp.concatenate(
-        [
-            jnp.full((1,), -3, jnp.int32),
-            side.astype(jnp.int32),
-            jnp.full((N_pad - B - 1,), -5, jnp.int32),
-        ]
-    ).reshape(R, LANES)
-    top_fold = jnp.concatenate(
-        [top.astype(jnp.int32), jnp.full((A_r * LANES - A,), -1, jnp.int32)]
-    ).reshape(A_r, LANES)
+    top_fold, side_fold = fold_pair(top, side, R, A_r)
     top_i32 = top_fold.reshape(-1)
 
     ckpts = _ckpt_fill(

@@ -57,6 +57,29 @@ def fold_shift_j(x, fill, l_iota, j_glob):
     return jnp.where(j_glob == 0, fill, z)
 
 
+def fold_pair(top, side, R: int, A_r: int):
+    """Fold one pair's encoded sequences into the (R, 128) layouts.
+
+    side_fold row r, lane l = side[j-1] for j = r*128+l (j = 0 is the
+    -3 sentinel, tail padded -5); top_fold row r, lane l = top[r*128+l]
+    (tail padded -1).
+    """
+    B = side.shape[0]
+    A = top.shape[0]
+    side_fold = jnp.concatenate(
+        [
+            jnp.full((1,), -3, jnp.int32),
+            side.astype(jnp.int32),
+            jnp.full((R * LANES - B - 1,), -5, jnp.int32),
+        ]
+    ).reshape(R, LANES)
+    top_fold = jnp.concatenate(
+        [top.astype(jnp.int32), jnp.full((A_r * LANES - A,), -1, jnp.int32)]
+    ).reshape(A_r, LANES)
+    return top_fold, side_fold
+
+
+
 def _make_kernel(A: int, B: int, R: int):
     A_r = _round_up(max(A, 1), LANES) // LANES
 
@@ -162,19 +185,7 @@ def last_row_pallas(top, side, m, k, d, len2=None, interpret: bool = False):
     K_true = A + B
     K_pad = _round_up(K_true + 1, ROW_CHUNK)
 
-    side_fold = jnp.concatenate(
-        [
-            jnp.full((1,), -3, jnp.int32),
-            side.astype(jnp.int32),
-            jnp.full((N_pad - B - 1,), -5, jnp.int32),
-        ]
-    ).reshape(R, LANES)
-    top_fold = jnp.concatenate(
-        [
-            top.astype(jnp.int32),
-            jnp.full((A_r * LANES - A,), -1, jnp.int32),
-        ]
-    ).reshape(A_r, LANES)
+    top_fold, side_fold = fold_pair(top, side, R, A_r)
     mkd = jnp.stack(
         [
             jnp.asarray(m, jnp.int32),
@@ -337,16 +348,7 @@ def score_count_fold(top, side, m, k, d, len1=None, len2=None, interpret=False):
     C = ROW_CHUNK
     K_pad = _round_up(A + B + 1, C)
 
-    side_fold = jnp.concatenate(
-        [
-            jnp.full((1,), -3, jnp.int32),
-            side.astype(jnp.int32),
-            jnp.full((N_pad - B - 1,), -5, jnp.int32),
-        ]
-    ).reshape(R, LANES)
-    top_fold = jnp.concatenate(
-        [top.astype(jnp.int32), jnp.full((A_r * LANES - A,), -1, jnp.int32)]
-    ).reshape(A_r, LANES)
+    top_fold, side_fold = fold_pair(top, side, R, A_r)
     mkd = jnp.array([[m, k, d]], jnp.int32)
     lens = jnp.stack([l1, l2])[None, :]
 
@@ -547,21 +549,9 @@ def fill_arrows_fold_batch(
     K_true = A + Bs
     K_pad = _round_up(K_true + 1, ARROW_CHUNK)
 
-    side_fold = jnp.concatenate(
-        [
-            jnp.full((nb, 1), -3, jnp.int32),
-            sides.astype(jnp.int32),
-            jnp.full((nb, N_pad - Bs - 1), -5, jnp.int32),
-        ],
-        axis=1,
-    ).reshape(nb, R, LANES)
-    top_fold = jnp.concatenate(
-        [
-            tops.astype(jnp.int32),
-            jnp.full((nb, A_r * LANES - A), -1, jnp.int32),
-        ],
-        axis=1,
-    ).reshape(nb, A_r, LANES)
+    top_fold, side_fold = jax.vmap(
+        lambda t, sd: fold_pair(t, sd, R, A_r)
+    )(tops, sides)
     lens = jnp.stack(
         [jnp.asarray(lens1, jnp.int32), jnp.asarray(lens2, jnp.int32)], axis=1
     )[:, None, :]  # (nb, 1, 2)
