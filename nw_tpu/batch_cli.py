@@ -136,6 +136,9 @@ def main(argv=None) -> int:
 
 
 def console_main() -> None:
+    from nw_tpu.cli import enable_default_compile_cache
+
+    enable_default_compile_cache()
     sys.exit(main())
 
 

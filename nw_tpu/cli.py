@@ -326,10 +326,15 @@ def console_main() -> None:
         import jax
 
         jax.config.update("jax_platforms", platform)
+    enable_default_compile_cache()
+    sys.exit(main(sys.argv))
+
+
+def enable_default_compile_cache() -> None:
+    """Persistent compile cache: repeat CLI invocations with the same
+    shape bucket skip the 15-30 s cold compile (the C reference has no
+    compile step; this keeps warm-path latency comparable)."""
     if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
-        # persistent compile cache: repeat CLI invocations with the same
-        # shape bucket skip the 15-30 s cold compile (the C reference has
-        # no compile step; this keeps warm-path latency comparable)
         import jax
 
         jax.config.update(
@@ -337,4 +342,3 @@ def console_main() -> None:
             os.path.expanduser("~/.cache/nw-tpu/jax"),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    sys.exit(main(sys.argv))
