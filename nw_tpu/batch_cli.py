@@ -136,8 +136,9 @@ def main(argv=None) -> int:
 
 
 def console_main() -> None:
-    from nw_tpu.cli import enable_default_compile_cache
+    from nw_tpu.cli import _quiet_library_logging, enable_default_compile_cache
 
+    _quiet_library_logging()
     enable_default_compile_cache()
     sys.exit(main())
 

@@ -317,6 +317,7 @@ def _needleman_wunsch(
 
 
 def console_main() -> None:
+    _quiet_library_logging()
     platform = os.environ.get("NW_TPU_PLATFORM")
     if platform:
         # jax may already be imported (e.g. by a sitecustomize that
@@ -330,6 +331,20 @@ def console_main() -> None:
     sys.exit(main(sys.argv))
 
 
+def _quiet_library_logging() -> None:
+    """Keep stderr byte-clean for parity: XLA's C++ logging (e.g. the
+    AOT cache loader's machine-feature complaints) and jax's Python
+    logger both write to the process stderr, which the reference binary
+    never does.  NW_TPU_VERBOSE=1 restores the logs."""
+    if os.environ.get("NW_TPU_VERBOSE"):
+        return
+    os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+    import logging
+
+    logging.getLogger("jax").setLevel(logging.CRITICAL)
+    logging.getLogger("jax._src.xla_bridge").setLevel(logging.CRITICAL)
+
+
 def enable_default_compile_cache() -> None:
     """Persistent compile cache: repeat CLI invocations with the same
     shape bucket skip the 15-30 s cold compile (the C reference has no
@@ -337,8 +352,14 @@ def enable_default_compile_cache() -> None:
     if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         import jax
 
+        # keyed by interpreter version: AOT cache entries written by a
+        # different jaxlib build can spew machine-feature mismatch
+        # errors onto stderr when loaded (observed with a shared dir)
         jax.config.update(
             "jax_compilation_cache_dir",
-            os.path.expanduser("~/.cache/nw-tpu/jax"),
+            os.path.expanduser(
+                f"~/.cache/nw-tpu/jax-py{sys.version_info.major}"
+                f".{sys.version_info.minor}"
+            ),
         )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
