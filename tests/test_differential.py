@@ -124,3 +124,39 @@ def test_differential_random_bytes(reference_binary):
         assert err_our == err_ref.replace(
             b"./needleman-wunsch", b"needleman-wunsch"
         ), (s1, s2, m, k, d)
+
+
+def test_differential_real_subprocess(reference_binary, tmp_path):
+    """Raw-fd parity: run our CLI as an actual subprocess (C++-level
+    stderr included — the in-process harness can't see it; jax/XLA
+    library logging once leaked here)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        NW_TPU_PLATFORM="cpu",
+        PYTHONPATH=os.getcwd(),
+        HOME=str(tmp_path),  # isolate the CLI's default compile cache
+    )
+    env.pop("JAX_COMPILATION_CACHE_DIR", None)
+    code = (
+        "import sys; from nw_tpu.cli import console_main; "
+        "sys.argv = ['needleman-wunsch'] + sys.argv[1:]; console_main()"
+    )
+    # same case twice: cold (compiles + writes cache) and warm (loads
+    # cached AOT executables — the path that once spewed loader errors)
+    for args, stdin in [
+        (["-s", "1", "1", "1"], b"GCATGCU GATTACA"),
+        (["-s", "1", "1", "1"], b"GCATGCU GATTACA"),
+        (["-l", "2", "1", "1"], b"GT GA"),
+    ]:
+        ref = subprocess.run([reference_binary] + args, input=stdin, capture_output=True)
+        ours = subprocess.run(
+            [sys.executable, "-c", code] + args,
+            input=stdin, capture_output=True, env=env, timeout=600,
+        )
+        assert ours.stdout == ref.stdout, (args, ours.stdout, ref.stdout)
+        assert ours.stderr == ref.stderr, (args, ours.stderr[:500], ref.stderr)
+        assert ours.returncode == ref.returncode
