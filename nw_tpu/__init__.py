@@ -23,14 +23,24 @@ binary's flag surface, stdout/stderr split, and formatting quirks.
 """
 
 from nw_tpu.config import AlignConfig, ScoringParams
-from nw_tpu.models.needleman_wunsch import NWAligner, align, align_batch
+from nw_tpu.models.needleman_wunsch import (
+    HugeAlignmentResult,
+    NWAligner,
+    align,
+    align_batch,
+)
 
 __all__ = [
     "AlignConfig",
     "ScoringParams",
     "NWAligner",
+    "HugeAlignmentResult",
     "align",
     "align_batch",
+    # variants (lazy modules): nw_tpu.models.smith_waterman.sw_align /
+    # sw_align_batch, nw_tpu.models.affine.affine_align /
+    # affine_align_batch; huge pairs: NWAligner.align_huge /
+    # summary_huge, nw_tpu.ops.hirschberg.hirschberg_align
 ]
 
 __version__ = "0.1.0"
