@@ -116,13 +116,22 @@ def _count_paths_packed(words, len1, len2):
     return corner
 
 
-@jax.jit
 def mark_optimal_cells(arrows_diag, len1, len2):
     """bool[K, N] — cells backward-reachable from the true corner.
 
     Matches the set of cells the reference DFS marks ``in_optimal_path``
-    when ``-t`` is given (needleman-wunsch.c:239-241).
+    when ``-t`` is given (needleman-wunsch.c:239-241).  Accepts the
+    packed int32 word layout too (dispatch on dtype, as count_paths).
     """
+    if arrows_diag.dtype == jnp.int32:
+        from nw_tpu.ops.fill_pallas import unpack_arrows32
+
+        arrows_diag = unpack_arrows32(arrows_diag)
+    return _mark_optimal_cells_u8(arrows_diag, len1, len2)
+
+
+@jax.jit
+def _mark_optimal_cells_u8(arrows_diag, len1, len2):
     K, N = arrows_diag.shape
     j_idx = jnp.arange(N, dtype=jnp.int32)
     k_corner = len1 + len2
@@ -151,7 +160,6 @@ def mark_optimal_cells(arrows_diag, len1, len2):
     return reach_rev[::-1]
 
 
-@jax.jit
 def count_branches(arrows_diag, len1, len2):
     """Number of cells with more than one optimal direction — the
     reference's walk-table ``branch_count`` (incremented at
@@ -159,7 +167,17 @@ def count_branches(arrows_diag, len1, len2):
 
     Counted over interior cells of the true rectangle only (the
     reference increments inside score_cell, which runs for col,row >= 1).
+    Accepts the packed int32 word layout (dispatch on dtype).
     """
+    if arrows_diag.dtype == jnp.int32:
+        from nw_tpu.ops.fill_pallas import unpack_arrows32
+
+        arrows_diag = unpack_arrows32(arrows_diag)
+    return _count_branches_u8(arrows_diag, len1, len2)
+
+
+@jax.jit
+def _count_branches_u8(arrows_diag, len1, len2):
     K, N = arrows_diag.shape
     j_idx = jnp.arange(N, dtype=jnp.int32)[None, :]
     k_idx = jnp.arange(K, dtype=jnp.int32)[:, None]

@@ -186,3 +186,35 @@ def test_ops_to_strings_batch_matches_scalar():
         for b, (s1, s2) in enumerate(pairs)
     ]
     assert got == want
+
+
+def test_mark_optimal_cells_packed_dispatch():
+    """mark_optimal_cells accepts packed int32 words (dtype dispatch)."""
+    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+
+    rng = np.random.default_rng(61)
+    pairs = [
+        (
+            "".join(rng.choice(list("ACGT"), 12)),
+            "".join(rng.choice(list("ACGT"), 10)),
+        )
+        for _ in range(4)
+    ]
+    tops, sides, l1, l2 = encode_batch(pairs, 12, 10)
+    words, _ = fill_arrows_pallas_batch(
+        tops, sides, l1, l2, 2, 1, 1, interpret=True, packed=True
+    )
+    arr, _ = fill_arrows_pallas_batch(
+        tops, sides, l1, l2, 2, 1, 1, interpret=True
+    )
+    for b in range(4):
+        mk_pk = np.asarray(
+            pathcount.mark_optimal_cells(words[:, :, b], int(l1[b]), int(l2[b]))
+        )
+        mk_u8 = np.asarray(
+            pathcount.mark_optimal_cells(
+                np.asarray(arr)[:, :, b], int(l1[b]), int(l2[b])
+            )
+        )
+        np.testing.assert_array_equal(mk_pk, mk_u8)
