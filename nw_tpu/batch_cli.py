@@ -53,8 +53,14 @@ def main(argv=None) -> int:
     ap.add_argument("-m", type=int, default=1, help="match bonus")
     ap.add_argument("-k", type=int, default=1, help="mismatch penalty")
     ap.add_argument("-d", type=int, default=1, help="indel penalty")
+    ap.add_argument("--mode", choices=("nw", "sw", "affine"), default="nw",
+                    help="global (nw), local (sw), or affine-gap scoring")
+    ap.add_argument("--open", type=int, default=3, dest="gap_open",
+                    help="affine gap-open cost (--mode affine)")
+    ap.add_argument("--extend", type=int, default=1, dest="gap_extend",
+                    help="affine gap-extend cost (--mode affine)")
     ap.add_argument("--counts", action="store_true",
-                    help="emit optimal-alignment counts (mod 2^32)")
+                    help="emit optimal-alignment counts (mod 2^32; nw only)")
     ap.add_argument("--alignments", action="store_true",
                     help="emit one optimal alignment per pair")
     ap.add_argument("--chunk", type=int, default=2048,
@@ -81,9 +87,40 @@ def main(argv=None) -> int:
         order = np.argsort(key, kind="stable")
         pairs = [pairs[i] for i in order]
 
+    if args.counts and args.mode != "nw":
+        raise SystemExit("--counts is only defined for --mode nw")
+
     al = NWAligner(AlignConfig(scoring=ScoringParams(args.m, args.k, args.d)))
 
     def align_chunk(chunk):
+        if args.mode == "sw":
+            from nw_tpu.models.smith_waterman import sw_align_batch, sw_score_batch
+
+            if args.alignments:
+                res = sw_align_batch(chunk, args.m, args.k, args.d)
+                return {
+                    "scores": np.array([r[0] for r in res], np.int32),
+                    "X": np.array([r[1] for r in res], dtype=np.bytes_),
+                    "Y": np.array([r[2] for r in res], dtype=np.bytes_),
+                }
+            return {"scores": sw_score_batch(chunk, args.m, args.k, args.d)}
+        if args.mode == "affine":
+            from nw_tpu.models.affine import affine_align_batch, affine_score_pairs
+
+            if args.alignments:
+                res = affine_align_batch(
+                    chunk, args.m, args.k, args.gap_open, args.gap_extend
+                )
+                return {
+                    "scores": np.array([r[0] for r in res], np.int32),
+                    "X": np.array([r[1] for r in res], dtype=np.bytes_),
+                    "Y": np.array([r[2] for r in res], dtype=np.bytes_),
+                }
+            return {
+                "scores": affine_score_pairs(
+                    chunk, args.m, args.k, args.gap_open, args.gap_extend
+                )
+            }
         r = al.align_batch(
             chunk, traceback_strings=args.alignments, count=args.counts
         )

@@ -193,3 +193,43 @@ def test_batch_cli(tmp_path):
         "--checkpoint-dir", str(ck), "--sort-by-length",
     ])
     assert rc == 0 and out2.read_text() == out.read_text()
+
+
+def test_batch_cli_modes(tmp_path):
+    """nw-tpu-batch --mode sw/affine matches the per-pair engines."""
+    import numpy as np
+
+    from nw_tpu.batch_cli import main as batch_main
+    from nw_tpu.models.affine import affine_align
+    from nw_tpu.models.smith_waterman import sw_align
+
+    rng = np.random.default_rng(29)
+    pairs = [
+        (
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 15)))),
+            "".join(rng.choice(list("ACGT"), int(rng.integers(1, 15)))),
+        )
+        for _ in range(5)
+    ]
+    src = tmp_path / "pairs.txt"
+    src.write_text("".join(f"{a} {b}\n" for a, b in pairs))
+
+    out = tmp_path / "sw.tsv"
+    assert batch_main([
+        "--pairs", str(src), "--out", str(out), "--mode", "sw",
+        "--alignments", "-m", "2", "-k", "1", "-d", "1",
+    ]) == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    for i, (a, b) in enumerate(pairs):
+        score, X, Y, _ = sw_align(a, b, 2, 1, 1)
+        assert int(rows[i][1]) == score and rows[i][2] == X.decode()
+
+    out = tmp_path / "af.tsv"
+    assert batch_main([
+        "--pairs", str(src), "--out", str(out), "--mode", "affine",
+        "--alignments", "-m", "2", "-k", "1", "--open", "3", "--extend", "1",
+    ]) == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    for i, (a, b) in enumerate(pairs):
+        score, X, Y = affine_align(a, b, 2, 1, 3, 1)
+        assert int(rows[i][1]) == score and rows[i][2] == X.decode()
