@@ -169,3 +169,27 @@ def test_huge_path_byte_identical(monkeypatch):
     monkeypatch.setenv("NW_TPU_HUGE_CELLS", "1")
     forced = [run_ours(a, s) for a, s in cases]
     assert normal == forced
+
+
+def test_count_beyond_reference_reach_delannoy():
+    """-q -s 0 0 0 on all-'A' strings: every monotone path is optimal,
+    so the solution count is the Delannoy number D(24,16) mod 2^32
+    (printed with %d).  The reference computes this count by full
+    enumeration — 8.5e13 paths, hours of CPU (it times out in testing);
+    the O(M*N) count DP answers instantly with the identical wrapped
+    value, verified here against the closed form."""
+    from functools import lru_cache
+
+    @lru_cache(None)
+    def delannoy(m, n):
+        if m == 0 or n == 0:
+            return 1
+        return delannoy(m - 1, n) + delannoy(m, n - 1) + delannoy(m - 1, n - 1)
+
+    d = delannoy(24, 16) % 2**32
+    signed = d - 2**32 if d >= 2**31 else d
+    rc, out, err = run_ours(["-q", "-s", "0", "0", "0"], b"A" * 24 + b" " + b"A" * 16)
+    assert rc == 0 and out == b""
+    assert err == (
+        b"%d optimal alignments\nOptimal score is 0\n" % signed
+    )
