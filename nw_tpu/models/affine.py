@@ -284,6 +284,23 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
         for a, b in pairs
     ]
     tops, sides, l1, l2 = encode_batch(norm)
+    if sides.shape[1] > 3072:
+        # the Gotoh score kernel carries 7 scratch diagonals and
+        # outgrows VMEM beyond ~3k sides (probed); per-pair scan instead
+        from nw_tpu.ops.encode import encode
+
+        return np.array(
+            [
+                int(
+                    affine_score(
+                        jnp.asarray(encode(a)), jnp.asarray(encode(b)),
+                        m, k, open_, extend,
+                    )
+                )
+                for a, b in norm
+            ],
+            np.int32,
+        )
     interpret = jax.devices()[0].platform != "tpu"
     return np.asarray(
         affine_scores_pallas_batch(

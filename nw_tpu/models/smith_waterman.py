@@ -156,7 +156,7 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     """
     import jax
 
-    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.encode import encode, encode_batch
     from nw_tpu.ops.variants_pallas import sw_scores_pallas_batch
 
     norm = [
@@ -165,6 +165,21 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
         for a, b in pairs
     ]
     tops, sides, l1, l2 = encode_batch(norm)
+    if sides.shape[1] > 4096:
+        # the score kernel's rolling diagonals outgrow VMEM beyond ~4k
+        # sides (probed); long pairs take the per-pair scan engine
+        return np.array(
+            [
+                int(
+                    sw_fill_diag(
+                        jnp.asarray(encode(a)), jnp.asarray(encode(b)),
+                        m, k, d, with_arrows=False,
+                    )["score"]
+                )
+                for a, b in norm
+            ],
+            np.int32,
+        )
     interpret = jax.devices()[0].platform != "tpu"
     return np.asarray(
         sw_scores_pallas_batch(tops, sides, l1, l2, m, k, d, interpret=interpret)

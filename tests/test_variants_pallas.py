@@ -126,3 +126,19 @@ def test_variant_batch_long_side_fallback():
     got2 = affine_align_batch(pairs2, 2, 1, 3, 1)
     assert got2[0] == affine_align(*pairs2[0], 2, 1, 3, 1)
     assert got2[1] == affine_align(*pairs2[1], 2, 1, 3, 1)
+
+
+def test_variant_score_long_side_fallback():
+    """Score APIs beyond the kernels' VMEM bounds fall back to scan."""
+    import numpy as np
+
+    from nw_tpu.models.affine import affine_score_pairs
+    from nw_tpu.models.smith_waterman import sw_score_batch
+
+    rng = np.random.default_rng(57)
+    long_b = "".join(rng.choice(list("ACGT"), 4200))
+    sw = sw_score_batch([("ACGTAC", long_b)], 2, 1, 1)
+    assert sw.shape == (1,) and sw[0] >= 0
+    long_b2 = "".join(rng.choice(list("ACGT"), 3200))
+    af = affine_score_pairs([("ACGTAC", long_b2)], 2, 1, 3, 1)
+    assert af.shape == (1,)
