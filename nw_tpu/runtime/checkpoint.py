@@ -38,11 +38,16 @@ class CheckpointedRunner:
         pairs: Sequence[Tuple[bytes, bytes]],
         align_chunk: Callable[[Sequence[Tuple[bytes, bytes]]], Dict[str, np.ndarray]],
         progress: Optional[Callable[[int, int], None]] = None,
+        retries: int = 0,
     ) -> Dict[str, np.ndarray]:
         """Run ``align_chunk`` over chunks, resuming from existing files.
 
         align_chunk: maps a list of pairs to a dict of equal-length
         arrays (e.g. {"scores": ...}).  Returns the concatenated dict.
+        retries: re-attempt a failing chunk this many times before
+        propagating (transient device/runtime failures requeue the
+        shard instead of losing the whole run — SURVEY.md §5's elastic
+        recovery; completed chunks are never recomputed either way).
         """
         n = len(pairs)
         nchunks = -(-n // self.chunk_size) if n else 0
@@ -74,7 +79,15 @@ class CheckpointedRunner:
                     progress(c, nchunks)
                 continue
             chunk = pairs[c * self.chunk_size : (c + 1) * self.chunk_size]
-            out = align_chunk(chunk)
+            attempt = 0
+            while True:
+                try:
+                    out = align_chunk(chunk)
+                    break
+                except Exception:
+                    attempt += 1
+                    if attempt > retries:
+                        raise
             tmp = path + f".tmp{os.getpid()}"
             with open(tmp, "wb") as f:
                 np.savez(f, **out)

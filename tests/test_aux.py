@@ -233,3 +233,26 @@ def test_batch_cli_modes(tmp_path):
     for i, (a, b) in enumerate(pairs):
         score, X, Y = affine_align(a, b, 2, 1, 3, 1)
         assert int(rows[i][1]) == score and rows[i][2] == X.decode()
+
+
+def test_checkpoint_retry(tmp_path):
+    """Transient chunk failures are retried; persistent ones propagate."""
+    attempts = []
+
+    def flaky(chunk):
+        attempts.append(1)
+        if len(attempts) < 3:  # fail twice, then succeed
+            raise RuntimeError("transient")
+        return {"scores": np.zeros(len(chunk), np.int32)}
+
+    runner = CheckpointedRunner(str(tmp_path / "r"), chunk_size=8)
+    out = runner.run([(b"A", b"A")] * 4, flaky, retries=2)
+    assert out["scores"].shape == (4,) and len(attempts) == 3
+
+    def always_fails(chunk):
+        raise RuntimeError("permanent")
+
+    with pytest.raises(RuntimeError):
+        CheckpointedRunner(str(tmp_path / "r2"), chunk_size=8).run(
+            [(b"A", b"A")] * 4, always_fails, retries=1
+        )
