@@ -67,6 +67,8 @@ def main(argv=None) -> int:
                     help="pairs per device batch")
     ap.add_argument("--checkpoint-dir",
                     help="persist per-chunk results; reruns resume")
+    ap.add_argument("--retries", type=int, default=0,
+                    help="re-attempts per failing chunk (with --checkpoint-dir)")
     ap.add_argument("--sort-by-length", action="store_true",
                     help="bucket-sort pairs to reduce padding waste")
     args = ap.parse_args(argv)
@@ -138,7 +140,7 @@ def main(argv=None) -> int:
         from nw_tpu.runtime.checkpoint import CheckpointedRunner
 
         runner = CheckpointedRunner(args.checkpoint_dir, chunk_size=args.chunk)
-        res = runner.run(pairs, align_chunk)
+        res = runner.run(pairs, align_chunk, retries=args.retries)
     else:
         parts = [
             align_chunk(pairs[i : i + args.chunk])
