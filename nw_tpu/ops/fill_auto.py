@@ -4,12 +4,22 @@ One place that decides which fill implementation a batch takes, shared
 by the single-host batched API (models.needleman_wunsch.align_batch)
 and the mesh-sharded path (parallel.data_parallel):
 
-* TPU + score-only            -> fill_pallas.fill_scores_pallas_batch
+* TPU + score-only, side <= 256        -> fill_pallas (flat batch-in-lanes)
+* TPU + score-only, batch >= 24        -> fill_pallas_banded (row-tiled
+                                          batch-in-lanes; any side length)
+* TPU + score-only, small long batch   -> fill_pallas_single fold layout
+                                          (one pair fills the vector unit)
 * TPU + arrows, side <= 2048  -> fill_pallas.fill_arrows_pallas_batch
                                  (batch-in-lanes, packed words)
 * TPU + arrows, side > 2048   -> fill_pallas_single.fill_arrows_fold_batch
                                  (fold layout, packed words)
 * otherwise                   -> fill_scan (lax.scan wavefront)
+
+Measured v5e break-evens behind the score routing (PERF.md): flat wins
+to ~256 side (162 GCUPS at 150bp); banded wins beyond when the batch
+can fill lanes (323-409 GCUPS at 1k-10kb sides, 128 pairs); a <24-pair
+batch of long pairs wastes lanes in both batch kernels, and the
+~60 GCUPS-per-pair fold kernel wins.
 
 Arrow outputs are the packed 4-diagonals-per-int32 layout wherever a
 Pallas kernel runs; pathcount/traceback dispatch on dtype, so consumers
@@ -30,6 +40,11 @@ LANES_ARROWS_MAX_SIDE = 2048
 # side-length bound for the batch-in-lanes SCORE kernel (4 rolling
 # (N, 128) scratch diagonals; probed OK at 4000, OOM at 6000)
 LANES_SCORES_MAX_SIDE = 4096
+# below this side the flat score kernel beats the banded one (measured)
+FLAT_SCORES_MAX_SIDE = 256
+# lane-occupancy break-even: a batch smaller than this of long pairs is
+# faster one-pair-at-a-time in the fold layout than padded to 128 lanes
+BANDED_MIN_BATCH = 24
 
 
 def default_platform() -> str:
@@ -46,13 +61,22 @@ def fill_scores_auto(
     import jax.numpy as jnp
 
     if (platform or default_platform()) == "tpu":
+        nb = tops.shape[0]
+        if sides.shape[1] <= FLAT_SCORES_MAX_SIDE:
+            from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
+
+            return fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
+        if nb >= BANDED_MIN_BATCH:
+            from nw_tpu.ops.fill_pallas_banded import fill_scores_banded_batch
+
+            return fill_scores_banded_batch(tops, sides, lens1, lens2, m, k, d)
         if sides.shape[1] <= LANES_SCORES_MAX_SIDE:
             from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
 
             return fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
-        # longer sides: the rolling diagonals outgrow VMEM with the
-        # batch in lanes; run the fold-layout single-pair kernel over
-        # the batch inside one dispatch (~60 GCUPS/pair)
+        # small batch of long pairs: lanes can't be filled; run the
+        # fold-layout single-pair kernel over the batch inside one
+        # dispatch (~60 GCUPS/pair)
         from nw_tpu.ops.fill_pallas_single import score_count_fold
 
         def one(args):

@@ -1,0 +1,376 @@
+"""Banded (row-tiled) Pallas wavefront fill for long-side batches.
+
+SURVEY §5.7's 2-D block-wavefront tiling, realized on-chip: the DP
+matrix's *row* dimension (the side string) is cut into bands of ``RB``
+rows; each band runs the same batch-in-lanes wavefront as
+:mod:`nw_tpu.ops.fill_pallas` (batch in the 128 lanes, band-local
+anti-diagonal in sublanes) with rolling ``(RB, 128)`` state, and bands
+hand off through their **boundary row** — the reference's cross-thread
+dependency (the condvar wait on the left neighbor,
+needleman-wunsch.c:444-475) becomes a streamed HBM row between
+sequential band sweeps.  This lifts the ~2k side-length VMEM bound of
+the flat kernels to arbitrary side lengths while keeping the batch in
+lanes.
+
+Two measured effects set the geometry (v5e, 128 x 10kb pairs):
+
+* **Rhombus slot overhead**: a band sweeps ``(A+RB) x RB`` slots for
+  its ``A x RB`` cells — overhead ``1 + RB/A`` vs the flat kernel's
+  2.04x at A=B.  Smaller bands waste fewer slots.
+* **Register residency**: per-slot throughput collapses ~2x once the
+  rolling state outgrows the vector register file (the flat kernel
+  drops from 351 to ~180 Gslots/s between side 144 and 512, measured).
+  The hot loop is therefore **unrolled**: one iteration advances
+  ``UNROLL`` diagonals with the three state registers loaded once and
+  stored once, so intermediate diagonals never touch VMEM.
+
+The sweet spot is RB ~= 96 rows (12 vregs/buffer) with UNROLL >= 16:
+~325 GCUPS score-only at 128 x 10kb — 2x the flat kernel's 161 at
+150 bp, ~30,000x the reference C fill, ~84% of the int32 VPU roofline
+(PERF.md).
+
+Band-local coordinates and the handoff:
+
+* band ``r`` owns global rows ``j in [r*RB, (r+1)*RB)``; local row
+  ``jj = j - r*RB``; local step ``t`` computes cells ``(jj, i = t-jj)``
+  (global anti-diagonal ``kk = t + r*RB``).
+* the *up* neighbor of local row 0 is the previous band's last row
+  ``bnd[i]``, produced by the parent at ITS step ``u = i + RB - 1``.
+  The boundary buffer is indexed **by producer step** so the writer's
+  stores stay 8-row aligned (a small staging register flushes every 8
+  steps); the reader needs ``bnd[u = t + RB - 1]`` — served from a
+  per-chunk contiguous VMEM window built by two bulk copies
+  (``lag0 = (RB-1)//C`` whole blocks of lag plus an ``off``-row phase).
+* the *diag* neighbor of row 0 is carried automatically by the
+  pre-shifted prev2 register (the "carried shift" economy of the flat
+  kernels).
+* band 0 has no parent; its boundary input is a NEG_INF dummy, and the
+  DP seed cell (0,0) = 0 is patched into the in-register state right
+  after the t = 0 substep (one predicated select per unroll group) —
+  rows/columns 0 then fall out of the NEG_INF natural-boundary decay
+  exactly as in fill_pallas (computation.c:96-120).
+
+Parameter envelope (same as the flat Pallas kernels): natural
+boundaries rely on NEG_INF = -2^30 decaying strictly below every real
+score, so |m|, |k|, |d| (and true scores) must stay below ~2^30; the
+CLI's exact-wraparound paths route through the explicitly-masked scan
+fill instead.
+
+Unwritten tails of the boundary buffers (beyond the producer's last
+step) inject garbage only into columns ``i > A`` — out-of-table cells
+whose values flow strictly down-right and never reach a true-rectangle
+cell (the same argument that makes pad characters safe, ops/encode.py).
+
+One Mosaic kernel serves every band: the band index, capture gate and
+scoring params ride a scalar-prefetch vector, so the band sweep is a
+single ``lax.scan`` over one compiled kernel.
+
+Reproduces: the fill loop at needleman-wunsch.c:418-626, scaled to
+lengths where the reference's 136 B/cell tables cannot exist.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nw_tpu.ops.encode import PAD_SIDE, PAD_TOP
+
+NEG_INF = -(2**30)
+LANES = 128
+BIG = 2**30
+
+# measured sweet spot (see module docstring); RB shrinks to the table
+# for short sides, UNROLL divides C
+DEFAULT_BAND_ROWS = 96
+DEFAULT_CHUNK = 480
+DEFAULT_UNROLL = 24
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _make_banded_scores_kernel(RB: int, C: int, off: int, unroll: int):
+    """Score-only banded kernel; grid (batch_blocks, T_pad // C).
+
+    Refs:
+      s_ref:      scalar prefetch int32[8] — m, k, d, band r, t_cap
+                  (first band-local step any pair's corner can be hit),
+                  j0 = r*RB, first-band flag, (1 spare)
+      tops_ref:   VMEM (C, BT) int32 — tops_sh[t] = top[t-1] chunk
+      sides_ref:  VMEM (RB, BT) int32 — this band's side chars
+                  (sides_sh[j] = side[j-1]; row 0 of band 0 = sentinel)
+      lens_ref:   VMEM (2, BT) int32 — len1, len2 per pair
+      bnda/bndb:  VMEM (C, BT) int32 — parent boundary blocks c+lag0,
+                  c+lag0+1 (indexed by producer step u)
+      score_ref:  VMEM (1, BT) int32 out — corner capture accumulator
+                  (c-invariant block)
+      bndout_ref: VMEM (C, BT) int32 out — this band's last row, by step
+      prev/prev2sh/ch: VMEM (RB, BT) scratch (persist across c)
+      bscr_ref:   VMEM (C, BT) scratch — contiguous boundary window
+      stage_ref:  VMEM (8, BT) scratch — boundary-out staging
+    """
+
+    def kernel(
+        s_ref, tops_ref, sides_ref, lens_ref, bnda_ref, bndb_ref,
+        score_ref, bndout_ref, prev_ref, prev2sh_ref, ch_ref, bscr_ref,
+        stage_ref,
+    ):
+        BT = lens_ref.shape[1]
+        c = pl.program_id(1)
+        m = s_ref[0]
+        kmis = s_ref[1]
+        d = s_ref[2]
+        tcap = s_ref[4]
+        j0 = s_ref[5]
+        first = s_ref[6]
+
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (RB, BT), 0)
+        len1 = lens_ref[0:1, :]
+        len2 = lens_ref[1:2, :]
+        t_corner = len1 + len2 - j0  # corner diag in band-local steps
+        tgt_row = len2 - j0
+
+        @pl.when(c == 0)
+        def _init():
+            prev_ref[...] = jnp.full((RB, BT), NEG_INF, jnp.int32)
+            prev2sh_ref[...] = jnp.full((RB, BT), NEG_INF, jnp.int32)
+            ch_ref[...] = jnp.full((RB, BT), -4, jnp.int32)
+            # len-0+0 pairs: their corner IS the band-0 seed cell (0,0)
+            score_ref[...] = jnp.where(
+                (first == 1) & (len1 + len2 == 0),
+                jnp.int32(0), jnp.int32(NEG_INF),
+            )
+
+        # contiguous parent-boundary window for this chunk:
+        # bscr[tl] = bnd[u = c*C + tl + RB - 1]
+        bscr_ref[0 : C - off, :] = bnda_ref[off:C, :]
+        if off:
+            bscr_ref[C - off : C, :] = bndb_ref[0:off, :]
+
+        side_ch = sides_ref[...]
+
+        def substep(t, tl, prev, prev2sh, ch):
+            new_top = tops_ref[pl.ds(tl, 1), :]
+            ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
+            sub = jnp.where(ch == side_ch, m, -kmis)
+
+            inj = bscr_ref[pl.ds(tl, 1), :]
+            prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
+            score = jnp.maximum(prev2sh + sub, jnp.maximum(prev_sh, prev) - d)
+
+            # stage this band's last row (column i = t - RB + 1);
+            # 8-aligned slab flushes keep the store path cheap
+            r8 = jnp.bitwise_and(tl, 7)
+            stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
+
+            @pl.when(r8 == 7)
+            def _():
+                bndout_ref[pl.ds(tl - 7, 8), :] = stage_ref[...]
+
+            @pl.when(t >= tcap)
+            def _():
+                hit = (t_corner == t) & (j_iota == tgt_row)
+                score_ref[...] = jnp.maximum(
+                    score_ref[...],
+                    jnp.max(
+                        jnp.where(hit, score, NEG_INF), axis=0, keepdims=True
+                    ),
+                )
+            return score, prev_sh, ch
+
+        def step(i, _):
+            # UNROLL diagonals per iteration: state registers load once,
+            # store once; intermediates stay in vregs
+            tl0 = i * unroll
+            prev = prev_ref[...]
+            prev2sh = prev2sh_ref[...]
+            ch = ch_ref[...]
+            for u in range(unroll):
+                tl = tl0 + u
+                prev, prev2sh, ch = substep(c * C + tl, tl, prev, prev2sh, ch)
+                if u == 0:
+                    # band-0 DP seed: overwrite the t = 0 garbage with
+                    # cell (0,0) = 0 before step t = 1 consumes it
+                    seed_now = (c == 0) & (i == 0) & (first == 1)
+                    prev = jnp.where(
+                        seed_now & (j_iota == 0), jnp.int32(0), prev
+                    )
+            prev_ref[...] = prev
+            prev2sh_ref[...] = prev2sh
+            ch_ref[...] = ch
+            return 0
+
+        jax.lax.fori_loop(0, C // unroll, step, 0)
+
+    return kernel
+
+
+def _geometry(A: int, N: int, band_rows: int, chunk: int, unroll: int):
+    """Clamp the (RB, C, UNROLL) geometry to the table."""
+    RB = min(band_rows, _round_up(N, 8))
+    nbands = -(-N // RB)
+    C = _round_up(chunk, unroll)
+    T = A + RB  # steps t in [0, T): last row's col A lands at t = A+RB-1
+    T_pad = _round_up(T, C)
+    lag0 = (RB - 1) // C
+    off = (RB - 1) - lag0 * C
+    U_pad = T_pad + (lag0 + 2) * C  # reader blocks reach c + lag0 + 1
+    return RB, nbands, C, T_pad, lag0, off, U_pad
+
+
+def _prep_banded(tops, sides, lens1, lens2, BT, T_pad, N_pad):
+    """Layouts: tops_sh (T_pad, nb_pad) with tops_sh[t] = top[t-1];
+    sides_sh (N_pad, nb_pad) with sides_sh[j] = side[j-1]; lens (2, nb_pad)."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    nb_pad = _round_up(max(nb, 1), BT)
+
+    tops_sh = jnp.full((T_pad, nb_pad), PAD_TOP, jnp.int32)
+    if A:
+        tops_sh = tops_sh.at[1 : A + 1, :nb].set(tops.astype(jnp.int32).T)
+    tops_sh = tops_sh.at[0, :].set(-6)
+
+    sides_sh = jnp.full((N_pad, nb_pad), PAD_SIDE, jnp.int32)
+    if Bs:
+        sides_sh = sides_sh.at[1 : Bs + 1, :nb].set(sides.astype(jnp.int32).T)
+    sides_sh = sides_sh.at[0, :].set(-3)
+
+    lens1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nb_pad - nb))
+    lens2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nb_pad - nb))
+    lens = jnp.stack([lens1, lens2], axis=0)
+    return tops_sh, sides_sh, lens, nb_pad
+
+
+def _band_scalars(m, k, d, r, RB, lens, nb):
+    """Per-band scalar-prefetch vector [m, k, d, r, tcap, j0, first, 0].
+
+    ``r`` may be traced (the band loop is a lax.scan)."""
+    r = jnp.asarray(r, jnp.int32)
+    j0 = r * RB
+    l1 = lens[0, :nb]
+    l2 = lens[1, :nb]
+    in_band = (l2 >= j0) & (l2 < j0 + RB)
+    tcap = jnp.min(jnp.where(in_band, l1 + l2 - j0, BIG))
+    return jnp.stack(
+        [
+            jnp.asarray(m, jnp.int32),
+            jnp.asarray(k, jnp.int32),
+            jnp.asarray(d, jnp.int32),
+            r,
+            tcap.astype(jnp.int32),
+            j0,
+            (r == 0).astype(jnp.int32),
+            jnp.int32(0),
+        ]
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "block_pairs", "band_rows", "chunk", "unroll"),
+)
+def fill_scores_banded_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    chunk: int = DEFAULT_CHUNK,
+    unroll: int = DEFAULT_UNROLL,
+):
+    """Score a batch of pairs of ANY side length (banded wavefront).
+
+    Args:
+      tops: int32[B, A] encoded top strings (PAD_TOP padded).
+      sides: int32[B, Bs] encoded side strings (PAD_SIDE padded).
+      lens1, lens2: int32[B] true lengths.
+      m, k, d: scoring params.
+      band_rows: band height RB (multiple of 8; clamped to the table).
+      chunk: diagonals per grid step (rounded up to a unroll multiple).
+      unroll: diagonals advanced per state-register round-trip.
+    Returns:
+      int32[B] optimal scores (true corner per pair).
+    """
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    if nb == 0:
+        return jnp.zeros((0,), jnp.int32)
+    BT = block_pairs
+    N = Bs + 1
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+
+    call = pl.pallas_call(
+        _make_banded_scores_kernel(RB, C, off, unroll),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb_pad // BT, T_pad // C),
+            in_specs=[
+                pl.BlockSpec(
+                    (C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (RB, BT), lambda b, c, s: (s[3], b),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (2, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (C, BT), lambda b, c, s: (c + lag0, b),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (C, BT), lambda b, c, s: (c + lag0 + 1, b),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((RB, BT), jnp.int32),  # prev diagonal
+                pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2) diagonal
+                pltpu.VMEM((RB, BT), jnp.int32),  # rolling top chars
+                pltpu.VMEM((C, BT), jnp.int32),   # boundary window
+                pltpu.VMEM((8, BT), jnp.int32),   # boundary-out staging
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
+    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
+
+    def band_body(carry, r):
+        scores, bnd = carry
+        s = _band_scalars(m, k, d, r, RB, lens, nb)
+        part, bnd = call(s, tops_sh, sides_sh, lens, bnd, bnd)
+        return (jnp.maximum(scores, part), bnd), None
+
+    (scores, _), _ = jax.lax.scan(
+        band_body, (scores0, bnd0), jnp.arange(nbands, dtype=jnp.int32)
+    )
+    return scores[0, :nb]

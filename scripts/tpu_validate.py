@@ -186,6 +186,27 @@ def main() -> int:
             assert sw[b] == sw_align(a, s2, 2, 1, 1), b
             assert af[b] == affine_align(a, s2, 2, 1, 3, 1), b
 
+    def banded_scores():
+        from nw_tpu.ops.fill_pallas_banded import fill_scores_banded_batch
+        from nw_tpu.ops.fill_pallas_single import score_pallas_single
+
+        # small geometry: multi-band boundary handoff on mixed lengths
+        got = np.asarray(
+            fill_scores_banded_batch(
+                tops, sides, l1, l2, 2, 1, 1,
+                band_rows=24, chunk=24, unroll=8,
+            )
+        )
+        assert (got == ref_scores).all()
+        # production geometry at 10 kb (the VERDICT r1 tiled-kernel check)
+        L = 10240
+        t10 = jnp.asarray(rng.integers(65, 69, (32, L)), jnp.int32)
+        s10 = jnp.asarray(rng.integers(65, 69, (32, L)), jnp.int32)
+        lv = np.full((32,), L, np.int32)
+        got10 = np.asarray(fill_scores_banded_batch(t10, s10, lv, lv, 2, 1, 1))
+        for b in (0, 31):
+            assert int(got10[b]) == int(score_pallas_single(t10[b], s10[b], 2, 1, 1))
+
     def sharded():
         from jax.sharding import Mesh
 
@@ -210,6 +231,7 @@ def main() -> int:
     check("SW + affine kernels", variants)
     check("SW + affine batched alignments", variant_alignments)
     check("long-side score routing (lax.map fold)", long_side_scores)
+    check("banded score kernel (multi-band + 10kb)", banded_scores)
     check("sharded pallas path", sharded)
     return 1 if FAILED else 0
 
