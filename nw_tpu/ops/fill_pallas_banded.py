@@ -271,6 +271,340 @@ def _band_scalars(m, k, d, r, RB, lens, nb):
     )
 
 
+def _make_banded_arrows_kernel(
+    RB: int, C: int, off: int, unroll: int, with_counts: bool
+):
+    """Arrows-emitting banded kernel; grid (batch_blocks, T_pad // C).
+
+    Same hot loop as the scores kernel plus walk-flag emission
+    (needleman-wunsch.c:485-503): bit0 diag, bit1 left, bit2 up, four
+    band-local diagonals packed per int32 word little-endian.  The pack
+    register lives in vregs only — ``unroll % 4 == 0`` means every word
+    completes inside one unrolled group.  Output layout is band-major:
+    cell (j, i) of pair b is byte ``(i + j%RB) & 3`` of
+    ``words[j//RB, (i + j%RB) >> 2, j%RB, b]``.
+
+    With ``with_counts``, solution-count diagonals ride along (their
+    boundary row streams through a second bnd in/out pair), emitting the
+    reference's ``-s`` solution count (int32 wraparound == the
+    reference's unsigned overflow, computation.h:65) with no second pass.
+    """
+
+    def kernel(*refs):
+        if with_counts:
+            (s_ref, tops_ref, sides_ref, lens_ref, bnda_ref, bndb_ref,
+             cbnda_ref, cbndb_ref,
+             words_ref, score_ref, bndout_ref, count_ref, cbndout_ref,
+             prev_ref, prev2sh_ref, ch_ref, bscr_ref, stage_ref,
+             cprev_ref, cprev2sh_ref, cbscr_ref, cstage_ref) = refs
+        else:
+            (s_ref, tops_ref, sides_ref, lens_ref, bnda_ref, bndb_ref,
+             words_ref, score_ref, bndout_ref,
+             prev_ref, prev2sh_ref, ch_ref, bscr_ref, stage_ref) = refs
+
+        BT = lens_ref.shape[1]
+        c = pl.program_id(1)
+        m = s_ref[0]
+        kmis = s_ref[1]
+        d = s_ref[2]
+        tcap = s_ref[4]
+        j0 = s_ref[5]
+        first = s_ref[6]
+
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (RB, BT), 0)
+        len1 = lens_ref[0:1, :]
+        len2 = lens_ref[1:2, :]
+        t_corner = len1 + len2 - j0
+        tgt_row = len2 - j0
+
+        @pl.when(c == 0)
+        def _init():
+            prev_ref[...] = jnp.full((RB, BT), NEG_INF, jnp.int32)
+            prev2sh_ref[...] = jnp.full((RB, BT), NEG_INF, jnp.int32)
+            ch_ref[...] = jnp.full((RB, BT), -4, jnp.int32)
+            score_ref[...] = jnp.where(
+                (first == 1) & (len1 + len2 == 0),
+                jnp.int32(0), jnp.int32(NEG_INF),
+            )
+            if with_counts:
+                cprev_ref[...] = jnp.zeros((RB, BT), jnp.int32)
+                cprev2sh_ref[...] = jnp.zeros((RB, BT), jnp.int32)
+                count_ref[...] = jnp.where(
+                    (first == 1) & (len1 + len2 == 0),
+                    jnp.int32(1), jnp.int32(0),
+                )
+
+        bscr_ref[0 : C - off, :] = bnda_ref[off:C, :]
+        if off:
+            bscr_ref[C - off : C, :] = bndb_ref[0:off, :]
+        if with_counts:
+            cbscr_ref[0 : C - off, :] = cbnda_ref[off:C, :]
+            if off:
+                cbscr_ref[C - off : C, :] = cbndb_ref[0:off, :]
+
+        side_ch = sides_ref[...]
+
+        def substep(t, tl, r4, st):
+            prev, prev2sh, ch, cprev, cprev2sh, pack = st
+            new_top = tops_ref[pl.ds(tl, 1), :]
+            ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
+            sub = jnp.where(ch == side_ch, m, -kmis)
+
+            inj = bscr_ref[pl.ds(tl, 1), :]
+            prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
+            cand_d = prev2sh + sub
+            score = jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d)
+
+            # walk flags: left/up candidates aren't materialized (fused
+            # max-then-subtract), so compare against score + d
+            score_d = score + d
+            b_diag = cand_d == score
+            b_left = prev == score_d
+            b_up = prev_sh == score_d
+            arrows = (
+                b_diag.astype(jnp.int32)
+                + b_left.astype(jnp.int32) * 2
+                + b_up.astype(jnp.int32) * 4
+            )
+            # r4 is static (unroll % 4 == 0): the pack register never
+            # crosses an unrolled group
+            word = arrows << (r4 * 8)
+            pack = word if r4 == 0 else pack | word
+            if r4 == 3:
+                words_ref[pl.ds(tl // 4, 1), :, :] = pack[None]
+
+            r8 = jnp.bitwise_and(tl, 7)
+            stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
+
+            @pl.when(r8 == 7)
+            def _():
+                bndout_ref[pl.ds(tl - 7, 8), :] = stage_ref[...]
+
+            cnt = None
+            if with_counts:
+                cinj = cbscr_ref[pl.ds(tl, 1), :]
+                cprev_sh = jnp.concatenate([cinj, cprev[:-1, :]], axis=0)
+                cnt = (
+                    jnp.where(b_diag, cprev2sh, 0)
+                    + jnp.where(b_left, cprev, 0)
+                    + jnp.where(b_up, cprev_sh, 0)
+                )
+                cstage_ref[pl.ds(r8, 1), :] = cnt[RB - 1 : RB, :]
+
+                @pl.when(r8 == 7)
+                def _():
+                    cbndout_ref[pl.ds(tl - 7, 8), :] = cstage_ref[...]
+
+                cprev2sh = cprev_sh
+
+            @pl.when(t >= tcap)
+            def _():
+                hit = (t_corner == t) & (j_iota == tgt_row)
+                score_ref[...] = jnp.maximum(
+                    score_ref[...],
+                    jnp.max(
+                        jnp.where(hit, score, NEG_INF), axis=0, keepdims=True
+                    ),
+                )
+                if with_counts:
+                    count_ref[...] = count_ref[...] + jnp.sum(
+                        jnp.where(hit, cnt, 0), axis=0, keepdims=True
+                    )
+
+            return (score, prev_sh, ch, cnt, cprev2sh, pack)
+
+        def step(i, _):
+            tl0 = i * unroll
+            st = (
+                prev_ref[...], prev2sh_ref[...], ch_ref[...],
+                cprev_ref[...] if with_counts else None,
+                cprev2sh_ref[...] if with_counts else None,
+                None,  # pack register: completes within each group
+            )
+            for u in range(unroll):
+                tl = tl0 + u
+                st = substep(c * C + tl, tl, u % 4, st)
+                if u == 0:
+                    seed_now = (c == 0) & (i == 0) & (first == 1)
+                    seed_mask = seed_now & (j_iota == 0)
+                    st = (
+                        jnp.where(seed_mask, jnp.int32(0), st[0]),
+                    ) + st[1:]
+                    if with_counts:
+                        st = st[:3] + (
+                            jnp.where(seed_mask, jnp.int32(1), st[3]),
+                        ) + st[4:]
+            prev_ref[...], prev2sh_ref[...], ch_ref[...] = st[0], st[1], st[2]
+            if with_counts:
+                cprev_ref[...], cprev2sh_ref[...] = st[3], st[4]
+            return 0
+
+        jax.lax.fori_loop(0, C // unroll, step, 0)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "block_pairs", "band_rows", "chunk", "unroll",
+        "with_counts",
+    ),
+)
+def fill_arrows_banded_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    chunk: int = 192,
+    unroll: int = DEFAULT_UNROLL,
+    with_counts: bool = False,
+):
+    """Banded fill emitting band-major packed arrows + scores (+counts).
+
+    Returns (words, scores[, counts]):
+      words: int32[nbands, T_pad//4, RB, B] — cell (j, i) of pair b is
+        byte ``(i + j%RB) & 3`` of ``words[j//RB, (i + j%RB)>>2, j%RB, b]``
+        (band-local diagonal ``t = i + j%RB``; out-of-table cells hold
+        unspecified garbage, including the never-read cell (0,0) byte).
+      scores: int32[B] true-corner scores.
+      counts: uint32[B] solution counts (``with_counts``), reference
+        wraparound semantics.
+
+    The default chunk is smaller than the scores kernel's: the
+    double-buffered (chunk/4, RB, BT) word slab must fit VMEM.
+    """
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    if nb == 0:
+        empty = (
+            jnp.zeros((1, 0, band_rows, 0), jnp.int32),
+            jnp.zeros((0,), jnp.int32),
+        )
+        return empty + ((jnp.zeros((0,), jnp.uint32),) if with_counts else ())
+    BT = block_pairs
+    N = Bs + 1
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+
+    if unroll % 4:
+        raise ValueError("unroll must be a multiple of 4 for word packing")
+    n_bnd_streams = 2 if with_counts else 1
+    out_shapes = [
+        # one band plane per call; the band scan stacks them
+        jax.ShapeDtypeStruct((1, T_pad // 4, RB, nb_pad), jnp.int32),
+        jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
+    ]
+    out_specs = [
+        pl.BlockSpec(
+            (None, C // 4, RB, BT), lambda b, c, s: (0, c, 0, b),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec((1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM),
+    ]
+    if with_counts:
+        out_shapes += [
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
+        ]
+        out_specs += [
+            pl.BlockSpec(
+                (1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM
+            ),
+        ]
+    bnd_spec = [
+        pl.BlockSpec(
+            (C, BT), lambda b, c, s: (c + lag0, b), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (C, BT), lambda b, c, s: (c + lag0 + 1, b),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    scratch = [
+        pltpu.VMEM((RB, BT), jnp.int32),  # prev
+        pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2)
+        pltpu.VMEM((RB, BT), jnp.int32),  # rolling top chars
+        pltpu.VMEM((C, BT), jnp.int32),   # boundary window
+        pltpu.VMEM((8, BT), jnp.int32),   # boundary-out staging
+    ]
+    if with_counts:
+        scratch += [
+            pltpu.VMEM((RB, BT), jnp.int32),  # prev count
+            pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2) count
+            pltpu.VMEM((C, BT), jnp.int32),   # count boundary window
+            pltpu.VMEM((8, BT), jnp.int32),   # count boundary staging
+        ]
+
+    call = pl.pallas_call(
+        _make_banded_arrows_kernel(RB, C, off, unroll, with_counts),
+        out_shape=tuple(out_shapes),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb_pad // BT, T_pad // C),
+            in_specs=[
+                pl.BlockSpec(
+                    (C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (RB, BT), lambda b, c, s: (s[3], b),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (2, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
+                ),
+            ]
+            + bnd_spec * n_bnd_streams,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
+    cbnd0 = jnp.zeros((U_pad, nb_pad), jnp.int32)
+    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
+    counts0 = jnp.zeros((1, nb_pad), jnp.int32)
+
+    def band_body(carry, r):
+        s = _band_scalars(m, k, d, r, RB, lens, nb)
+        if with_counts:
+            scores, counts, bnd, cbnd = carry
+            words, part, bnd, cpart, cbnd = call(
+                s, tops_sh, sides_sh, lens, bnd, bnd, cbnd, cbnd
+            )
+            return (
+                jnp.maximum(scores, part), counts + cpart, bnd, cbnd
+            ), words[0]
+        scores, bnd = carry
+        words, part, bnd = call(s, tops_sh, sides_sh, lens, bnd, bnd)
+        return (jnp.maximum(scores, part), bnd), words[0]
+
+    init = (
+        (scores0, counts0, bnd0, cbnd0) if with_counts else (scores0, bnd0)
+    )
+    carry, words = jax.lax.scan(
+        band_body, init, jnp.arange(nbands, dtype=jnp.int32)
+    )
+    out = (words, carry[0][0, :nb])
+    if with_counts:
+        out += (carry[1][0, :nb].astype(jnp.uint32),)
+    return out
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "block_pairs", "band_rows", "chunk", "unroll"),

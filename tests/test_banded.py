@@ -8,6 +8,7 @@ swept on hardware by scripts/tpu_validate.py).
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from nw_tpu.ops import encode as enc
@@ -71,6 +72,69 @@ def test_banded_scores_degenerate_lengths():
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+def banded_arrows_to_diag(words, A, Bs):
+    """Band-major packed words int32[nbands, T4, RB, B] -> uint8[B, K, N]
+    diagonal-major (test-only converter; cell (j, i) lives at band
+    j//RB, local diag (i + j%RB), row j%RB, byte (i + j%RB) & 3)."""
+    w = np.asarray(words)
+    nbands, T4, RB, B = w.shape
+    T = T4 * 4
+    full = np.stack(
+        [(w >> (8 * r)) & 0xFF for r in range(4)], axis=2
+    ).reshape(nbands, T, RB, B)
+    K, N = A + Bs + 1, Bs + 1
+    out = np.zeros((B, K, N), np.uint8)
+    kks = np.arange(K)
+    for j in range(N):
+        r, jj = divmod(j, RB)
+        t = kks - r * RB
+        valid = (t >= 0) & (t < T) & (kks >= j) & (kks - j <= A)
+        out[:, valid, j] = full[r, t[valid], jj, :].T
+    return out
+
+
+@pytest.mark.parametrize("with_counts", [False, True])
+@pytest.mark.parametrize(
+    "geometry",
+    [(8, 8, 4), (16, 8, 8), (8, 16, 4), (32, 32, 16)],
+)
+def test_banded_arrows_vs_oracle(geometry, with_counts):
+    from nw_tpu.ops import pathcount
+    from nw_tpu.ops.fill_pallas_banded import fill_arrows_banded_batch
+    from nw_tpu.ops.fill_scan import fill_diag_batch
+
+    RB, C, U = geometry
+    rng = np.random.default_rng(hash(geometry) % 2**31 + with_counts)
+    ps = _pairs(rng, 5, 1, 50)
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    l1j, l2j = jnp.asarray(l1), jnp.asarray(l2)
+    ref = fill_diag_batch(tops, sides, 2, 1, 1, l1j, l2j)
+    ref_arrows = np.asarray(ref["arrows"])
+    ref_scores = np.asarray(ref["score"])
+
+    out = fill_arrows_banded_batch(
+        tops, sides, l1, l2, 2, 1, 1,
+        interpret=True, band_rows=RB, chunk=C, unroll=U,
+        with_counts=with_counts,
+    )
+    words, scores = out[0], out[1]
+    np.testing.assert_array_equal(np.asarray(scores), ref_scores)
+    if with_counts:
+        ref_counts = np.asarray(
+            jax.vmap(pathcount.count_paths)(ref["arrows"], l1j, l2j)
+        )
+        np.testing.assert_array_equal(np.asarray(out[2]), ref_counts)
+
+    got = banded_arrows_to_diag(words, tops.shape[1], sides.shape[1])
+    for b, (a, s2) in enumerate(ps):
+        A1, B2 = len(a), len(s2)
+        for j in range(B2 + 1):
+            for kk in range(j, j + A1 + 1):
+                if kk == 0:
+                    continue  # cell (0,0) has no arrows (seeded)
+                assert got[b, kk, j] == ref_arrows[b, kk, j], (b, kk, j)
 
 
 def test_banded_scores_band_boundary_lengths():
