@@ -250,11 +250,27 @@ class NWAligner:
 
         # HBM-aware auto-chunking for arrow-emitting runs
         if (traceback_strings or count) and len(norm) > 1:
+            from nw_tpu.ops.fill_auto import (
+                BANDED_MIN_BATCH,
+                LANES_ARROWS_MAX_SIDE,
+            )
+
             L1 = self.config.bucket_for(max((len(a) for a, _ in norm), default=1))
             L2 = self.config.bucket_for(max((len(b) for _, b in norm), default=1))
-            arrow_bytes = (L1 + L2 + 2) * (L2 + 1)  # packed words/pair
-            budget = int(os.environ.get("NW_TPU_ARROW_HBM", str(4 << 30)))
-            chunk = max(1, budget // max(arrow_bytes, 1))
+            use_pallas = self.config.use_pallas and pallas_supported()
+            if (
+                use_pallas
+                and L2 > LANES_ARROWS_MAX_SIDE
+                and len(norm) >= BANDED_MIN_BATCH
+            ):
+                # banded checkpointed route: arrows are never fully
+                # materialized; live memory is one group of bands per
+                # 128-lane block, so chunk only to keep lanes full
+                chunk = int(os.environ.get("NW_TPU_BANDED_TB_PAIRS", "128"))
+            else:
+                arrow_bytes = (L1 + L2 + 2) * (L2 + 1)  # packed words/pair
+                budget = int(os.environ.get("NW_TPU_ARROW_HBM", str(4 << 30)))
+                chunk = max(1, budget // max(arrow_bytes, 1))
             if chunk < len(norm):
                 parts = [
                     self.align_batch(
@@ -307,7 +323,12 @@ class NWAligner:
         tops, sides, lens1, lens2 = enc.encode_batch(norm, len1, len2)
         l1j, l2j = jnp.asarray(lens1), jnp.asarray(lens2)
 
-        from nw_tpu.ops.fill_auto import fill_arrows_auto, fill_scores_auto
+        from nw_tpu.ops.fill_auto import (
+            BANDED_MIN_BATCH,
+            LANES_ARROWS_MAX_SIDE,
+            fill_arrows_auto,
+            fill_scores_auto,
+        )
 
         need_arrows = traceback_strings or count
         use_pallas = self.config.use_pallas and pallas_supported()
@@ -317,6 +338,43 @@ class NWAligner:
                 tops, sides, lens1, lens2, m, k, d, platform=platform
             )
             return BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
+
+        if (
+            use_pallas
+            and len2 > LANES_ARROWS_MAX_SIDE
+            and len(norm) >= BANDED_MIN_BATCH
+        ):
+            # long-side batches: the banded checkpointed engine —
+            # fused score(+count) checkpoint pass, then per-group arrow
+            # re-fill + batched walk; full arrows never exist in HBM
+            if traceback_strings:
+                from nw_tpu.ops.banded_traceback import traceback_banded_batch
+
+                out = traceback_banded_batch(
+                    tops, sides, lens1, lens2, m, k, d, with_counts=count
+                )
+                if count:
+                    scores, counts, ops, n = out
+                else:
+                    (scores, ops, n), counts = out, None
+                result = BatchResult(scores=scores, status=status, _pairs=norm)
+                if count:
+                    result.counts = counts
+                result.ops = ops
+                result.ops_len = n
+                return result
+            from nw_tpu.ops.fill_pallas_banded import (
+                fill_scores_counts_banded_batch,
+            )
+
+            scores, counts = fill_scores_counts_banded_batch(
+                tops, sides, lens1, lens2, m, k, d
+            )
+            result = BatchResult(
+                scores=np.asarray(scores), status=status, _pairs=norm
+            )
+            result.counts = np.asarray(counts)
+            return result
 
         if count and not traceback_strings and use_pallas and len2 <= 2048:
             # fused score+count wavefront: no arrows materialized at all

@@ -1,0 +1,274 @@
+"""Checkpointed banded traceback: exact greedy walks at any scale.
+
+Materializing full arrow tables for a 128-pair batch of 10 kb pairs
+needs ~14 GB of HBM; 100 kb pairs are hopeless.  This module trades one
+extra fill pass for O(sqrt)-ish live memory, batching the reference's
+walk (needleman-wunsch.c:209-331, first-emission greedy order
+diag > left > up) across the whole batch:
+
+1. **Checkpoint pass** — the banded score sweep
+   (ops/fill_pallas_banded.py) runs bottom-up, keeping the boundary row
+   at the entry of every *group* of ``S`` bands (the checkpoints; a few
+   hundred KB per group vs GBs of arrows).
+2. **Walk pass** — groups are revisited top row last: for group ``g``
+   the arrows of its ``S`` bands are re-filled from checkpoint ``g``
+   (band-major packed words, ~1 GB live for 128 x 10kb), and a batched
+   backward walk advances every pair whose current row lies inside the
+   group.  Within one group each pair's active iterations form a prefix
+   of the loop counter (rows only decrease), so per-group op buffers are
+   compact and the final per-pair op strings are stitched on the host.
+
+The result is bit-identical to ``traceback.traceback_greedy`` on a full
+arrow table — i.e. to the first alignment the reference DFS emits —
+with peak memory ``O(A * S * RB)`` per group instead of ``O(A * B)``.
+
+This is also the mid-fill checkpoint structure (SURVEY §5 checkpoint
+row): the per-group boundary rows are exactly the state a preempted
+fill needs to resume (see runtime.checkpoint).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nw_tpu.ops.fill_pallas_banded import (
+    DEFAULT_UNROLL,
+    LANES,
+    NEG_INF,
+    _band_scalars,
+    _geometry,
+    _prep_banded,
+    build_arrows_call,
+    build_scores_call,
+)
+from nw_tpu.ops.traceback import OP_DIAG, OP_LEFT, OP_NONE, OP_UP
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "block_pairs", "band_rows", "chunk", "unroll",
+        "group_bands", "with_counts",
+    ),
+)
+def _banded_walk_device(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool,
+    block_pairs: int,
+    band_rows: int,
+    chunk: int,
+    unroll: int,
+    group_bands: int,
+    with_counts: bool,
+):
+    """Device part: (scores int32[nb], counts, ops_stack
+    int8[ngroups, cap, nb] in walk order (last group first), ng_stack
+    int32[ngroups, nb]).  ``counts`` rides the checkpoint pass for free
+    when ``with_counts`` (None otherwise)."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    BT = block_pairs
+    N = Bs + 1
+    S = group_bands
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    ngroups = -(-nbands // S)
+    nbands = ngroups * S  # pad to whole groups (extra bands fill pad rows)
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+
+    if with_counts:
+        score_call = build_arrows_call(
+            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+            with_counts=True, with_words=False,
+        )
+    else:
+        score_call = build_scores_call(
+            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret
+        )
+    arrows_call = build_arrows_call(
+        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+        with_counts=False,
+    )
+
+    # ---- pass 1: score sweep, checkpoint = boundary at each group entry
+    # (solution counts ride along when asked — one pass serves -s too)
+    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
+    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
+    cbnd0 = jnp.zeros((U_pad, nb_pad), jnp.int32)
+    counts0 = jnp.zeros((1, nb_pad), jnp.int32)
+
+    def group_fwd(carry, g):
+        scores, counts, bnd, cbnd = carry
+        cp = bnd  # boundary entering group g
+
+        def band_fwd(c2, rr):
+            scores2, counts2, bnd2, cbnd2 = c2
+            s = _band_scalars(m, k, d, g * S + rr, RB, lens, nb)
+            if with_counts:
+                part, bnd2, cpart, cbnd2 = score_call(
+                    s, tops_sh, sides_sh, lens, bnd2, bnd2, cbnd2, cbnd2
+                )
+                counts2 = counts2 + cpart
+            else:
+                part, bnd2 = score_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
+            return (jnp.maximum(scores2, part), counts2, bnd2, cbnd2), None
+
+        (scores, counts, bnd, cbnd), _ = jax.lax.scan(
+            band_fwd, (scores, counts, bnd, cbnd),
+            jnp.arange(S, dtype=jnp.int32),
+        )
+        return (scores, counts, bnd, cbnd), cp
+
+    (scores, counts, _, _), cps = jax.lax.scan(
+        group_fwd, (scores0, counts0, bnd0, cbnd0),
+        jnp.arange(ngroups, dtype=jnp.int32),
+    )
+
+    # ---- pass 2: per group (descending): arrows re-fill + batched walk
+    T4 = T_pad // 4
+    WU = 8  # walk steps per while-loop iteration (amortizes loop overhead)
+    # max in-group walk steps (all-horizontal worst case), WU-aligned
+    cap = -(-(A + S * RB + 1) // WU) * WU
+    b_ar = jnp.arange(nb, dtype=jnp.int32)
+
+    def group_walk(carry, idx):
+        i, j = carry
+        g = ngroups - 1 - idx
+
+        def band_refill(bnd2, rr):
+            s = _band_scalars(m, k, d, g * S + rr, RB, lens, nb)
+            words, _, bnd2 = arrows_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
+            return bnd2, words[0]
+
+        _, words = jax.lax.scan(
+            band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
+        )  # (S, T4, RB, nb_pad)
+        words_flat = words.reshape(-1)
+
+        g0 = g * S * RB
+
+        def cond(st):
+            i, j, tl, _, _ = st
+            active = ((i > 0) | (j > 0)) & (j >= g0)
+            return jnp.any(active) & (tl < cap)
+
+        def body(st):
+            i, j, tl, ops_g, ng = st
+            op_rows = []
+            for _ in range(WU):
+                active = ((i > 0) | (j > 0)) & (j >= g0)
+                jl = jnp.clip(j - g0, 0, S * RB - 1)
+                rr = jl // RB
+                jj = jl - rr * RB
+                t = jnp.clip(i + jj, 0, T_pad - 1)
+                lin = ((rr * T4 + (t >> 2)) * RB + jj) * nb_pad + b_ar
+                w = words_flat[lin]
+                a = (w >> ((t & 3) * 8)) & 0xFF
+                take_diag = (a & 1) != 0
+                take_left = (~take_diag) & ((a & 2) != 0)
+                take_up = ~(take_diag | take_left)
+                op = jnp.where(
+                    take_diag, OP_DIAG, jnp.where(take_left, OP_LEFT, OP_UP)
+                ).astype(jnp.int8)
+                op_rows.append(jnp.where(active, op, OP_NONE))
+                di = jnp.where(active & (take_diag | take_left), 1, 0)
+                dj = jnp.where(active & (take_diag | take_up), 1, 0)
+                i = i - di
+                j = j - dj
+                ng = ng + active
+            ops_g = jax.lax.dynamic_update_slice(
+                ops_g, jnp.stack(op_rows), (tl, 0)
+            )
+            return (i, j, tl + WU, ops_g, ng)
+
+        ops_g0 = jnp.full((cap, nb), OP_NONE, jnp.int8)
+        ng0 = jnp.zeros((nb,), jnp.int32)
+        i, j, _, ops_g, ng = jax.lax.while_loop(
+            cond, body, (i, j, jnp.int32(0), ops_g0, ng0)
+        )
+        return (i, j), (ops_g, ng)
+
+    i0 = jnp.asarray(lens1, jnp.int32)
+    j0v = jnp.asarray(lens2, jnp.int32)
+    (_, _), (ops_stack, ng_stack) = jax.lax.scan(
+        group_walk, (i0, j0v), jnp.arange(ngroups, dtype=jnp.int32)
+    )
+    counts_out = (
+        counts[0, :nb].astype(jnp.uint32) if with_counts else None
+    )
+    return scores[0, :nb], counts_out, ops_stack, ng_stack
+
+
+def traceback_banded_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    band_rows: int = 96,
+    chunk: int = 192,
+    unroll: int = DEFAULT_UNROLL,
+    group_bands: int = 8,
+    with_counts: bool = False,
+):
+    """Exact greedy traceback of a batch at any side length.
+
+    Returns (scores int32[B], ops int8[B, S_total], n int32[B]) — or
+    (scores, counts uint32[B], ops, n) with ``with_counts`` — with the
+    same op-code semantics as :func:`nw_tpu.ops.traceback.traceback_greedy`
+    (corner -> origin, diag > left > up priority — the reference's
+    first-emitted alignment).
+    """
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    if nb == 0:
+        empty = (
+            np.zeros((0,), np.int32),
+            np.zeros((0, 1), np.int8),
+            np.zeros((0,), np.int32),
+        )
+        return empty[:1] + (np.zeros((0,), np.uint32),) + empty[1:] \
+            if with_counts else empty
+    scores, counts, ops_stack, ng_stack = _banded_walk_device(
+        tops, sides, lens1, lens2, m, k, d,
+        interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
+        chunk=chunk, unroll=unroll, group_bands=group_bands,
+        with_counts=with_counts,
+    )
+    scores, counts, ops_stack, ng_stack = jax.device_get(
+        (scores, counts, ops_stack, ng_stack)
+    )
+    ops, n = _compact_group_ops(ops_stack, ng_stack, A + Bs)
+    if with_counts:
+        return np.asarray(scores), np.asarray(counts), ops, n
+    return np.asarray(scores), ops, n
+
+
+def _compact_group_ops(ops_stack, ng_stack, s_total):
+    """Stitch per-group op prefixes into per-pair op strings.
+
+    ops_stack: int8[ngroups, cap, nb] in walk order; within each group a
+    pair's real ops occupy loop-counter positions [0, ng).
+    """
+    ops_stack = np.asarray(ops_stack)
+    ng = np.asarray(ng_stack)
+    ngroups, cap, nb = ops_stack.shape
+    out = np.full((nb, max(s_total, 1)), OP_NONE, np.int8)
+    cursor = np.zeros(nb, np.int64)
+    steps = np.arange(cap)
+    rows = np.broadcast_to(np.arange(nb)[None, :], (cap, nb))
+    for gi in range(ngroups):
+        n = ng[gi]
+        if not n.any():
+            continue
+        mask = steps[:, None] < n[None, :]
+        pos = cursor[None, :] + steps[:, None]
+        out[rows[mask], pos[mask]] = ops_stack[gi][mask]
+        cursor += n
+    return out, cursor.astype(np.int32)

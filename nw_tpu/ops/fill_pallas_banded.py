@@ -271,8 +271,66 @@ def _band_scalars(m, k, d, r, RB, lens, nb):
     )
 
 
+def build_scores_call(
+    RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret
+):
+    """The compiled score-band sweep: call(s, tops_sh, sides_sh, lens,
+    bnd, bnd) -> (score partial (1, nb_pad), bnd_out (U_pad, nb_pad))."""
+    return pl.pallas_call(
+        _make_banded_scores_kernel(RB, C, off, unroll),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb_pad // BT, T_pad // C),
+            in_specs=[
+                pl.BlockSpec(
+                    (C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (RB, BT), lambda b, c, s: (s[3], b),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (2, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (C, BT), lambda b, c, s: (c + lag0, b),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (C, BT), lambda b, c, s: (c + lag0 + 1, b),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=(
+                pl.BlockSpec(
+                    (1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM
+                ),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((RB, BT), jnp.int32),  # prev diagonal
+                pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2) diagonal
+                pltpu.VMEM((RB, BT), jnp.int32),  # rolling top chars
+                pltpu.VMEM((C, BT), jnp.int32),   # boundary window
+                pltpu.VMEM((8, BT), jnp.int32),   # boundary-out staging
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+
 def _make_banded_arrows_kernel(
-    RB: int, C: int, off: int, unroll: int, with_counts: bool
+    RB: int, C: int, off: int, unroll: int, with_counts: bool,
+    with_words: bool = True,
 ):
     """Arrows-emitting banded kernel; grid (batch_blocks, T_pad // C).
 
@@ -291,16 +349,32 @@ def _make_banded_arrows_kernel(
     """
 
     def kernel(*refs):
+        it = iter(refs)
+        s_ref = next(it)
+        tops_ref = next(it)
+        sides_ref = next(it)
+        lens_ref = next(it)
+        bnda_ref = next(it)
+        bndb_ref = next(it)
         if with_counts:
-            (s_ref, tops_ref, sides_ref, lens_ref, bnda_ref, bndb_ref,
-             cbnda_ref, cbndb_ref,
-             words_ref, score_ref, bndout_ref, count_ref, cbndout_ref,
-             prev_ref, prev2sh_ref, ch_ref, bscr_ref, stage_ref,
-             cprev_ref, cprev2sh_ref, cbscr_ref, cstage_ref) = refs
-        else:
-            (s_ref, tops_ref, sides_ref, lens_ref, bnda_ref, bndb_ref,
-             words_ref, score_ref, bndout_ref,
-             prev_ref, prev2sh_ref, ch_ref, bscr_ref, stage_ref) = refs
+            cbnda_ref = next(it)
+            cbndb_ref = next(it)
+        words_ref = next(it) if with_words else None
+        score_ref = next(it)
+        bndout_ref = next(it)
+        if with_counts:
+            count_ref = next(it)
+            cbndout_ref = next(it)
+        prev_ref = next(it)
+        prev2sh_ref = next(it)
+        ch_ref = next(it)
+        bscr_ref = next(it)
+        stage_ref = next(it)
+        if with_counts:
+            cprev_ref = next(it)
+            cprev2sh_ref = next(it)
+            cbscr_ref = next(it)
+            cstage_ref = next(it)
 
         BT = lens_ref.shape[1]
         c = pl.program_id(1)
@@ -361,17 +435,18 @@ def _make_banded_arrows_kernel(
             b_diag = cand_d == score
             b_left = prev == score_d
             b_up = prev_sh == score_d
-            arrows = (
-                b_diag.astype(jnp.int32)
-                + b_left.astype(jnp.int32) * 2
-                + b_up.astype(jnp.int32) * 4
-            )
-            # r4 is static (unroll % 4 == 0): the pack register never
-            # crosses an unrolled group
-            word = arrows << (r4 * 8)
-            pack = word if r4 == 0 else pack | word
-            if r4 == 3:
-                words_ref[pl.ds(tl // 4, 1), :, :] = pack[None]
+            if with_words:
+                # r4 is static (unroll % 4 == 0): the pack register
+                # never crosses an unrolled group
+                arrows = (
+                    b_diag.astype(jnp.int32)
+                    + b_left.astype(jnp.int32) * 2
+                    + b_up.astype(jnp.int32) * 4
+                )
+                word = arrows << (r4 * 8)
+                pack = word if r4 == 0 else pack | word
+                if r4 == 3:
+                    words_ref[pl.ds(tl // 4, 1), :, :] = pack[None]
 
             r8 = jnp.bitwise_and(tl, 7)
             stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
@@ -492,20 +567,127 @@ def fill_arrows_banded_batch(
         tops, sides, lens1, lens2, BT, T_pad, N_pad
     )
 
+    call = build_arrows_call(
+        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+        with_counts,
+    )
+
+    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
+    cbnd0 = jnp.zeros((U_pad, nb_pad), jnp.int32)
+    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
+    counts0 = jnp.zeros((1, nb_pad), jnp.int32)
+
+    def band_body(carry, r):
+        s = _band_scalars(m, k, d, r, RB, lens, nb)
+        if with_counts:
+            scores, counts, bnd, cbnd = carry
+            words, part, bnd, cpart, cbnd = call(
+                s, tops_sh, sides_sh, lens, bnd, bnd, cbnd, cbnd
+            )
+            return (
+                jnp.maximum(scores, part), counts + cpart, bnd, cbnd
+            ), words[0]
+        scores, bnd = carry
+        words, part, bnd = call(s, tops_sh, sides_sh, lens, bnd, bnd)
+        return (jnp.maximum(scores, part), bnd), words[0]
+
+    init = (
+        (scores0, counts0, bnd0, cbnd0) if with_counts else (scores0, bnd0)
+    )
+    carry, words = jax.lax.scan(
+        band_body, init, jnp.arange(nbands, dtype=jnp.int32)
+    )
+    out = (words, carry[0][0, :nb])
+    if with_counts:
+        out += (carry[1][0, :nb].astype(jnp.uint32),)
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "block_pairs", "band_rows", "chunk", "unroll"),
+)
+def fill_scores_counts_banded_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    chunk: int = DEFAULT_CHUNK,
+    unroll: int = DEFAULT_UNROLL,
+):
+    """(scores int32[B], counts uint32[B]) at any side length, no arrow
+    storage — the banded equivalent of the reference's ``-q -s`` summary
+    (computation.c:271-281), one fused wavefront with score and count
+    boundary streams."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    if nb == 0:
+        return jnp.zeros((0,), jnp.int32), jnp.zeros((0,), jnp.uint32)
+    BT = block_pairs
+    N = Bs + 1
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+    call = build_arrows_call(
+        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+        with_counts=True, with_words=False,
+    )
+
+    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
+    cbnd0 = jnp.zeros((U_pad, nb_pad), jnp.int32)
+    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
+    counts0 = jnp.zeros((1, nb_pad), jnp.int32)
+
+    def band_body(carry, r):
+        scores, counts, bnd, cbnd = carry
+        s = _band_scalars(m, k, d, r, RB, lens, nb)
+        part, bnd, cpart, cbnd = call(
+            s, tops_sh, sides_sh, lens, bnd, bnd, cbnd, cbnd
+        )
+        return (jnp.maximum(scores, part), counts + cpart, bnd, cbnd), None
+
+    (scores, counts, _, _), _ = jax.lax.scan(
+        band_body, (scores0, counts0, bnd0, cbnd0),
+        jnp.arange(nbands, dtype=jnp.int32),
+    )
+    return scores[0, :nb], counts[0, :nb].astype(jnp.uint32)
+
+
+def build_arrows_call(
+    RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+    with_counts, with_words=True,
+):
+    """The compiled arrows-band sweep: call(s, tops_sh, sides_sh, lens,
+    bnd, bnd[, cbnd, cbnd]) -> ([words (1, T_pad//4, RB, nb_pad),]
+    score partial, bnd_out[, count partial, cbnd_out]).
+
+    ``with_words=False, with_counts=True`` is the fused score+count
+    sweep — the reference's ``-s`` summary with no arrow storage."""
     if unroll % 4:
         raise ValueError("unroll must be a multiple of 4 for word packing")
     n_bnd_streams = 2 if with_counts else 1
-    out_shapes = [
-        # one band plane per call; the band scan stacks them
-        jax.ShapeDtypeStruct((1, T_pad // 4, RB, nb_pad), jnp.int32),
+    out_shapes = []
+    out_specs = []
+    if with_words:
+        out_shapes.append(
+            # one band plane per call; the band scan stacks them
+            jax.ShapeDtypeStruct((1, T_pad // 4, RB, nb_pad), jnp.int32)
+        )
+        out_specs.append(
+            pl.BlockSpec(
+                (None, C // 4, RB, BT), lambda b, c, s: (0, c, 0, b),
+                memory_space=pltpu.VMEM,
+            )
+        )
+    out_shapes += [
         jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
         jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
     ]
-    out_specs = [
-        pl.BlockSpec(
-            (None, C // 4, RB, BT), lambda b, c, s: (0, c, 0, b),
-            memory_space=pltpu.VMEM,
-        ),
+    out_specs += [
         pl.BlockSpec((1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM),
         pl.BlockSpec((C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM),
     ]
@@ -547,7 +729,7 @@ def fill_arrows_banded_batch(
         ]
 
     call = pl.pallas_call(
-        _make_banded_arrows_kernel(RB, C, off, unroll, with_counts),
+        _make_banded_arrows_kernel(RB, C, off, unroll, with_counts, with_words),
         out_shape=tuple(out_shapes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -573,36 +755,7 @@ def fill_arrows_banded_batch(
         ),
         interpret=interpret,
     )
-
-    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
-    cbnd0 = jnp.zeros((U_pad, nb_pad), jnp.int32)
-    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
-    counts0 = jnp.zeros((1, nb_pad), jnp.int32)
-
-    def band_body(carry, r):
-        s = _band_scalars(m, k, d, r, RB, lens, nb)
-        if with_counts:
-            scores, counts, bnd, cbnd = carry
-            words, part, bnd, cpart, cbnd = call(
-                s, tops_sh, sides_sh, lens, bnd, bnd, cbnd, cbnd
-            )
-            return (
-                jnp.maximum(scores, part), counts + cpart, bnd, cbnd
-            ), words[0]
-        scores, bnd = carry
-        words, part, bnd = call(s, tops_sh, sides_sh, lens, bnd, bnd)
-        return (jnp.maximum(scores, part), bnd), words[0]
-
-    init = (
-        (scores0, counts0, bnd0, cbnd0) if with_counts else (scores0, bnd0)
-    )
-    carry, words = jax.lax.scan(
-        band_body, init, jnp.arange(nbands, dtype=jnp.int32)
-    )
-    out = (words, carry[0][0, :nb])
-    if with_counts:
-        out += (carry[1][0, :nb].astype(jnp.uint32),)
-    return out
+    return call
 
 
 @functools.partial(
@@ -644,55 +797,8 @@ def fill_scores_banded_batch(
         tops, sides, lens1, lens2, BT, T_pad, N_pad
     )
 
-    call = pl.pallas_call(
-        _make_banded_scores_kernel(RB, C, off, unroll),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
-            jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb_pad // BT, T_pad // C),
-            in_specs=[
-                pl.BlockSpec(
-                    (C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (RB, BT), lambda b, c, s: (s[3], b),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (2, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (C, BT), lambda b, c, s: (c + lag0, b),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (C, BT), lambda b, c, s: (c + lag0 + 1, b),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
-            out_specs=(
-                pl.BlockSpec(
-                    (1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
-                ),
-                pl.BlockSpec(
-                    (C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM
-                ),
-            ),
-            scratch_shapes=[
-                pltpu.VMEM((RB, BT), jnp.int32),  # prev diagonal
-                pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2) diagonal
-                pltpu.VMEM((RB, BT), jnp.int32),  # rolling top chars
-                pltpu.VMEM((C, BT), jnp.int32),   # boundary window
-                pltpu.VMEM((8, BT), jnp.int32),   # boundary-out staging
-            ],
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
+    call = build_scores_call(
+        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret
     )
 
     bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)

@@ -207,6 +207,23 @@ def main() -> int:
         for b in (0, 31):
             assert int(got10[b]) == int(score_pallas_single(t10[b], s10[b], 2, 1, 1))
 
+    def banded_traceback():
+        from nw_tpu.ops.banded_traceback import traceback_banded_batch
+
+        sc, cnt, ops, n = traceback_banded_batch(
+            tops, sides, l1, l2, 2, 1, 1,
+            band_rows=24, chunk=24, unroll=8, group_bands=2,
+            with_counts=True,
+        )
+        assert (sc == ref_scores).all()
+        assert (cnt == ref_counts).all()
+        tb = lambda a, a1, a2: traceback.traceback_greedy(a, a1, a2, max_steps=240)
+        opsr, nr = jax.vmap(tb)(ref["arrows"], l1j, l2j)
+        opsr, nr = np.asarray(opsr), np.asarray(nr)
+        assert (n == nr).all()
+        for b in range(len(ps)):
+            assert (ops[b, : n[b]] == opsr[b, : n[b]]).all()
+
     def sharded():
         from jax.sharding import Mesh
 
@@ -232,6 +249,7 @@ def main() -> int:
     check("SW + affine batched alignments", variant_alignments)
     check("long-side score routing (lax.map fold)", long_side_scores)
     check("banded score kernel (multi-band + 10kb)", banded_scores)
+    check("banded checkpointed traceback + counts", banded_traceback)
     check("sharded pallas path", sharded)
     return 1 if FAILED else 0
 
