@@ -1,40 +1,94 @@
-"""Headline benchmark: DP-fill throughput (GCUPS) on batched pairs.
+"""Benchmark harness: DP-fill throughput and end-to-end pair rates.
 
-BASELINE.json config 2: a batch of 10k random 150 bp pairs, score-only,
-one pair per wavefront lane.  Baseline: the reference C binary fills at
-10.7 MCUPS single-threaded (BASELINE.md; measured, 1k x 1k pair).
+Default (driver contract): ONE JSON line — BASELINE.json config 2, a
+batch of 10k random 150 bp pairs, score-only, one pair per wavefront
+lane.  Baseline: the reference C binary fills at 10.7 MCUPS
+single-threaded (BASELINE.md; measured, 1k x 1k pair).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "GCUPS", "vs_baseline": N}
+``--all`` emits one JSON line per measurable PERF.md row (kernels,
+end-to-end configs 2/3, variants, the sharded path, huge pairs) —
+the scaling harness VERDICT r1 item 3 asked for.  ``--mesh N`` sizes
+the data-parallel mesh (defaults to every visible device).
 
-Methodology: the kernel is dispatched inside a sequentially-dependent
-``lax.scan`` (each iteration consumes the previous result), so neither
-XLA loop hoisting nor async-dispatch artifacts can fake the timing; one
-host round-trip is subtracted via a measured null calibration.
+Methodology (kernel rows): the kernel is dispatched inside a
+sequentially-dependent ``lax.scan`` with per-rep input perturbation
+(neither XLA loop hoisting nor async-dispatch artifacts can fake the
+timing); one host round-trip is subtracted via a min-of-5 null
+calibration — the TPU sits behind a ~27 ms tunnel.  End-to-end rows are
+wall-clock over one warm call (they include host encode/strings work,
+so the scan trick does not apply).
 """
 
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
+BASELINE_GCUPS = 0.0107  # reference: 10.7 MCUPS (BASELINE.md)
 
-def main() -> None:
+
+def _rand_batch(jnp, rng, nb, L):
+    import jax
+
+    tops = jnp.asarray(rng.integers(65, 69, (nb, L)), jnp.int32)
+    sides = jnp.asarray(rng.integers(65, 69, (nb, L)), jnp.int32)
+    lens = np.full((nb,), L, np.int32)
+    tops, sides = jax.device_put((tops, sides))
+    return tops, sides, lens
+
+
+def _timed_scan(fill_call, tops, reps):
+    """Best-of-3 of a sequentially-dependent scan, RTT-subtracted."""
     import jax
     import jax.numpy as jnp
 
-    platform = jax.devices()[0].platform
-    on_tpu = platform == "tpu"
+    @jax.jit
+    def many(tops):
+        def step(carry, _):
+            t = tops.at[0, 0].set(carry & 3)
+            return fill_call(t).sum().astype(jnp.int32), None
+
+        acc, _ = jax.lax.scan(step, jnp.int32(0), jnp.arange(reps))
+        return acc
+
+    @jax.jit
+    def null(tops):
+        return tops[0, 0]
+
+    np.asarray(many(tops))
+    np.asarray(null(tops))
+    rtt = float("inf")
+    for _ in range(5):
+        t0 = time.time()
+        np.asarray(null(tops))
+        rtt = min(rtt, time.time() - t0)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(many(tops))
+        best = min(best, time.time() - t0)
+    return max((best - rtt) / reps, 1e-9)
+
+
+def _emit(metric, value, unit, vs_baseline=None):
+    line = {"metric": metric, "value": value, "unit": unit}
+    if vs_baseline is not None:
+        line["vs_baseline"] = vs_baseline
+    print(json.dumps(line), flush=True)
+
+
+def bench_config2(on_tpu, emit=True):
+    """BASELINE config 2: 10240 x 150 bp score-only (flat kernel)."""
+    import jax
+    import jax.numpy as jnp
 
     NB, L = 10240, 150
-    REPS = 100 if on_tpu else 3
+    reps = 100 if on_tpu else 3
     rng = np.random.default_rng(0)
-    tops = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
-    sides = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
-    lens = jnp.full((NB,), L, jnp.int32)
-    tops, sides, lens = jax.device_put((tops, sides, lens))
+    tops, sides, lens = _rand_batch(jnp, rng, NB, L)
 
     if on_tpu:
         from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch as fill
@@ -47,50 +101,235 @@ def main() -> None:
         def fill_call(t):
             return fill_scores_batch(t, sides, 2, 1, 1, lens, lens)
 
-    @jax.jit
-    def many(tops):
-        def step(carry, _):
-            t = tops.at[0, 0].set(carry.astype(jnp.int32) & 3)
-            r = fill_call(t)
-            return r.astype(jnp.int64).sum(), None
-
-        acc, _ = jax.lax.scan(step, jnp.int64(0), jnp.arange(REPS))
-        return acc
-
-    @jax.jit
-    def null(tops):
-        return tops[0, 0].astype(jnp.int64)
-
-    np.asarray(many(tops))  # compile + warm
-    np.asarray(null(tops))
-    # host<->device round-trip to subtract; min-of-5 (a single sample can
-    # catch a tunnel hiccup and corrupt the whole measurement)
-    rtt = float("inf")
-    for _ in range(5):
-        t0 = time.time()
-        np.asarray(null(tops))
-        rtt = min(rtt, time.time() - t0)
-
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        np.asarray(many(tops))
-        best = min(best, time.time() - t0)
-    per_call = max((best - rtt) / REPS, 1e-9)
-
-    cells = NB * L * L
-    gcups = cells / per_call / 1e9
-    baseline_gcups = 0.0107  # reference: 10.7 MCUPS (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": f"DP fill throughput, {NB}x{L}bp pairs, score-only, 1 chip ({platform})",
-                "value": round(gcups, 2),
-                "unit": "GCUPS",
-                "vs_baseline": round(gcups / baseline_gcups, 1),
-            }
+    per_call = _timed_scan(fill_call, tops, reps)
+    gcups = NB * L * L / per_call / 1e9
+    platform = jax.devices()[0].platform
+    if emit:
+        _emit(
+            f"DP fill throughput, {NB}x{L}bp pairs, score-only, 1 chip ({platform})",
+            round(gcups, 2), "GCUPS", round(gcups / BASELINE_GCUPS, 1),
         )
+    return gcups
+
+
+def bench_banded_scores(L=10240, NB=128, reps=10):
+    """Banded kernel score-only at long lengths (the 10 kb regime)."""
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.fill_pallas_banded import fill_scores_banded_batch
+
+    rng = np.random.default_rng(1)
+    tops, sides, lens = _rand_batch(jnp, rng, NB, L)
+
+    def fill_call(t):
+        return fill_scores_banded_batch(t, sides, lens, lens, 2, 1, 1)
+
+    per_call = _timed_scan(fill_call, tops, reps)
+    gcups = NB * L * L / per_call / 1e9
+    _emit(
+        f"DP fill throughput, {NB}x{L//1024}kb pairs, score-only, banded kernel",
+        round(gcups, 2), "GCUPS", round(gcups / BASELINE_GCUPS, 1),
     )
+    return gcups
+
+
+def bench_arrows_150(NB=10240, L=150, reps=20):
+    """Arrows fill (packed words) at 150 bp — the traceback feed."""
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+
+    rng = np.random.default_rng(2)
+    tops, sides, lens = _rand_batch(jnp, rng, NB, L)
+
+    def fill_call(t):
+        w, s = fill_arrows_pallas_batch(t, sides, lens, lens, 2, 1, 1, packed=True)
+        return s + w[0, 0]
+
+    per_call = _timed_scan(fill_call, tops, reps)
+    gcups = NB * L * L / per_call / 1e9
+    _emit(
+        f"arrows fill (packed), {NB}x{L}bp", round(gcups, 2), "GCUPS",
+        round(gcups / BASELINE_GCUPS, 1),
+    )
+    return gcups
+
+
+def bench_scores_counts_banded(L=10240, NB=128, reps=5):
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.fill_pallas_banded import fill_scores_counts_banded_batch
+
+    rng = np.random.default_rng(3)
+    tops, sides, lens = _rand_batch(jnp, rng, NB, L)
+
+    def fill_call(t):
+        s, c = fill_scores_counts_banded_batch(t, sides, lens, lens, 2, 1, 1)
+        return s + c.astype(jnp.int32)
+
+    per_call = _timed_scan(fill_call, tops, reps)
+    gcups = NB * L * L / per_call / 1e9
+    _emit(
+        f"fused score+count (banded, -q -s), {NB}x{L//1024}kb",
+        round(gcups, 2), "GCUPS", round(gcups / BASELINE_GCUPS, 1),
+    )
+    return gcups
+
+
+def bench_config3(NB=256, L=10240):
+    """BASELINE config 3: long pairs, arrows + traceback + strings +
+    counts, end-to-end wall clock (banded checkpointed engine)."""
+    from nw_tpu.models.needleman_wunsch import align_batch
+
+    rng = np.random.default_rng(4)
+    pairs = [
+        (
+            rng.integers(65, 69, L).astype(np.uint8).tobytes(),
+            rng.integers(65, 69, L).astype(np.uint8).tobytes(),
+        )
+        for _ in range(NB)
+    ]
+    # warm (compile)
+    align_batch(pairs[:128], 2, 1, 1, traceback_strings=True, count=True)
+    t0 = time.time()
+    r = align_batch(pairs, 2, 1, 1, traceback_strings=True, count=True)
+    r.alignment_strings()
+    dt = time.time() - t0
+    rate = NB / dt
+    _emit(
+        f"end-to-end {NB}x{L//1024}kb: fill+traceback+strings+counts (config 3)",
+        round(rate, 1), "pairs/s",
+    )
+    return rate
+
+
+def bench_e2e_150(NB=4096, L=150):
+    """Short-read end-to-end: strings + counts."""
+    from nw_tpu.models.needleman_wunsch import align_batch
+
+    rng = np.random.default_rng(5)
+    pairs = [
+        (
+            rng.integers(65, 69, L).astype(np.uint8).tobytes(),
+            rng.integers(65, 69, L).astype(np.uint8).tobytes(),
+        )
+        for _ in range(NB)
+    ]
+    align_batch(pairs, 2, 1, 1, traceback_strings=True, count=True)
+    t0 = time.time()
+    r = align_batch(pairs, 2, 1, 1, traceback_strings=True, count=True)
+    r.alignment_strings()
+    dt = time.time() - t0
+    _emit(
+        f"end-to-end {NB}x{L}bp: strings+counts", round(NB / dt, 0), "pairs/s"
+    )
+    return NB / dt
+
+
+def bench_sharded(mesh_devices=None, NB=10240, L=150, reps=20):
+    """Data-parallel mesh path (config 4 analogue; 1 chip here, the
+    same code drives N-chip meshes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from nw_tpu.parallel.data_parallel import align_batch_sharded
+
+    devs = jax.devices()[:mesh_devices] if mesh_devices else jax.devices()
+    mesh = Mesh(np.array(devs), ("data",))
+    rng = np.random.default_rng(6)
+    tops, sides, lens = _rand_batch(jnp, rng, NB, L)
+    lj = jnp.asarray(lens)
+
+    def fill_call(t):
+        sc, _ = align_batch_sharded(
+            t, sides, lj, lj, m=2, k=1, d=1, mesh=mesh, with_counts=False
+        )
+        return sc
+
+    per_call = _timed_scan(fill_call, tops, reps)
+    rate = NB / per_call
+    gcups = NB * L * L / per_call / 1e9
+    _emit(
+        f"sharded score path, {NB}x{L}bp over {len(devs)}-device mesh",
+        round(gcups, 2), "GCUPS", round(gcups / BASELINE_GCUPS, 1),
+    )
+    return rate
+
+
+def bench_huge_pair(L=100_000):
+    """Single huge pair: exact first-emission traceback (config 5 scale,
+    1 chip)."""
+    from nw_tpu.models.needleman_wunsch import NWAligner
+
+    rng = np.random.default_rng(7)
+    s1 = rng.integers(65, 69, L).astype(np.uint8).tobytes()
+    s2 = rng.integers(65, 69, L).astype(np.uint8).tobytes()
+    al = NWAligner()
+    al.align_huge(s1[:L // 10], s2[:L // 10])  # warm small
+    t0 = time.time()
+    al.align_huge(s1, s2)
+    dt = time.time() - t0
+    _emit(
+        f"exact traceback, 1x{L//1000}kb pair", round(dt, 2), "s"
+    )
+    return dt
+
+
+def bench_variants(NB=10240, L=150, reps=20):
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.variants_pallas import (
+        affine_scores_pallas_batch,
+        sw_scores_pallas_batch,
+    )
+
+    rng = np.random.default_rng(8)
+    tops, sides, lens = _rand_batch(jnp, rng, NB, L)
+
+    per = _timed_scan(
+        lambda t: sw_scores_pallas_batch(t, sides, lens, lens, 2, 1, 1),
+        tops, reps,
+    )
+    _emit(
+        f"Smith-Waterman score fill, {NB}x{L}bp",
+        round(NB * L * L / per / 1e9, 2), "GCUPS",
+    )
+    per = _timed_scan(
+        lambda t: affine_scores_pallas_batch(t, sides, lens, lens, 2, 1, 3, 1),
+        tops, reps,
+    )
+    _emit(
+        f"Gotoh affine score fill, {NB}x{L}bp",
+        round(NB * L * L / per / 1e9, 2), "GCUPS",
+    )
+
+
+def main() -> None:
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    args = sys.argv[1:]
+    if "--all" not in args:
+        bench_config2(on_tpu)
+        return
+
+    mesh_n = None
+    if "--mesh" in args:
+        mesh_n = int(args[args.index("--mesh") + 1])
+    if not on_tpu:
+        bench_config2(on_tpu)
+        return
+    bench_config2(on_tpu)
+    bench_banded_scores()
+    bench_banded_scores(L=2048, NB=128, reps=20)
+    bench_arrows_150()
+    bench_scores_counts_banded()
+    bench_config3()
+    bench_e2e_150()
+    bench_sharded(mesh_n)
+    bench_variants()
+    bench_huge_pair()
 
 
 if __name__ == "__main__":

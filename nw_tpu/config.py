@@ -60,7 +60,16 @@ class AlignConfig:
     """
 
     scoring: ScoringParams = dataclasses.field(default_factory=ScoringParams)
-    bucket_sizes: Optional[Sequence[int]] = (64, 128, 256, 512, 1024, 2048, 4096, 8192, 16384)
+    # Dense ladder: DP work scales with the PRODUCT of the padded
+    # lengths, so power-of-2 buckets cost up to 4x work at a boundary
+    # (measured: 10240 -> 16384 made config-3 runs 2.5x slower).  ~1.2x
+    # steps keep worst-case padding waste under ~45% quadratic; beyond
+    # the ladder, lengths round to 1 KiB (<12% waste, one compile per
+    # distinct kilo-length).
+    bucket_sizes: Optional[Sequence[int]] = (
+        64, 96, 128, 160, 192, 256, 320, 384, 512, 640, 768, 1024,
+        1280, 1536, 2048, 2560, 3072, 4096, 5120, 6144, 8192,
+    )
     traceback: bool = True
     use_pallas: bool = True
     band: Optional[int] = None
@@ -73,5 +82,8 @@ class AlignConfig:
             for b in self.bucket_sizes:
                 if length <= b:
                     return b
+            # beyond the ladder: next KiB (padding waste <12%, shapes
+            # still coarse enough to reuse compilations)
+            return -(-length // 1024) * 1024
         # Fall back to the next multiple of 128 (TPU lane width).
         return max(128, -(-length // 128) * 128)

@@ -204,7 +204,16 @@ def _banded_walk_device(
     counts_out = (
         counts[0, :nb].astype(jnp.uint32) if with_counts else None
     )
-    return scores[0, :nb], counts_out, ops_stack, ng_stack
+    # 2-bit-pack the op stream before it crosses the host link (the op
+    # codes are 0..3); 4x less transfer on remote-TPU setups
+    o = ops_stack.astype(jnp.uint8)
+    ops4 = (
+        (o[:, 0::4] & 3)
+        | ((o[:, 1::4] & 3) << 2)
+        | ((o[:, 2::4] & 3) << 4)
+        | ((o[:, 3::4] & 3) << 6)
+    )
+    return scores[0, :nb], counts_out, ops4, ng_stack
 
 
 def traceback_banded_batch(
@@ -235,15 +244,20 @@ def traceback_banded_batch(
         )
         return empty[:1] + (np.zeros((0,), np.uint32),) + empty[1:] \
             if with_counts else empty
-    scores, counts, ops_stack, ng_stack = _banded_walk_device(
+    scores, counts, ops4, ng_stack = _banded_walk_device(
         tops, sides, lens1, lens2, m, k, d,
         interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
         chunk=chunk, unroll=unroll, group_bands=group_bands,
         with_counts=with_counts,
     )
-    scores, counts, ops_stack, ng_stack = jax.device_get(
-        (scores, counts, ops_stack, ng_stack)
+    scores, counts, ops4, ng_stack = jax.device_get(
+        (scores, counts, ops4, ng_stack)
     )
+    ops4 = np.asarray(ops4)
+    ngroups, cap4, nbp = ops4.shape
+    ops_stack = np.empty((ngroups, cap4 * 4, nbp), np.int8)
+    for r in range(4):
+        ops_stack[:, r::4] = (ops4 >> (2 * r)) & 3
     ops, n = _compact_group_ops(ops_stack, ng_stack, A + Bs)
     if with_counts:
         return np.asarray(scores), np.asarray(counts), ops, n
