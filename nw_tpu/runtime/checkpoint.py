@@ -107,3 +107,169 @@ class CheckpointedRunner:
             for f in os.listdir(self.directory)
             if f.startswith("chunk_") and f.endswith(".npz")
         )
+
+
+class ResumableBandedFill:
+    """Mid-fill checkpoint/resume for ONE banded fill (SURVEY §5
+    checkpoint row: boundary vectors + tile progress).
+
+    The banded engine's whole cross-band state is the boundary-row
+    buffer plus the score (and count) accumulators — a few MB regardless
+    of how many rows have been filled.  This runner executes the band
+    sweep ``save_every`` bands at a time and persists the state
+    atomically after each span, so a preempted fill of a 100 kb+ batch
+    resumes from the last completed span instead of from zero
+    (VERDICT r1 item 4).  Resumed runs are bit-identical to
+    uninterrupted ones: the state IS the computation's only carry.
+    """
+
+    def __init__(self, directory: str, save_every: int = 16):
+        self.directory = directory
+        self.save_every = save_every
+        os.makedirs(directory, exist_ok=True)
+
+    def _state_path(self) -> str:
+        return os.path.join(self.directory, "fill_state.npz")
+
+    def run(
+        self,
+        tops,
+        sides,
+        lens1,
+        lens2,
+        m: int,
+        k: int,
+        d: int,
+        with_counts: bool = False,
+        interpret: bool = False,
+        band_rows: Optional[int] = None,
+        chunk: Optional[int] = None,
+        unroll: Optional[int] = None,
+        _abort_after_spans: Optional[int] = None,
+    ):
+        """Banded score fill (optionally fused counts) with mid-fill
+        persistence.  Returns scores int32[B] (and counts uint32[B]).
+
+        ``_abort_after_spans`` is a test hook: stop (as a preemption
+        would) after that many checkpoint spans.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from nw_tpu.ops import fill_pallas_banded as fb
+
+        band_rows = band_rows or fb.DEFAULT_BAND_ROWS
+        chunk = chunk or fb.DEFAULT_CHUNK
+        unroll = unroll or fb.DEFAULT_UNROLL
+        if with_counts and chunk == fb.DEFAULT_CHUNK:
+            chunk = 192
+
+        nb, A = tops.shape
+        _, Bs = sides.shape
+        N = Bs + 1
+        BT = fb.LANES
+        S = self.save_every
+        RB, nbands, C, T_pad, lag0, off, U_pad = fb._geometry(
+            A, N, band_rows, chunk, unroll
+        )
+        # whole spans: pad bands sweep pad rows, never capture
+        nbands = -(-nbands // S) * S
+        N_pad = nbands * RB
+        tops_sh, sides_sh, lens, nb_pad = fb._prep_banded(
+            tops, sides, lens1, lens2, BT, T_pad, N_pad
+        )
+        if with_counts:
+            call = fb.build_arrows_call(
+                RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT,
+                interpret, with_counts=True, with_words=False,
+            )
+        else:
+            call = fb.build_scores_call(
+                RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret
+            )
+
+        @jax.jit
+        def span(state, r_start, mkd):
+            def body(carry, rr):
+                s = fb._band_scalars(
+                    mkd[0], mkd[1], mkd[2], r_start + rr, RB, lens, nb
+                )
+                if with_counts:
+                    scores, counts, bnd, cbnd = carry
+                    part, bnd, cpart, cbnd = call(
+                        s, tops_sh, sides_sh, lens, bnd, bnd, cbnd, cbnd
+                    )
+                    return (
+                        jnp.maximum(scores, part), counts + cpart, bnd, cbnd
+                    ), None
+                scores, bnd = carry
+                part, bnd = call(s, tops_sh, sides_sh, lens, bnd, bnd)
+                return (jnp.maximum(scores, part), bnd), None
+
+            return jax.lax.scan(
+                body, state, jnp.arange(S, dtype=jnp.int32)
+            )[0]
+
+        shape_key = dict(
+            nb=nb, A=A, Bs=Bs, RB=RB, C=C, nbands=nbands,
+            m=int(m), k=int(k), d=int(d), with_counts=with_counts,
+            save_every=S,
+        )
+        spath = self._state_path()
+        r0 = 0
+        state = None
+        if os.path.exists(spath):
+            saved = np.load(spath, allow_pickle=True)
+            if json.loads(str(saved["key"])) != shape_key:
+                raise ValueError(
+                    f"checkpoint at {spath} is from a different fill: "
+                    f"{saved['key']}"
+                )
+            r0 = int(saved["r_next"])
+            state = (
+                jnp.asarray(saved["scores"]),
+                jnp.asarray(saved["bnd"]),
+            )
+            if with_counts:
+                state = (
+                    state[0], jnp.asarray(saved["counts"]),
+                    state[1], jnp.asarray(saved["cbnd"]),
+                )
+        if state is None:
+            scores0 = jnp.full((1, nb_pad), fb.NEG_INF, jnp.int32)
+            bnd0 = jnp.full((U_pad, nb_pad), fb.NEG_INF, jnp.int32)
+            if with_counts:
+                state = (
+                    scores0, jnp.zeros((1, nb_pad), jnp.int32),
+                    bnd0, jnp.zeros((U_pad, nb_pad), jnp.int32),
+                )
+            else:
+                state = (scores0, bnd0)
+
+        mkd = jnp.asarray([m, k, d], jnp.int32)
+        spans_done = 0
+        r = r0
+        while r < nbands:
+            state = span(state, jnp.int32(r), mkd)
+            r += S
+            payload = dict(
+                key=json.dumps(shape_key),
+                r_next=r,
+                scores=np.asarray(state[0]),
+                bnd=np.asarray(state[2] if with_counts else state[1]),
+            )
+            if with_counts:
+                payload["counts"] = np.asarray(state[1])
+                payload["cbnd"] = np.asarray(state[3])
+            tmp = spath + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.savez(f, **payload)
+            os.replace(tmp, spath)
+            spans_done += 1
+            if _abort_after_spans and spans_done >= _abort_after_spans and r < nbands:
+                raise KeyboardInterrupt("simulated preemption")
+
+        scores = np.asarray(state[0])[0, :nb]
+        if with_counts:
+            return scores, np.asarray(state[1])[0, :nb].astype(np.uint32)
+        return scores
