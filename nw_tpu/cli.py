@@ -182,22 +182,27 @@ def _run(argv: List[str], stdin: BinaryIO, stdout: BinaryIO, stderr: BinaryIO):
     k = c_atoi(operands[1])
     d = c_atoi(operands[2])
 
-    # num_threads has no effect on output in the reference (single- vs
-    # multi-threaded scoring is bit-identical); the device fill is always
-    # parallel here.
-    del num_threads
-
+    # num_threads has no effect on release output in the reference
+    # (single- vs multi-threaded scoring is bit-identical); it only
+    # shapes the debug build's spawn/join traces.
     _needleman_wunsch(s1, s2, m, k, d, cflag, lflag, qflag, sflag, tflag, uflag,
-                      stdout, stderr)
+                      stdout, stderr, prog=prog, num_threads=num_threads)
 
 
 def _needleman_wunsch(
     s1: bytes, s2: bytes, m: int, k: int, d: int,
     cflag: int, lflag: int, qflag: int, sflag: int, tflag: int, uflag: int,
     stdout: BinaryIO, stderr: BinaryIO,
+    prog: str = "needleman-wunsch", num_threads: int = 1,
 ):
     """The algorithm driver — mirrors needleman_wunsch()
-    (needleman-wunsch.c:654-689)."""
+    (needleman-wunsch.c:654-689).
+
+    With ``NW_TPU_DEBUG=1`` the stderr trace of the reference's DEBUG
+    build (``make debug``: dbg.h:53-57 ``debug()`` lines incl. the
+    walk-table branch count, needleman-wunsch.c:624-625) is reproduced
+    byte-for-byte.
+    """
     import numpy as np
 
     from nw_tpu.ops import encode as enc
@@ -206,6 +211,21 @@ def _needleman_wunsch(
     from nw_tpu.utils.alignout import format_aligned_pair
 
     len1, len2 = len(s1), len(s2)
+
+    debug_mode = bool(os.environ.get("NW_TPU_DEBUG"))
+
+    def dbg(where: str, msg: str) -> None:
+        # debug() macro expansion (dbg.h:53-57)
+        if debug_mode:
+            stderr.write(f"{prog}: debug: {where}: {msg}\n".encode())
+
+    # alloc/init traces (computation.c:54, :159-168)
+    dbg("computation.c:54", "Allocating for computation instance")
+    dbg("computation.c:159", f"Top string is {len1} characters long")
+    dbg("computation.c:161", f"Side string is {len2} characters long")
+    dbg("computation.c:164", "Allocating score table")
+    dbg("computation.c:166", "Allocating walk table")
+    dbg("computation.c:168", "Initializing score and walk tables")
 
     # Pad to power-of-two buckets so repeated CLI invocations with
     # different input lengths reuse compiled fills (pad regions never
@@ -237,6 +257,7 @@ def _needleman_wunsch(
         (len1 + 1) * (len2 + 1) > huge_cells
         and not printing
         and tflag != 1
+        and not debug_mode  # branch-count trace needs the arrow table
         # interpret-mode pallas is only viable at test scale; real CPU
         # runs of genuinely huge tables fall through to the scan fill
         and (not interpret or huge_cells < (1 << 24))
@@ -266,6 +287,33 @@ def _needleman_wunsch(
     arrows_diag = np.asarray(out["arrows"])
     score = int(out["score"])
 
+    if debug_mode:
+        # compute_table_scores traces (needleman-wunsch.c:595-625)
+        tpl = "s" if num_threads > 1 else ""
+        dbg(
+            "needleman-wunsch.c:595",
+            f"Spawning {num_threads} worker thread{tpl} for scores "
+            "table computation",
+        )
+        for i in range(num_threads):
+            dbg("needleman-wunsch.c:618", f"Joined thread {i + 1}")
+        dbg(
+            "needleman-wunsch.c:621",
+            f"Joined {num_threads} worker thread{tpl}",
+        )
+        branches = (
+            int(pathcount.count_branches(arrows_diag, len1, len2)) % (2**32)
+        )
+        # the message carries its own newline; the macro adds another
+        dbg("needleman-wunsch.c:624", f"{branches} branches in walk table\n")
+
+    if need_walk and debug_mode:
+        dbg(
+            "needleman-wunsch.c:367",
+            "Allocated temporary solution printing strings X and Y.",
+        )
+        dbg("needleman-wunsch.c:226", "Starting alignment construction.")
+
     if need_walk:
         if printing:
             arrows_rect = diag_to_matrix(arrows_diag, len1, len2)
@@ -286,6 +334,7 @@ def _needleman_wunsch(
                 solution_count = 0
             else:
                 solution_count = int(pathcount.count_paths(arrows_diag, len1, len2))
+        dbg("needleman-wunsch.c:330", "Finished alignment construction.")
 
     if sflag == 1:
         u = solution_count % (2**32)  # unsigned int counter (computation.h:65)

@@ -60,6 +60,29 @@ def reference_binary():
     return str(binary)
 
 
+@pytest.fixture(scope="session")
+def reference_debug_binary():
+    """Reference built WITHOUT -DNDEBUG (`make debug`): enables the
+    dbg.h debug() stderr traces incl. the branch-count print."""
+    if not REFERENCE_SRC.exists():
+        pytest.skip("reference sources not available")
+    build = Path("/tmp/nw-ref-debug-build")
+    binary = build / "needleman-wunsch"
+    if not binary.exists():
+        build.mkdir(parents=True, exist_ok=True)
+        for f in REFERENCE_SRC.iterdir():
+            if f.suffix in (".c", ".h") or f.name == "Makefile":
+                (build / f.name).write_bytes(f.read_bytes())
+        r = subprocess.run(
+            ["make", "debug", "CFLAGS=-std=gnu99 -O0 -g -fcommon"],
+            cwd=build,
+            capture_output=True,
+        )
+        if r.returncode != 0 or not binary.exists():
+            pytest.skip("could not build reference debug binary")
+    return str(binary)
+
+
 def run_ref(binary, args, stdin: bytes):
     r = subprocess.run(
         [binary, *args], input=stdin, capture_output=True, timeout=120

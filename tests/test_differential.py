@@ -160,3 +160,82 @@ def test_differential_real_subprocess(reference_binary, tmp_path):
         assert ours.stdout == ref.stdout, (args, ours.stdout, ref.stdout)
         assert ours.stderr == ref.stderr, (args, ours.stderr[:500], ref.stderr)
         assert ours.returncode == ref.returncode
+
+
+def test_mixed_flag_campaign(reference_binary):
+    """The randomized mixed-flag campaign, in the gate (VERDICT r1
+    item 5): seed-pinned cases over every flag combination class,
+    ACGT + full printable-byte alphabets, params in [-3, 4], lengths up
+    to 20 — byte-compared on stdout, stderr, and exit code."""
+    import os
+    import random
+
+    rng = random.Random(20260816)
+    full_alpha = [chr(c) for c in range(33, 127)]
+    for trial in range(160):
+        lens = rng.choice([(4, 3), (8, 6), (8, 8), (12, 5), (20, 14), (1, 20)])
+        alpha = "ACGT" if trial % 3 else full_alpha
+        s1 = "".join(rng.choice(alpha) for _ in range(lens[0]))
+        s2 = "".join(rng.choice(alpha) for _ in range(lens[1]))
+        params = [str(rng.randint(-3, 4)) for _ in range(3)]
+        flags = [
+            f for f in ("-c", "-l", "-q", "-s", "-t", "-u") if rng.random() < 0.35
+        ]
+        if rng.random() < 0.15:
+            flags += ["-p", str(rng.randint(2, 8))]
+        args = flags + ["--"] + params
+        stdin = f"{s1} {s2}".encode()
+        # the reference enumerates ALL optimal alignments whenever it
+        # prints them (-q without -l/-s/-t is the only skip,
+        # needleman-wunsch.c:667); degenerate params make that set
+        # astronomically large and the reference runs ~forever
+        # [verified: '-l -q -- -1 2 -3' did not finish in 120 s].
+        # Pre-count with our O(M*N) engine and skip explosive cases.
+        enumerates = ("-q" not in flags) or any(
+            f in flags for f in ("-l", "-s", "-t")
+        )
+        if enumerates:
+            from nw_tpu.models.needleman_wunsch import align as _align
+
+            count = _align(
+                s1.encode(), s2.encode(),
+                int(params[0]), int(params[1]), int(params[2]),
+            ).solution_count
+            if count > 2000:
+                continue
+        rc_ref, out_ref, err_ref = run_ref(reference_binary, args, stdin)
+        rc, out, err = run_ours(args, stdin)
+        err_ref = err_ref.replace(
+            reference_binary.encode(), b"needleman-wunsch"
+        ).replace(
+            os.path.basename(reference_binary).encode(), b"needleman-wunsch"
+        )
+        assert out == out_ref, (args, stdin, out[:200], out_ref[:200])
+        assert err == err_ref, (args, stdin, err[:200], err_ref[:200])
+        assert rc == rc_ref, (args, stdin)
+
+
+def test_debug_build_parity(reference_debug_binary, monkeypatch):
+    """NW_TPU_DEBUG=1 reproduces the reference DEBUG build's stderr
+    traces (dbg.h:53-57) byte-for-byte, including the walk-table
+    branch-count print (needleman-wunsch.c:624-625) and the threaded
+    spawn/join lines (VERDICT r1 item 8).  Program-name prefixes are
+    normalized (each build embeds its own argv[0])."""
+    import re
+
+    monkeypatch.setenv("NW_TPU_DEBUG", "1")
+    norm = lambda b: re.sub(rb"(?m)^[^ ]*: debug:", b"X: debug:", b)
+    cases = [
+        (["-s", "1", "1", "1"], b"GCATGCU GATTACA"),
+        (["-l", "2", "1", "1"], b"GT GA"),
+        (["-q", "-s", "1", "1", "1"], b"GAT GTA"),
+        (["-p", "4", "-s", "1", "1", "1"], b"GCATGCU GATTACA"),
+        (["-q", "1", "1", "1"], b"A B"),
+        (["-q", "-s", "-t", "0", "0", "0"], b"GT GA"),
+    ]
+    for args, stdin in cases:
+        rc_ref, out_ref, err_ref = run_ref(reference_debug_binary, args, stdin)
+        rc, out, err = run_ours(args, stdin)
+        assert out == out_ref, (args, out, out_ref)
+        assert norm(err) == norm(err_ref), (args, err, err_ref)
+        assert rc == rc_ref
