@@ -284,8 +284,20 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
         for a, b in pairs
     ]
     tops, sides, l1, l2 = encode_batch(norm)
+    if (
+        sides.shape[1] > 3072
+        and jax.devices()[0].platform == "tpu"
+        and len(norm) >= 24
+    ):
+        # long-side batches: the banded Gotoh kernel (any side length;
+        # ops/variants_banded.py)
+        from nw_tpu.ops.variants_banded import affine_scores_banded_batch
+
+        return np.asarray(
+            affine_scores_banded_batch(tops, sides, l1, l2, m, k, open_, extend)
+        )
     if sides.shape[1] > 3072:
-        # the Gotoh score kernel carries 7 scratch diagonals and
+        # the flat Gotoh kernel carries 7 scratch diagonals and
         # outgrows VMEM beyond ~3k sides (probed); per-pair scan instead
         from nw_tpu.ops.encode import encode
 

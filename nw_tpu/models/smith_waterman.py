@@ -165,9 +165,19 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
         for a, b in pairs
     ]
     tops, sides, l1, l2 = encode_batch(norm)
+    interpret = jax.devices()[0].platform != "tpu"
+    if sides.shape[1] > 4096 and not interpret and len(norm) >= 24:
+        # long-side batches: the banded kernel (any side length,
+        # batch-in-lanes; ops/variants_banded.py)
+        from nw_tpu.ops.variants_banded import sw_scores_banded_batch
+
+        return np.asarray(
+            sw_scores_banded_batch(tops, sides, l1, l2, m, k, d)
+        )
     if sides.shape[1] > 4096:
-        # the score kernel's rolling diagonals outgrow VMEM beyond ~4k
-        # sides (probed); long pairs take the per-pair scan engine
+        # the flat score kernel's rolling diagonals outgrow VMEM beyond
+        # ~4k sides (probed); small long-pair batches take the per-pair
+        # scan engine
         return np.array(
             [
                 int(

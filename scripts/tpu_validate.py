@@ -207,6 +207,48 @@ def main() -> int:
         for b in (0, 31):
             assert int(got10[b]) == int(score_pallas_single(t10[b], s10[b], 2, 1, 1))
 
+    def banded_variants():
+        from nw_tpu.models.affine import affine_score
+        from nw_tpu.models.smith_waterman import sw_fill_diag
+        from nw_tpu.ops.variants_banded import (
+            affine_scores_banded_batch,
+            sw_scores_banded_batch,
+        )
+
+        # small geometry on the mixed-length set
+        sw = np.asarray(
+            sw_scores_banded_batch(
+                tops, sides, l1, l2, 2, 1, 1,
+                band_rows=24, chunk=24, unroll=8,
+            )
+        )
+        af = np.asarray(
+            affine_scores_banded_batch(
+                tops, sides, l1, l2, 2, 1, 3, 1,
+                band_rows=24, chunk=24, unroll=8,
+            )
+        )
+        for b in range(0, len(ps), 23):
+            a, s2 = ps[b]
+            t = jnp.asarray(enc.encode(a.encode()))
+            si = jnp.asarray(enc.encode(s2.encode()))
+            assert sw[b] == int(
+                sw_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+            )
+            assert af[b] == int(affine_score(t, si, 2, 1, 3, 1))
+        # long-side (the VERDICT r1 item-7 check): production geometry
+        L = 6000
+        t6 = jnp.asarray(rng.integers(65, 69, (32, L)), jnp.int32)
+        s6 = jnp.asarray(rng.integers(65, 69, (32, L)), jnp.int32)
+        lv = np.full((32,), L, np.int32)
+        sw6 = np.asarray(sw_scores_banded_batch(t6, s6, lv, lv, 2, 1, 1))
+        af6 = np.asarray(affine_scores_banded_batch(t6, s6, lv, lv, 2, 1, 3, 1))
+        for b in (0, 31):
+            assert sw6[b] == int(
+                sw_fill_diag(t6[b], s6[b], 2, 1, 1, with_arrows=False)["score"]
+            )
+            assert af6[b] == int(affine_score(t6[b], s6[b], 2, 1, 3, 1))
+
     def banded_traceback():
         from nw_tpu.ops.banded_traceback import traceback_banded_batch
 
@@ -249,6 +291,7 @@ def main() -> int:
     check("SW + affine batched alignments", variant_alignments)
     check("long-side score routing (lax.map fold)", long_side_scores)
     check("banded score kernel (multi-band + 10kb)", banded_scores)
+    check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
     check("banded checkpointed traceback + counts", banded_traceback)
     check("sharded pallas path", sharded)
     return 1 if FAILED else 0

@@ -159,3 +159,38 @@ def test_banded_scores_band_boundary_lengths():
         )
     )
     np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("geometry", [(8, 8, 4), (16, 8, 8), (32, 32, 16)])
+def test_banded_variants_vs_oracle(geometry):
+    from nw_tpu.models.affine import affine_score
+    from nw_tpu.models.smith_waterman import sw_fill_diag
+    from nw_tpu.ops.variants_banded import (
+        affine_scores_banded_batch,
+        sw_scores_banded_batch,
+    )
+
+    RB, C, U = geometry
+    rng = np.random.default_rng(hash(geometry) % 2**31)
+    ps = _pairs(rng, 6, 1, 60) + [(b"", b""), (b"ACGT", b""), (b"", b"ACGT")]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    sw = np.asarray(
+        sw_scores_banded_batch(
+            tops, sides, l1, l2, 2, 1, 1,
+            interpret=True, band_rows=RB, chunk=C, unroll=U,
+        )
+    )
+    af = np.asarray(
+        affine_scores_banded_batch(
+            tops, sides, l1, l2, 2, 1, 3, 1,
+            interpret=True, band_rows=RB, chunk=C, unroll=U,
+        )
+    )
+    for b, (a, s2) in enumerate(ps):
+        t = jnp.asarray(enc.encode(a))
+        si = jnp.asarray(enc.encode(s2))
+        assert sw[b] == int(
+            sw_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+        ), b
+        want_af = 0 if not (a or s2) else int(affine_score(t, si, 2, 1, 3, 1))
+        assert af[b] == want_af, b
