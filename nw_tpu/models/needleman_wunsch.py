@@ -376,11 +376,14 @@ class NWAligner:
             result.counts = np.asarray(counts)
             return result
 
-        if count and not traceback_strings and use_pallas and len2 <= 2048:
+        if count and not traceback_strings and use_pallas:
             # fused score+count wavefront: no arrows materialized at all
-            from nw_tpu.ops.fill_pallas import fill_scores_counts_pallas_batch
+            # (banded — any side length)
+            from nw_tpu.ops.fill_pallas_banded import (
+                fill_scores_counts_banded_batch,
+            )
 
-            scores, counts = fill_scores_counts_pallas_batch(
+            scores, counts = fill_scores_counts_banded_batch(
                 tops, sides, lens1, lens2, m, k, d
             )
             result = BatchResult(
@@ -398,11 +401,12 @@ class NWAligner:
             # fused: counts ride the arrow fill, no second DP pass
             # (VMEM bounds the extra count diagonals to ~1k sides; longer
             # batches take the two-pass arrows + count_paths route)
-            from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+            from nw_tpu.ops.fill_pallas_banded import (
+                fill_arrows_banded_single,
+            )
 
-            arrows3, scores, counts = fill_arrows_pallas_batch(
-                tops, sides, lens1, lens2, m, k, d,
-                packed=True, with_counts=True,
+            arrows3, scores, counts = fill_arrows_banded_single(
+                tops, sides, lens1, lens2, m, k, d, with_counts=True
             )
             arrows_axis = 2
         else:

@@ -109,10 +109,12 @@ def fill_arrows_auto(
     plat = platform or default_platform()
     Bs = sides.shape[1]
     if plat == "tpu" and Bs <= LANES_ARROWS_MAX_SIDE:
-        from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+        # single-band banded kernel: flat packed layout, unrolled
+        # register-resident loop (~1.4x the flat arrows kernel)
+        from nw_tpu.ops.fill_pallas_banded import fill_arrows_banded_single
 
-        words, scores = fill_arrows_pallas_batch(
-            tops, sides, lens1, lens2, m, k, d, packed=True
+        words, scores = fill_arrows_banded_single(
+            tops, sides, lens1, lens2, m, k, d
         )
         return words, 2, scores
     if plat == "tpu":

@@ -559,6 +559,11 @@ def fill_arrows_banded_batch(
         return empty + ((jnp.zeros((0,), jnp.uint32),) if with_counts else ())
     BT = block_pairs
     N = Bs + 1
+    # the double-buffered (chunk/4, RB, BT) word slab must fit VMEM:
+    # clamp the chunk to the band height (2 * C * RB * BT bytes <= ~6MB)
+    RB_est = min(band_rows, _round_up(N, 8))
+    c_max = (6 << 20) // (2 * RB_est * BT)
+    chunk = max(unroll, min(chunk, c_max // unroll * unroll))
     RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
         A, N, band_rows, chunk, unroll
     )
@@ -655,6 +660,40 @@ def fill_scores_counts_banded_batch(
         jnp.arange(nbands, dtype=jnp.int32),
     )
     return scores[0, :nb], counts[0, :nb].astype(jnp.uint32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "block_pairs", "chunk", "unroll", "with_counts"),
+)
+def fill_arrows_banded_single(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    chunk: int = DEFAULT_CHUNK,
+    unroll: int = DEFAULT_UNROLL,
+    with_counts: bool = False,
+):
+    """Single-band arrows fill in the FLAT packed layout.
+
+    With one band covering the whole table, the band-major layout
+    degenerates to the flat kernels' diagonal-major packed-word layout:
+    cell (j, i) is byte ``(i+j) & 3`` of ``words[(i+j) >> 2, j, b]`` —
+    a drop-in for the packed pathcount/traceback consumers, at the
+    unrolled register-resident loop's throughput (59-73 GCUPS at
+    150bp-1kb sides vs the flat kernel's 43-51, measured).
+
+    Returns (words int32[T4, N_pad, B], scores[, counts]).
+    """
+    nb = tops.shape[0]
+    Bs = sides.shape[1]
+    out = fill_arrows_banded_batch(
+        tops, sides, lens1, lens2, m, k, d,
+        interpret=interpret, block_pairs=block_pairs,
+        band_rows=_round_up(Bs + 1, 8), chunk=chunk, unroll=unroll,
+        with_counts=with_counts,
+    )
+    return (out[0][0][:, :, :nb],) + out[1:]
 
 
 def build_arrows_call(

@@ -207,6 +207,23 @@ def main() -> int:
         for b in (0, 31):
             assert int(got10[b]) == int(score_pallas_single(t10[b], s10[b], 2, 1, 1))
 
+    def banded_single_arrows():
+        from nw_tpu.ops.fill_pallas_banded import fill_arrows_banded_single
+
+        w, s, cts = fill_arrows_banded_single(
+            tops, sides, l1, l2, 2, 1, 1, with_counts=True
+        )
+        assert (np.asarray(s) == ref_scores).all()
+        assert (np.asarray(cts) == ref_counts).all()
+        # flat packed layout: the dtype-dispatching consumers read it
+        c = jax.vmap(pathcount.count_paths, in_axes=(2, 0, 0))(w, l1j, l2j)
+        assert (np.asarray(c) == ref_counts).all()
+        tb = lambda a, a1, a2: traceback.traceback_greedy(a, a1, a2, max_steps=240)
+        o1, n1 = jax.vmap(tb)(ref["arrows"], l1j, l2j)
+        o2, n2 = jax.vmap(tb, in_axes=(2, 0, 0))(w, l1j, l2j)
+        assert (np.asarray(n1) == np.asarray(n2)).all()
+        assert (np.asarray(o1) == np.asarray(o2)).all()
+
     def banded_variants():
         from nw_tpu.models.affine import affine_score
         from nw_tpu.models.smith_waterman import sw_fill_diag
@@ -291,6 +308,7 @@ def main() -> int:
     check("SW + affine batched alignments", variant_alignments)
     check("long-side score routing (lax.map fold)", long_side_scores)
     check("banded score kernel (multi-band + 10kb)", banded_scores)
+    check("single-band arrows (flat layout) + consumers", banded_single_arrows)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
     check("banded checkpointed traceback + counts", banded_traceback)
     check("sharded pallas path", sharded)
