@@ -134,16 +134,17 @@ def bench_banded_scores(L=10240, NB=128, reps=10):
 
 
 def bench_arrows_150(NB=10240, L=150, reps=20):
-    """Arrows fill (packed words) at 150 bp — the traceback feed."""
+    """Arrows fill (packed words) at 150 bp — the traceback feed
+    (production route: single-band banded, flat layout)."""
     import jax.numpy as jnp
 
-    from nw_tpu.ops.fill_pallas import fill_arrows_pallas_batch
+    from nw_tpu.ops.fill_pallas_banded import fill_arrows_banded_single
 
     rng = np.random.default_rng(2)
     tops, sides, lens = _rand_batch(jnp, rng, NB, L)
 
     def fill_call(t):
-        w, s = fill_arrows_pallas_batch(t, sides, lens, lens, 2, 1, 1, packed=True)
+        w, s = fill_arrows_banded_single(t, sides, lens, lens, 2, 1, 1)
         return s + w[0, 0]
 
     per_call = _timed_scan(fill_call, tops, reps)
@@ -266,7 +267,7 @@ def bench_huge_pair(L=100_000):
     s1 = rng.integers(65, 69, L).astype(np.uint8).tobytes()
     s2 = rng.integers(65, 69, L).astype(np.uint8).tobytes()
     al = NWAligner()
-    al.align_huge(s1[:L // 10], s2[:L // 10])  # warm small
+    al.align_huge(s1, s2)  # warm (same shape: exclude compile)
     t0 = time.time()
     al.align_huge(s1, s2)
     dt = time.time() - t0
