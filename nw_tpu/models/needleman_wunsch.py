@@ -200,6 +200,31 @@ class NWAligner:
                 score -= k
         return HugeAlignmentResult(s1=s1b, s2=s2b, score=score, X=X, Y=Y)
 
+    def align_huge_sharded(
+        self,
+        s1: str | bytes,
+        s2: str | bytes,
+        mesh,
+        axis: str = "seq",
+        chunk: int = 512,
+    ) -> "HugeAlignmentResult":
+        """Exact first-optimal alignment of ONE pair too large for a
+        single device: the DP matrix is tiled over ``mesh``'s ``axis``
+        (BASELINE config 5 — 2-D block wavefront, chunked halo
+        collectives, per-device arrow storage, segment-relay walk; see
+        :mod:`nw_tpu.parallel.huge_pair`).  Byte-identical to the
+        reference DFS's first-emitted alignment."""
+        from nw_tpu.parallel.huge_pair import huge_pair_align_sharded
+
+        s1b, s2b = _as_bytes(s1), _as_bytes(s2)
+        m, k, d = self.config.scoring.as_tuple()
+        r = huge_pair_align_sharded(
+            jnp.asarray(enc.encode(s1b)), jnp.asarray(enc.encode(s2b)),
+            m, k, d, mesh, axis=axis, chunk=chunk,
+        )
+        X, Y = traceback.ops_to_strings(r.ops, r.n, s1b, s2b)
+        return HugeAlignmentResult(s1=s1b, s2=s2b, score=r.score, X=X, Y=Y)
+
     def summary_huge(
         self, s1: str | bytes, s2: str | bytes
     ) -> Tuple[int, int]:

@@ -237,15 +237,27 @@ def _huge_pair_device(
             None,
             length=nseq,
         )
-        return score, segs, seg_ns
+        # replicate the (tiny) segments so every process can stitch
+        # them — required on real multi-host meshes where remote
+        # shards are not addressable
+        segs_all = jax.lax.all_gather(segs, axis)      # (ndev, nround, cap)
+        ns_all = jax.lax.all_gather(seg_ns, axis)      # (ndev, nround)
+        return score, segs_all, ns_all
 
     if traceback:
-        out_specs = (P(), P(axis), P(axis))
+        out_specs = (P(), P(), P())
     else:
         out_specs = P()
-    mapped = shard_map(
-        local, mesh=mesh, in_specs=(P(axis), P()), out_specs=out_specs
-    )
+    try:
+        mapped = shard_map(
+            local, mesh=mesh, in_specs=(P(axis), P()),
+            out_specs=out_specs, check_vma=False,
+        )
+    except TypeError:  # pragma: no cover - older jax spelling
+        mapped = shard_map(
+            local, mesh=mesh, in_specs=(P(axis), P()),
+            out_specs=out_specs, check_rep=False,
+        )
     return mapped(side_sh, top_ext)
 
 
@@ -283,12 +295,9 @@ def huge_pair_align_sharded(
         m=int(m), k=int(k), d=int(d), mesh=mesh, axis=axis,
         chunk=chunk, traceback=True,
     )
-    segs = np.asarray(segs)  # (nseq * nseq_rounds, cap_seg) row-grouped
+    segs = np.asarray(segs)  # (nseq devices, nseq rounds, cap_seg)
     seg_ns = np.asarray(seg_ns)
     nseq = mesh.shape[axis]
-    cap_seg = segs.shape[-1]
-    segs = segs.reshape(nseq, nseq, cap_seg)  # [device, round, :]
-    seg_ns = seg_ns.reshape(nseq, nseq)
     parts = []
     for r in range(nseq):  # rounds in walk order
         for pdev in range(nseq):

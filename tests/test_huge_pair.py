@@ -93,3 +93,19 @@ def test_sharded_huge_pair_strings_roundtrip():
     r = huge_pair_align_sharded(top, side, 2, 1, 1, mesh, chunk=16)
     got = traceback.ops_to_strings(r.ops, r.n, s1, s2)
     assert got == want
+
+
+def test_align_huge_sharded_api():
+    from nw_tpu.models.needleman_wunsch import NWAligner, align
+
+    mesh = _mesh(8)
+    rng = np.random.default_rng(5)
+    s1 = "".join(rng.choice(list("ACGT"), 70))
+    s2 = "".join(rng.choice(list("ACGT"), 85))
+    ref = align(s1, s2, 2, 1, 1)
+    want_X, want_Y = ref.best_alignment()
+    r = NWAligner(match=2, mismatch=1, indel=1).align_huge_sharded(
+        s1, s2, mesh, chunk=16
+    )
+    assert r.score == ref.score
+    assert (r.X, r.Y) == (want_X, want_Y)
