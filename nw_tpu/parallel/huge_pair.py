@@ -39,8 +39,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from nw_tpu.ops.fill_scan import NEG_INF
 from nw_tpu.ops.traceback import OP_DIAG, OP_LEFT, OP_NONE, OP_UP
+
+LANES = 128
 
 try:
     shard_map = jax.shard_map
@@ -55,21 +60,204 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _make_fold_chunk_kernel(R: int, C: int, traceback: bool):
+    """One device's C-diagonal chunk of the tiled fill, fold layout.
+
+    The device's H = R*128 rows fold as ``j_local = r*128 + lane``; per
+    step the halo (parent last-row value) and the entering top char are
+    SMEM scalars, so the hot loop is pure (R, 128) vector ops with the
+    same carried-pre-shifted-prev2 economy as the batch kernels (the
+    halo injected into prev's shift one step earlier IS next step's
+    diagonal dependency).
+
+    Refs:
+      s_ref:    SMEM (1, 8) int32 — m, k, d, base (c*C), k_corner,
+                corner_jl (local fold index of the corner row, -1 if
+                not owned), seed flag (device 0), unused
+      ts_ref:   SMEM (1, C) int32 — top char entering at local row 0
+                per step
+      inj_ref:  SMEM (1, C) int32 — parent halo per step
+      side_ref: VMEM (R, 128) int32 — folded side chars
+      prev/prev2sh/ch (in), cap_ref (SMEM (1,1)): carried state
+      outs: prev/prev2sh/ch (out), emit SMEM (1, C) — last-row stream,
+            cap out, [words VMEM (C//4, R, 128) packed arrows]
+      pack_ref: VMEM (R, 128) scratch (arrow word accumulator)
+    """
+
+    def kernel(*refs):
+        it = iter(refs)
+        s_ref = next(it)
+        ts_ref = next(it)
+        inj_ref = next(it)
+        side_ref = next(it)
+        prev_in = next(it)
+        prev2sh_in = next(it)
+        ch_in = next(it)
+        cap_in = next(it)
+        prev_out = next(it)
+        prev2sh_out = next(it)
+        ch_out = next(it)
+        cap_out = next(it)
+        emit_ref = next(it)
+        words_ref = next(it) if traceback else None
+        pack_ref = next(it) if traceback else None
+
+        m = s_ref[0, 0]
+        kmis = s_ref[0, 1]
+        d = s_ref[0, 2]
+        base = s_ref[0, 3]
+        k_corner = s_ref[0, 4]
+        corner_jl = s_ref[0, 5]
+        seed = s_ref[0, 6]
+
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        at0 = (r_iota == 0) & (l_iota == 0)
+
+        def shift_local(x, fill):
+            # sh[j] = x[j-1] in the fold layout; sh[0] = fill (scalar)
+            y = pltpu.roll(x, 1, axis=1)
+            if R > 1:
+                y_down = jnp.concatenate([y[-1:, :], y[:-1, :]], axis=0)
+                z = jnp.where(l_iota == 0, y_down, y)
+            else:
+                z = y  # single row: lane 0 is always the fill position
+            return jnp.where(at0, fill, z)
+
+        prev_out[...] = prev_in[...]
+        prev2sh_out[...] = prev2sh_in[...]
+        ch_out[...] = ch_in[...]
+        cap_out[0, 0] = cap_in[0, 0]
+
+        side_ch = side_ref[...]
+
+        def step(t, _):
+            kk = base + t
+            prev = prev_out[...]
+
+            ch = shift_local(ch_out[...], ts_ref[0, t])
+            ch_out[...] = ch
+            sub = jnp.where(ch == side_ch, m, -kmis)
+
+            prev_sh = shift_local(prev, inj_ref[0, t])
+            cand_d = prev2sh_out[...] + sub
+            score = jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d)
+
+            # diagonal 0: the DP seed emerges at device 0's cell (0,0)
+            @pl.when((kk == 0) & (seed == 1))
+            def _():
+                prev_out[...] = jnp.where(at0, jnp.int32(0), score)
+
+            @pl.when((kk != 0) | (seed != 1))
+            def _():
+                prev_out[...] = score
+
+            prev2sh_out[...] = prev_sh
+
+            if traceback:
+                score_d = score + d
+                arrows = (
+                    (cand_d == score).astype(jnp.int32)
+                    + (prev == score_d).astype(jnp.int32) * 2
+                    + (prev_sh == score_d).astype(jnp.int32) * 4
+                )
+                r4 = jnp.bitwise_and(t, 3)
+                word = arrows << (r4 * 8)
+
+                @pl.when(r4 == 0)
+                def _():
+                    pack_ref[...] = word
+
+                @pl.when(r4 != 0)
+                def _():
+                    pack_ref[...] = pack_ref[...] | word
+
+                @pl.when(r4 == 3)
+                def _():
+                    words_ref[pl.ds(t // 4, 1), :, :] = pack_ref[...][None]
+
+            emit_ref[0, t] = prev_out[R - 1, LANES - 1]
+
+            @pl.when((kk == k_corner) & (corner_jl >= 0))
+            def _():
+                hit = (r_iota == corner_jl // LANES) & (
+                    l_iota == corner_jl % LANES
+                )
+                cap_out[0, 0] = jnp.sum(
+                    jnp.where(hit, prev_out[...], 0)
+                )
+
+            return 0
+
+        jax.lax.fori_loop(0, C, step, 0)
+
+    return kernel
+
+
+def _build_fold_chunk_call(R: int, C: int, traceback: bool, interpret: bool):
+    out_shapes = [
+        jax.ShapeDtypeStruct((R, LANES), jnp.int32),  # prev
+        jax.ShapeDtypeStruct((R, LANES), jnp.int32),  # prev2sh
+        jax.ShapeDtypeStruct((R, LANES), jnp.int32),  # ch
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),      # cap
+        jax.ShapeDtypeStruct((1, C), jnp.int32),      # emits
+    ]
+    out_specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    scratch = []
+    if traceback:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((C // 4, R, LANES), jnp.int32)
+        )
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        scratch.append(pltpu.VMEM((R, LANES), jnp.int32))
+    return pl.pallas_call(
+        _make_fold_chunk_kernel(R, C, traceback),
+        out_shape=tuple(out_shapes),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # s
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ts
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # inj
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # side fold
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # prev
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # prev2sh
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # ch
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # cap
+        ],
+        out_specs=tuple(out_specs),
+        scratch_shapes=scratch,
+        input_output_aliases={4: 0, 5: 1, 6: 2},
+        interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("m", "k", "d", "mesh", "axis", "chunk", "traceback"),
+    static_argnames=(
+        "m", "k", "d", "mesh", "axis", "chunk", "traceback", "engine",
+        "interpret",
+    ),
 )
 def _huge_pair_device(
     top, side, *, m: int, k: int, d: int, mesh: Mesh, axis: str,
-    chunk: int, traceback: bool,
+    chunk: int, traceback: bool, engine: str = "scan",
+    interpret: bool = False,
 ):
     A = top.shape[0]
     B = side.shape[0]
     nseq = mesh.shape[axis]
     C = chunk
 
-    N_pad = _round_up(B + 1, nseq)
+    # the pallas engine folds each device's rows into (R, 128) registers
+    row_quantum = nseq * LANES if engine == "pallas" else nseq
+    N_pad = _round_up(B + 1, row_quantum)
     H = N_pad // nseq
+    R = H // LANES if engine == "pallas" else 0
     K_pad = _round_up(A + N_pad, C)
     nch = K_pad // C
     nphases = nch + nseq - 1
@@ -87,14 +275,167 @@ def _huge_pair_device(
 
     perm_down = [(i, (i + 1) % nseq) for i in range(nseq)]  # p -> p+1
 
+    fold_call = (
+        _build_fold_chunk_call(R, C, traceback, interpret)
+        if engine == "pallas"
+        else None
+    )
+
     def local(side_local, top_ext):
         p = jax.lax.axis_index(axis)
         jl = jnp.arange(H, dtype=jnp.int32)
         jg = p * H + jl
         vary0 = side_local.sum() * 0  # shard_map varying-type anchor
 
+        def relay_walk(score, arrow_at):
+            """Segment-relay exact greedy walk over the tiled arrows:
+            the owner of the walk head runs a local loop; one psum per
+            device crossing; tiny per-round segments are all_gathered so
+            every process can stitch them (real multi-host meshes cannot
+            address remote shards)."""
+            cap_seg = A + H + 8  # one device's worst-case path segment
+
+            def seg_round(carry, _):
+                i, j = carry
+                mine = (j // H == p) & ((i > 0) | (j > 0))
+
+                def cond(stw):
+                    i2, j2, n2, _ = stw
+                    return (
+                        ((i2 > 0) | (j2 > 0))
+                        & (j2 // H == p)
+                        & (n2 < cap_seg)
+                    )
+
+                def body(stw):
+                    i2, j2, n2, ops = stw
+                    a = arrow_at(i2, j2)
+                    take_diag = (a & 1) != 0
+                    take_left = (~take_diag) & ((a & 2) != 0)
+                    take_up = ~(take_diag | take_left)
+                    op = jnp.where(
+                        take_diag, OP_DIAG,
+                        jnp.where(take_left, OP_LEFT, OP_UP),
+                    ).astype(jnp.int8)
+                    ops = ops.at[n2].set(op)
+                    di = jnp.where(take_diag | take_left, 1, 0)
+                    dj = jnp.where(take_diag | take_up, 1, 0)
+                    return (i2 - di, j2 - dj, n2 + 1, ops)
+
+                ops0 = (
+                    jnp.full((cap_seg,), OP_NONE, jnp.int8)
+                    + vary0.astype(jnp.int8)
+                )
+                iw, jw, nw, ops = jax.lax.while_loop(
+                    cond,
+                    body,
+                    (
+                        jnp.where(mine, i, 0) + vary0,
+                        jnp.where(mine, j, 0) + vary0,
+                        jnp.int32(0) + vary0,
+                        ops0,
+                    ),
+                )
+                # the owner's new head replaces the replicated shared head
+                any_mine = jax.lax.psum(mine.astype(jnp.int32), axis) > 0
+                i = jnp.where(
+                    any_mine, jax.lax.psum(jnp.where(mine, iw, 0), axis), i
+                )
+                j = jnp.where(
+                    any_mine, jax.lax.psum(jnp.where(mine, jw, 0), axis), j
+                )
+                return (i, j), (ops, jnp.where(mine, nw, 0))
+
+            _, (segs, seg_ns) = jax.lax.scan(
+                seg_round,
+                (jnp.int32(A) + vary0, jnp.int32(B) + vary0),
+                None,
+                length=nseq,
+            )
+            segs_all = jax.lax.all_gather(segs, axis)  # (ndev, nround, cap)
+            ns_all = jax.lax.all_gather(seg_ns, axis)
+            return score, segs_all, ns_all
+
         # diag 0 (the DP seed) is produced by the kk == 0 step override;
         # the registers start one diagonal EARLIER (all out-of-table)
+        if engine == "pallas":
+            state0 = dict(
+                prev=jnp.full((R, LANES), NEG_INF, jnp.int32) + vary0,
+                prev2sh=jnp.full((R, LANES), NEG_INF, jnp.int32) + vary0,
+                ch=jnp.full((R, LANES), -4, jnp.int32) + vary0,
+                cap=jnp.full((1, 1), NEG_INF, jnp.int32) + vary0,
+                recv=jnp.full((C,), NEG_INF, jnp.int32) + vary0,
+                tail=jnp.int32(NEG_INF) + vary0,
+            )
+            side_fold = side_local.reshape(R, LANES)
+            corner_jl = jnp.where(B // H == p, B - p * H, -1)
+            seed = (p == 0).astype(jnp.int32)
+
+            def phase(st, s):
+                c = s - p
+                active = (c >= 0) & (c < nch)
+                cc = jnp.clip(c, 0, nch - 1)
+                base = cc * C
+
+                inj = jnp.concatenate([st["tail"][None], st["recv"][:-1]])
+                inj = jnp.where(p == 0, NEG_INF, inj)
+                # top char entering local row 0 at step t: index
+                # decreases with t, so slice once and reverse
+                ts = jax.lax.dynamic_slice(
+                    top_ext, (N_pad + A - base - (C - 1) + p * H,), (C,)
+                )[::-1]
+
+                sv = jnp.stack(
+                    [
+                        jnp.int32(m), jnp.int32(k), jnp.int32(d), base,
+                        jnp.int32(A + B), corner_jl, seed, jnp.int32(0),
+                    ]
+                )[None]
+                outs = fold_call(
+                    sv, ts[None], inj[None], side_fold,
+                    st["prev"], st["prev2sh"], st["ch"], st["cap"],
+                )
+                prev_n, prev2sh_n, ch_n, cap_n, emits_n = outs[:5]
+                emits = emits_n[0]
+
+                def keep(new, old):
+                    return jnp.where(active, new, old)
+
+                new_st = dict(
+                    prev=keep(prev_n, st["prev"]),
+                    prev2sh=keep(prev2sh_n, st["prev2sh"]),
+                    ch=keep(ch_n, st["ch"]),
+                    cap=keep(cap_n, st["cap"]),
+                    recv=jax.lax.ppermute(
+                        jnp.where(active, emits, NEG_INF), axis, perm_down
+                    ),
+                    tail=keep(st["recv"][-1], st["tail"]),
+                )
+                return new_st, (outs[5] if traceback else None)
+
+            st, arr_phases = jax.lax.scan(
+                phase, state0, jnp.arange(nphases, dtype=jnp.int32)
+            )
+            score = jax.lax.pmax(st["cap"][0, 0], axis)
+            if not traceback:
+                return score
+            # arr_phases: (nphases, C//4, R, 128) packed words; my
+            # chunk c sits at phase c + p
+            wflat = arr_phases.reshape(-1)
+            C4 = C // 4
+
+            def arrow_at(i2, j2):
+                jloc = j2 - p * H
+                kk = i2 + j2
+                c = kk // C
+                t = kk - c * C
+                lin = (
+                    ((c + p) * C4 + t // 4) * R + jloc // LANES
+                ) * LANES + (jloc % LANES)
+                return (wflat[lin] >> ((t % 4) * 8)) & 0xFF
+
+            return relay_walk(score, arrow_at)
+
         state0 = dict(
             prev=jnp.full((H,), NEG_INF, jnp.int32) + vary0,
             prev2=jnp.full((H,), NEG_INF, jnp.int32) + vary0,
@@ -176,73 +517,17 @@ def _huge_pair_device(
         if not traceback:
             return score
 
-        # ---- segment-relay exact greedy walk over the tiled arrows ----
-        # arr_phases: (nphases, C, H); my chunk c sits at phase c + p
-        cap_seg = A + H + 8  # one device's worst-case path segment
+        # arr_phases: (nphases, C, H) uint8; my chunk c sits at phase c + p
         arr_flat = arr_phases.reshape(-1)
 
-        def seg_round(carry, _):
-            i, j = carry
-            mine = (j // H == p) & ((i > 0) | (j > 0))
+        def arrow_at(i2, j2):
+            jloc = j2 - p * H
+            kk = i2 + j2
+            c = kk // C
+            idx = ((c + p) * C + (kk - c * C)) * H + jloc
+            return arr_flat[idx]
 
-            def cond(stw):
-                i2, j2, n2, _ = stw
-                return ((i2 > 0) | (j2 > 0)) & (j2 // H == p) & (n2 < cap_seg)
-
-            def body(stw):
-                i2, j2, n2, ops = stw
-                jloc = j2 - p * H
-                kk = i2 + j2
-                c = kk // C
-                idx = ((c + p) * C + (kk - c * C)) * H + jloc
-                a = arr_flat[idx]
-                take_diag = (a & 1) != 0
-                take_left = (~take_diag) & ((a & 2) != 0)
-                take_up = ~(take_diag | take_left)
-                op = jnp.where(
-                    take_diag, OP_DIAG, jnp.where(take_left, OP_LEFT, OP_UP)
-                ).astype(jnp.int8)
-                ops = ops.at[n2].set(op)
-                di = jnp.where(take_diag | take_left, 1, 0)
-                dj = jnp.where(take_diag | take_up, 1, 0)
-                return (i2 - di, j2 - dj, n2 + 1, ops)
-
-            ops0 = (
-                jnp.full((cap_seg,), OP_NONE, jnp.int8)
-                + vary0.astype(jnp.int8)
-            )
-            iw, jw, nw, ops = jax.lax.while_loop(
-                cond,
-                body,
-                (
-                    jnp.where(mine, i, 0) + vary0,
-                    jnp.where(mine, j, 0) + vary0,
-                    jnp.int32(0) + vary0,
-                    ops0,
-                ),
-            )
-            # the owner's new head replaces the (replicated) shared head
-            any_mine = jax.lax.psum(mine.astype(jnp.int32), axis) > 0
-            i = jnp.where(
-                any_mine, jax.lax.psum(jnp.where(mine, iw, 0), axis), i
-            )
-            j = jnp.where(
-                any_mine, jax.lax.psum(jnp.where(mine, jw, 0), axis), j
-            )
-            return (i, j), (ops, jnp.where(mine, nw, 0))
-
-        (fi, fj), (segs, seg_ns) = jax.lax.scan(
-            seg_round,
-            (jnp.int32(A) + vary0, jnp.int32(B) + vary0),
-            None,
-            length=nseq,
-        )
-        # replicate the (tiny) segments so every process can stitch
-        # them — required on real multi-host meshes where remote
-        # shards are not addressable
-        segs_all = jax.lax.all_gather(segs, axis)      # (ndev, nround, cap)
-        ns_all = jax.lax.all_gather(seg_ns, axis)      # (ndev, nround)
-        return score, segs_all, ns_all
+        return relay_walk(score, arrow_at)
 
     if traceback:
         out_specs = (P(), P(), P())
@@ -268,21 +553,37 @@ class HugeShardedResult:
     n: int
 
 
+def _pick_engine(engine):
+    if engine is not None:
+        return engine
+    try:
+        return "pallas" if jax.devices()[0].platform == "tpu" else "scan"
+    except Exception:  # pragma: no cover
+        return "scan"
+
+
 def huge_pair_score_sharded(
-    top, side, m, k, d, mesh: Mesh, axis: str = "seq", chunk: int = 512
+    top, side, m, k, d, mesh: Mesh, axis: str = "seq", chunk: int = 512,
+    engine: str | None = None, interpret: bool = False,
 ) -> int:
-    """Score of ONE huge pair, rows sharded over ``axis``, chunked halo."""
+    """Score of ONE huge pair, rows sharded over ``axis``, chunked halo.
+
+    ``engine``: "pallas" (fold-layout chunk kernel per phase — the TPU
+    default) or "scan" (pure lax.scan — the CPU default and the
+    cross-checked reference formulation)."""
     return int(
         _huge_pair_device(
             jnp.asarray(top), jnp.asarray(side),
             m=int(m), k=int(k), d=int(d), mesh=mesh, axis=axis,
-            chunk=chunk, traceback=False,
+            chunk=chunk, traceback=False, engine=_pick_engine(engine),
+            interpret=interpret,
         )
     )
 
 
 def huge_pair_align_sharded(
-    top, side, m, k, d, mesh: Mesh, axis: str = "seq", chunk: int = 512
+    top, side, m, k, d, mesh: Mesh, axis: str = "seq", chunk: int = 512,
+    engine: str | None = None, interpret: bool = False,
 ) -> HugeShardedResult:
     """Exact first-emission alignment of ONE huge pair across the mesh.
 
@@ -293,7 +594,8 @@ def huge_pair_align_sharded(
     score, segs, seg_ns = _huge_pair_device(
         jnp.asarray(top), jnp.asarray(side),
         m=int(m), k=int(k), d=int(d), mesh=mesh, axis=axis,
-        chunk=chunk, traceback=True,
+        chunk=chunk, traceback=True, engine=_pick_engine(engine),
+        interpret=interpret,
     )
     segs = np.asarray(segs)  # (nseq devices, nseq rounds, cap_seg)
     seg_ns = np.asarray(seg_ns)

@@ -283,6 +283,39 @@ def main() -> int:
         for b in range(len(ps)):
             assert (ops[b, : n[b]] == opsr[b, : n[b]]).all()
 
+    def huge_pair_engine():
+        from jax.sharding import Mesh
+
+        from nw_tpu.ops.fill_pallas_single import score_pallas_single
+        from nw_tpu.parallel.huge_pair import (
+            huge_pair_align_sharded,
+            huge_pair_score_sharded,
+        )
+
+        mesh = Mesh(np.array(jax.devices()[:1]), ("seq",))
+        t7 = jnp.asarray(rng.integers(65, 69, 700), jnp.int32)
+        s7 = jnp.asarray(rng.integers(65, 69, 800), jnp.int32)
+        got = huge_pair_score_sharded(
+            t7, s7, 2, 1, 1, mesh, chunk=512, engine="pallas"
+        )
+        assert got == int(score_pallas_single(t7, s7, 2, 1, 1))
+        # small walk vs the packed traceback oracle
+        from nw_tpu.ops.fill_scan import fill_diag
+
+        a, s2 = ps[3]
+        tt = jnp.asarray(enc.encode(a.encode()))
+        ss = jnp.asarray(enc.encode(s2.encode()))
+        refd = fill_diag(tt, ss, 2, 1, 1)
+        opsr, nr = traceback.traceback_greedy(
+            refd["arrows"], len(a), len(s2), max_steps=len(a) + len(s2)
+        )
+        r = huge_pair_align_sharded(
+            tt, ss, 2, 1, 1, mesh, chunk=128, engine="pallas"
+        )
+        assert r.score == int(refd["score"])
+        assert r.n == int(nr)
+        assert (r.ops == np.asarray(opsr)[: int(nr)]).all()
+
     def sharded():
         from jax.sharding import Mesh
 
@@ -311,6 +344,7 @@ def main() -> int:
     check("single-band arrows (flat layout) + consumers", banded_single_arrows)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
     check("banded checkpointed traceback + counts", banded_traceback)
+    check("huge-pair fold-chunk engine (config 5)", huge_pair_engine)
     check("sharded pallas path", sharded)
     return 1 if FAILED else 0
 

@@ -109,3 +109,39 @@ def test_align_huge_sharded_api():
     )
     assert r.score == ref.score
     assert (r.X, r.Y) == (want_X, want_Y)
+
+
+@pytest.mark.parametrize(
+    "la,lb,C,mkd",
+    [
+        (33, 41, 8, (2, 1, 1)),
+        (5, 80, 8, (2, 1, 1)),
+        (64, 64, 8, (0, 0, 0)),
+        (300, 280, 32, (3, -1, 2)),
+    ],
+)
+def test_sharded_huge_pair_pallas_engine(la, lb, C, mkd):
+    """The fold-chunk Pallas engine (per-device kernel-speed fills),
+    interpret mode on the CPU mesh, vs the same oracles."""
+    from nw_tpu.parallel.huge_pair import (
+        huge_pair_align_sharded,
+        huge_pair_score_sharded,
+    )
+
+    mesh = _mesh(8)
+    rng = np.random.default_rng(la * 7 + lb)
+    top, side = _case(rng, la, lb)
+    ref = fill_diag(top, side, *mkd, with_scores=False)
+    opsr, nr = traceback.traceback_greedy(
+        ref["arrows"], la, lb, max_steps=la + lb
+    )
+    sc = huge_pair_score_sharded(
+        top, side, *mkd, mesh, chunk=C, engine="pallas", interpret=True
+    )
+    assert sc == int(ref["score"])
+    r = huge_pair_align_sharded(
+        top, side, *mkd, mesh, chunk=C, engine="pallas", interpret=True
+    )
+    assert r.score == int(ref["score"])
+    assert r.n == int(nr)
+    np.testing.assert_array_equal(r.ops, np.asarray(opsr)[: int(nr)])
