@@ -389,9 +389,14 @@ def _quiet_library_logging() -> None:
         return
     os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
     import logging
+    import warnings
 
     logging.getLogger("jax").setLevel(logging.CRITICAL)
     logging.getLogger("jax._src.xla_bridge").setLevel(logging.CRITICAL)
+    # Python-level warnings (slow-compile notices, deprecations) also
+    # land on stderr; under load they appear nondeterministically
+    warnings.simplefilter("ignore")
+    logging.getLogger().setLevel(logging.CRITICAL)
 
 
 def enable_default_compile_cache() -> None:

@@ -398,8 +398,21 @@ def affine_align_batch(pairs, m: int, k: int, open_: int, extend: int):
     tops, sides, l1, l2 = encode_batch(norm)
     interpret = jax.devices()[0].platform != "tpu"
     if sides.shape[1] > 1024:
+        if not interpret and len(norm) >= 24:
+            # long-side batches: the banded Gotoh traceback engine
+            # (checkpointed group re-fill; ops/variants_banded.py)
+            from nw_tpu.ops.variants_banded import (
+                affine_traceback_banded_batch,
+            )
+
+            best, ops, n = affine_traceback_banded_batch(
+                tops, sides, l1, l2, m, k, open_, extend
+            )
+            strs = ops_to_strings_batch(ops, n, norm)
+            return [(int(best[b]), X, Y) for b, (X, Y) in enumerate(strs)]
         # the Gotoh arrows kernel carries 9 scratch diagonals and is
-        # VMEM-bounded to ~1k sides; longer pairs take the scan engine
+        # VMEM-bounded to ~1k sides; small long-pair batches take the
+        # scan engine
         return [
             affine_align(a, b, m, k, open_, extend) for a, b in norm
         ]

@@ -266,8 +266,24 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     tops, sides, l1, l2 = encode_batch(norm)
     interpret = jax.devices()[0].platform != "tpu"
     if sides.shape[1] > 2048:
-        # the arrows+argmax kernel is VMEM-bounded to ~2k sides;
-        # longer pairs take the per-pair scan engine
+        if not interpret and len(norm) >= 24:
+            # long-side batches: the banded SW traceback engine
+            # (checkpointed group re-fill; ops/variants_banded.py)
+            from nw_tpu.ops.variants_banded import sw_traceback_banded_batch
+
+            best, jst, ist, j_end, i_end, ops, n = sw_traceback_banded_batch(
+                tops, sides, l1, l2, m, k, d
+            )
+            out = []
+            for b, (s1, s2) in enumerate(norm):
+                X, Y = ops_to_strings(
+                    ops[b], int(n[b]), s1[: int(ist[b])], s2[: int(jst[b])]
+                )
+                out.append(
+                    (int(best[b]), X, Y, (int(j_end[b]), int(i_end[b])))
+                )
+            return out
+        # small long-pair batches: the per-pair scan engine
         return [sw_align(a, b, m, k, d) for a, b in norm]
     words, best, j0, i0 = sw_arrows_pallas_batch(
         tops, sides, l1, l2, m, k, d, interpret=interpret

@@ -38,24 +38,48 @@ from nw_tpu.ops.fill_pallas_banded import (
     _geometry,
     _prep_banded,
 )
+from nw_tpu.ops.traceback import OP_DIAG, OP_LEFT, OP_NONE, OP_UP
 
 BIG = 2**30
 # headroom for the affine chains: NEG - open - extend must not wrap
 NEG = -(2**29)
 
 
-def _make_banded_sw_kernel(RB: int, C: int, off: int, unroll: int):
+def _make_banded_sw_kernel(
+    RB: int, C: int, off: int, unroll: int,
+    with_words: bool = False, with_argmax: bool = False,
+):
     """SW banded kernel; grid (batch_blocks, T_pad // C).
 
-    s_ref: scalar prefetch int32[8] — m, k, d, band r, (unused), j0.
-    Out: best (1, BT) c-invariant accumulator; bndout (C, BT) by step.
+    s_ref: scalar prefetch int32[8] — m, k, d, (p3 unused), band r, j0.
+    Outs: best (1, BT) c-invariant accumulator; [kk*/j* argmax pair
+    (scan tie rule: first diagonal achieving the band max, then lowest
+    row)]; [words (1, C//4-per-chunk slabs) — walk bits zeroed where
+    score == 0, a local-alignment start has no arrows]; bndout (C, BT).
     """
 
-    def kernel(
-        s_ref, tops_ref, sides_ref, lens_ref, bnda_ref, bndb_ref,
-        best_ref, bndout_ref, prev_ref, prev2sh_ref, ch_ref, bscr_ref,
-        stage_ref, brow_ref,
-    ):
+    def kernel(*refs):
+        it = iter(refs)
+        s_ref = next(it)
+        tops_ref = next(it)
+        sides_ref = next(it)
+        lens_ref = next(it)
+        bnda_ref = next(it)
+        bndb_ref = next(it)
+        words_ref = next(it) if with_words else None
+        best_ref = next(it)
+        if with_argmax:
+            kstar_ref = next(it)
+            jstar_ref = next(it)
+        bndout_ref = next(it)
+        prev_ref = next(it)
+        prev2sh_ref = next(it)
+        ch_ref = next(it)
+        bscr_ref = next(it)
+        stage_ref = next(it)
+        brow_ref = next(it)
+        if with_argmax:
+            bk_ref = next(it)
         BT = lens_ref.shape[1]
         c = pl.program_id(1)
         m = s_ref[0]
@@ -75,6 +99,10 @@ def _make_banded_sw_kernel(RB: int, C: int, off: int, unroll: int):
             ch_ref[...] = jnp.full((RB, BT), -4, jnp.int32)
             brow_ref[...] = jnp.zeros((RB, BT), jnp.int32)
             best_ref[...] = jnp.zeros((1, BT), jnp.int32)
+            if with_argmax:
+                bk_ref[...] = jnp.zeros((RB, BT), jnp.int32)
+                kstar_ref[...] = jnp.zeros((1, BT), jnp.int32)
+                jstar_ref[...] = jnp.zeros((1, BT), jnp.int32)
 
         bscr_ref[0 : C - off, :] = bnda_ref[off:C, :]
         if off:
@@ -82,17 +110,30 @@ def _make_banded_sw_kernel(RB: int, C: int, off: int, unroll: int):
 
         side_ch = sides_ref[...]
 
-        def substep(t, tl, prev, prev2sh, ch):
+        def substep(t, tl, r4, prev, prev2sh, ch, pack):
             new_top = tops_ref[pl.ds(tl, 1), :]
             ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
             sub = jnp.where(ch == side_ch, m, -kmis)
 
             inj = bscr_ref[pl.ds(tl, 1), :]
             prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
+            cand_d = prev2sh + sub
             score = jnp.maximum(
-                jnp.maximum(prev2sh + sub, jnp.maximum(prev_sh, prev) - d),
-                0,
+                jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d), 0
             )
+
+            if with_words:
+                score_d = score + d
+                arrows = (
+                    (cand_d == score).astype(jnp.int32)
+                    + (prev == score_d).astype(jnp.int32) * 2
+                    + (prev_sh == score_d).astype(jnp.int32) * 4
+                )
+                arrows = jnp.where(score > 0, arrows, 0)
+                word = arrows << (r4 * 8)
+                pack = word if r4 == 0 else pack | word
+                if r4 == 3:
+                    words_ref[pl.ds(tl // 4, 1), :, :] = pack[None]
 
             r8 = jnp.bitwise_and(tl, 7)
             stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
@@ -105,19 +146,26 @@ def _make_banded_sw_kernel(RB: int, C: int, off: int, unroll: int):
             in_rect = (
                 (jg >= 1) & (jg <= len2) & (i_val >= 1) & (i_val <= len1)
             )
-            brow_ref[...] = jnp.maximum(
-                brow_ref[...], jnp.where(in_rect, score, 0)
-            )
-            return score, prev_sh, ch
+            sc = jnp.where(in_rect, score, 0)
+            if with_argmax:
+                u = sc > brow_ref[...]
+                brow_ref[...] = jnp.where(u, sc, brow_ref[...])
+                bk_ref[...] = jnp.where(u, t + j0, bk_ref[...])
+            else:
+                brow_ref[...] = jnp.maximum(brow_ref[...], sc)
+            return score, prev_sh, ch, pack
 
         def step(i, _):
             tl0 = i * unroll
             prev = prev_ref[...]
             prev2sh = prev2sh_ref[...]
             ch = ch_ref[...]
+            pack = None
             for u in range(unroll):
                 tl = tl0 + u
-                prev, prev2sh, ch = substep(c * C + tl, tl, prev, prev2sh, ch)
+                prev, prev2sh, ch, pack = substep(
+                    c * C + tl, tl, u % 4, prev, prev2sh, ch, pack
+                )
             prev_ref[...] = prev
             prev2sh_ref[...] = prev2sh
             ch_ref[...] = ch
@@ -127,7 +175,21 @@ def _make_banded_sw_kernel(RB: int, C: int, off: int, unroll: int):
 
         @pl.when(c == pl.num_programs(1) - 1)
         def _finish():
-            best_ref[...] = jnp.max(brow_ref[...], axis=0, keepdims=True)
+            best = jnp.max(brow_ref[...], axis=0, keepdims=True)
+            best_ref[...] = best
+            if with_argmax:
+                # scan tie rule within the band: first diagonal kk
+                # achieving the max, then lowest (global) row
+                hit = brow_ref[...] == best
+                big = jnp.int32(BIG)
+                kst = jnp.min(
+                    jnp.where(hit, bk_ref[...], big), axis=0, keepdims=True
+                )
+                kstar_ref[...] = kst
+                jstar_ref[...] = jnp.min(
+                    jnp.where(hit & (bk_ref[...] == kst), jg, big),
+                    axis=0, keepdims=True,
+                )
 
     return kernel
 
@@ -185,6 +247,67 @@ def _banded_specs(RB, C, lag0, BT, n_streams):
     return in_specs, out_specs
 
 
+def build_sw_call(
+    RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+    with_words=False, with_argmax=False,
+):
+    """The compiled SW band sweep.  Outs: [words], best, [kk*, j*],
+    bndout."""
+    if with_words and unroll % 4:
+        raise ValueError("unroll must be a multiple of 4 for word packing")
+    in_specs, out_specs = _banded_specs(RB, C, lag0, BT, 1)
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
+    ]
+    if with_argmax:
+        out_shapes[1:1] = [
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        ]
+        out_specs[1:1] = [
+            pl.BlockSpec(
+                (1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
+            )
+        ] * 2
+    if with_words:
+        out_shapes.insert(
+            0, jax.ShapeDtypeStruct((1, T_pad // 4, RB, nb_pad), jnp.int32)
+        )
+        out_specs.insert(
+            0,
+            pl.BlockSpec(
+                (None, C // 4, RB, BT), lambda b, c, s: (0, c, 0, b),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+    scratch = [
+        pltpu.VMEM((RB, BT), jnp.int32),  # prev
+        pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2)
+        pltpu.VMEM((RB, BT), jnp.int32),  # rolling top chars
+        pltpu.VMEM((C, BT), jnp.int32),   # boundary window
+        pltpu.VMEM((8, BT), jnp.int32),   # boundary staging
+        pltpu.VMEM((RB, BT), jnp.int32),  # per-row best
+    ]
+    if with_argmax:
+        scratch.append(pltpu.VMEM((RB, BT), jnp.int32))  # first-kk per row
+    return pl.pallas_call(
+        _make_banded_sw_kernel(RB, C, off, unroll, with_words, with_argmax),
+        out_shape=tuple(out_shapes),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb_pad // BT, T_pad // C),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("interpret", "block_pairs", "band_rows", "chunk", "unroll"),
@@ -211,31 +334,8 @@ def sw_scores_banded_batch(
     tops_sh, sides_sh, lens, nb_pad = _prep_banded(
         tops, sides, lens1, lens2, BT, T_pad, N_pad
     )
-    in_specs, out_specs = _banded_specs(RB, C, lag0, BT, 1)
-    call = pl.pallas_call(
-        _make_banded_sw_kernel(RB, C, off, unroll),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
-            jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
-        ),
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=(nb_pad // BT, T_pad // C),
-            in_specs=in_specs,
-            out_specs=tuple(out_specs),
-            scratch_shapes=[
-                pltpu.VMEM((RB, BT), jnp.int32),  # prev
-                pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2)
-                pltpu.VMEM((RB, BT), jnp.int32),  # rolling top chars
-                pltpu.VMEM((C, BT), jnp.int32),   # boundary window
-                pltpu.VMEM((8, BT), jnp.int32),   # boundary staging
-                pltpu.VMEM((RB, BT), jnp.int32),  # per-row best
-            ],
-        ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"),
-        ),
-        interpret=interpret,
+    call = build_sw_call(
+        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret
     )
 
     # SW boundary rows are 0 (and out-of-table NEG decays under the
@@ -443,3 +543,683 @@ def affine_scores_banded_batch(
         jnp.arange(nbands, dtype=jnp.int32),
     )
     return scores[0, :nb]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "block_pairs", "band_rows", "chunk", "unroll",
+        "group_bands",
+    ),
+)
+def _sw_walk_device(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool,
+    block_pairs: int,
+    band_rows: int,
+    chunk: int,
+    unroll: int,
+    group_bands: int,
+):
+    """Device part of the banded SW traceback (see
+    :func:`sw_traceback_banded_batch`): returns (best, j*, i*, j_end,
+    i_end, ops_stack int8[ngroups, cap, nb] walk order, ng_stack)."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    BT = block_pairs
+    N = Bs + 1
+    S = group_bands
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    ngroups = -(-nbands // S)
+    nbands = ngroups * S
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+    score_call = build_sw_call(
+        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+        with_argmax=True,
+    )
+    words_call = build_sw_call(
+        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+        with_words=True,
+    )
+
+    # ---- pass 1: score sweep with per-group checkpoints + global argmax
+    bnd0 = jnp.full((U_pad, nb_pad), NEG, jnp.int32)
+    best0 = jnp.zeros((1, nb_pad), jnp.int32)
+    k0 = jnp.zeros((1, nb_pad), jnp.int32)
+    j0v = jnp.zeros((1, nb_pad), jnp.int32)
+
+    def group_fwd(carry, g):
+        best, kst, jst, bnd = carry
+        cp = bnd
+
+        def band_fwd(c2, rr):
+            best2, kst2, jst2, bnd2 = c2
+            s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
+            pb, pk, pj, bnd2 = score_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
+            # lexicographic merge: higher score, then first diagonal,
+            # then lowest row (the scan engine's tie rule globally)
+            better = pb > best2
+            upd = better | (
+                (pb == best2)
+                & ((pk < kst2) | ((pk == kst2) & (pj < jst2)))
+            )
+            return (
+                jnp.maximum(best2, pb),
+                jnp.where(upd, pk, kst2),
+                jnp.where(upd, pj, jst2),
+                bnd2,
+            ), None
+
+        (best, kst, jst, bnd), _ = jax.lax.scan(
+            band_fwd, (best, kst, jst, bnd), jnp.arange(S, dtype=jnp.int32)
+        )
+        return (best, kst, jst, bnd), cp
+
+    (best, kst, jst, _), cps = jax.lax.scan(
+        group_fwd, (best0, k0, j0v, bnd0),
+        jnp.arange(ngroups, dtype=jnp.int32),
+    )
+    best = best[0, :nb]
+    kst = kst[0, :nb]
+    jst = jst[0, :nb]
+    # no positive cell: scan semantics put the argmax at (0, 0)
+    kst = jnp.where(best > 0, kst, 0)
+    jst = jnp.where(best > 0, jst, 0)
+    ist = kst - jst
+
+    # ---- pass 2: per group (descending): words re-fill + local walk
+    T4 = T_pad // 4
+    WU = 8
+    cap = -(-(A + S * RB + 1) // WU) * WU
+    b_ar = jnp.arange(nb, dtype=jnp.int32)
+
+    def group_walk(carry, idx):
+        i, j, done = carry
+        g = ngroups - 1 - idx
+
+        def band_refill(bnd2, rr):
+            s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
+            words, _, bnd2 = words_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
+            return bnd2, words[0]
+
+        _, words = jax.lax.scan(
+            band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
+        )
+        words_flat = words.reshape(-1)
+        g0 = g * S * RB
+
+        def cond(st):
+            i2, j2, done2, tl, _, _ = st
+            return jnp.any(~done2 & (j2 >= g0)) & (tl < cap)
+
+        def body(st):
+            i2, j2, done2, tl, ops_g, ng = st
+            op_rows = []
+            for _ in range(WU):
+                inside = (~done2) & (j2 >= g0)
+                jl = jnp.clip(j2 - g0, 0, S * RB - 1)
+                rr = jl // RB
+                jj = jl - rr * RB
+                t = jnp.clip(i2 + jj, 0, T_pad - 1)
+                lin = ((rr * T4 + (t >> 2)) * RB + jj) * nb_pad + b_ar
+                w = words_flat[lin]
+                a = (w >> ((t & 3) * 8)) & 0xFF
+                # a local-alignment start (score <= 0) ends the walk
+                active = inside & (a != 0)
+                done2 = done2 | (inside & (a == 0))
+                take_diag = (a & 1) != 0
+                take_left = (~take_diag) & ((a & 2) != 0)
+                take_up = ~(take_diag | take_left)
+                op = jnp.where(
+                    take_diag, OP_DIAG, jnp.where(take_left, OP_LEFT, OP_UP)
+                ).astype(jnp.int8)
+                op_rows.append(jnp.where(active, op, OP_NONE))
+                di = jnp.where(active & (take_diag | take_left), 1, 0)
+                dj = jnp.where(active & (take_diag | take_up), 1, 0)
+                i2 = i2 - di
+                j2 = j2 - dj
+                ng = ng + active
+            ops_g = jax.lax.dynamic_update_slice(
+                ops_g, jnp.stack(op_rows), (tl, 0)
+            )
+            return (i2, j2, done2, tl + WU, ops_g, ng)
+
+        ops_g0 = jnp.full((cap, nb), OP_NONE, jnp.int8)
+        ng0 = jnp.zeros((nb,), jnp.int32)
+        i, j, done, _, ops_g, ng = jax.lax.while_loop(
+            cond, body, (i, j, done, jnp.int32(0), ops_g0, ng0)
+        )
+        return (i, j, done), (ops_g, ng)
+
+    done0 = jnp.zeros((nb,), bool)
+    (i_end, j_end, _), (ops_stack, ng_stack) = jax.lax.scan(
+        group_walk, (ist, jst, done0), jnp.arange(ngroups, dtype=jnp.int32)
+    )
+    o = ops_stack.astype(jnp.uint8)
+    ops4 = (
+        (o[:, 0::4] & 3)
+        | ((o[:, 1::4] & 3) << 2)
+        | ((o[:, 2::4] & 3) << 4)
+        | ((o[:, 3::4] & 3) << 6)
+    )
+    return best, jst, ist, j_end, i_end, ops4, ng_stack
+
+
+def sw_traceback_banded_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    chunk: int = 192,
+    unroll: int = DEFAULT_UNROLL,
+    group_bands: int = 8,
+):
+    """Batched Smith-Waterman full alignments at ANY side length.
+
+    The SW counterpart of :mod:`nw_tpu.ops.banded_traceback`: a
+    checkpoint pass with global argmax (scan tie rules: first diagonal
+    achieving the max, then lowest row), then descending group re-fills
+    with a batched local walk that stops at the first zero-arrow cell.
+    Returns (best int32[B], j0 int32[B], i0 int32[B], j_end, i_end,
+    ops int8[B, S], n int32[B]) with traceback.py op-code semantics.
+    """
+    import numpy as np
+
+    from nw_tpu.ops.banded_traceback import _compact_group_ops
+
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    out = _sw_walk_device(
+        tops, sides, lens1, lens2, m, k, d,
+        interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
+        chunk=chunk, unroll=unroll, group_bands=group_bands,
+    )
+    best, jst, ist, j_end, i_end, ops4, ng_stack = jax.device_get(out)
+    ops4 = np.asarray(ops4)
+    ngroups, cap4, nbp = ops4.shape
+    ops_stack = np.empty((ngroups, cap4 * 4, nbp), np.int8)
+    for r in range(4):
+        ops_stack[:, r::4] = (ops4 >> (2 * r)) & 3
+    ops, n = _compact_group_ops(ops_stack, ng_stack, A + Bs)
+    return (
+        np.asarray(best), np.asarray(jst), np.asarray(ist),
+        np.asarray(j_end), np.asarray(i_end), ops, n,
+    )
+
+
+def _make_banded_affine_full_kernel(
+    RB: int, C: int, offa: int, unroll: int, with_words: bool
+):
+    """Gotoh full-state banded kernel (the traceback engine's fill).
+
+    Carries the flat arrows kernel's register schedule (Mp, IXp,
+    shift(k-1) M/IY, shift(k-2) M/IX/IY, rolling chars) so the packed
+    4-bit walk codes (bits 0-1 M's predecessor, bit 2 IX extends, bit 3
+    IY extends — models/affine.affine_fill_arrows) come out bit-exact.
+    THREE boundary streams cross bands, all blocked at the standard
+    RB-1 producer-step offset: the k-1 shifts of M and IY read their
+    windows one element ahead (their rollover injection serves the NEXT
+    step) and additionally seed the carried registers' row 0 at band
+    start — the left-column IY chain crosses bands through that value.
+    Capture: corner best + best-matrix (the walk start).
+    """
+
+    def kernel(*refs):
+        it = iter(refs)
+        s_ref = next(it)
+        tops_ref = next(it)
+        sides_ref = next(it)
+        lens_ref = next(it)
+        ma_ref, mb_ref = next(it), next(it)
+        ya_ref, yb_ref = next(it), next(it)
+        xa_ref, xb_ref = next(it), next(it)
+        words_ref = next(it) if with_words else None
+        score_ref = next(it)
+        state_ref = next(it)
+        mbnd_ref = next(it)
+        ybnd_ref = next(it)
+        xbnd_ref = next(it)
+        mp_ref = next(it)
+        ixp_ref = next(it)
+        m1sh_ref = next(it)
+        iy1sh_ref = next(it)
+        m2sh_ref = next(it)
+        ix2sh_ref = next(it)
+        iy2sh_ref = next(it)
+        ch_ref = next(it)
+        mscr_ref = next(it)
+        yscr_ref = next(it)
+        xscr_ref = next(it)
+        mst_ref = next(it)
+        yst_ref = next(it)
+        xst_ref = next(it)
+
+        BT = lens_ref.shape[1]
+        c = pl.program_id(1)
+        m = s_ref[0]
+        kmis = s_ref[1]
+        op = s_ref[2]
+        ex = s_ref[3]
+        j0 = s_ref[5]
+        first = s_ref[6]
+        tcap = s_ref[7]
+
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (RB, BT), 0)
+        len1 = lens_ref[0:1, :]
+        len2 = lens_ref[1:2, :]
+        t_corner = len1 + len2 - j0
+        tgt_row = len2 - j0
+
+        @pl.when(c == 0)
+        def _init():
+            for r in (mp_ref, ixp_ref, m2sh_ref, ix2sh_ref, iy2sh_ref):
+                r[...] = jnp.full((RB, BT), NEG, jnp.int32)
+            ch_ref[...] = jnp.full((RB, BT), -4, jnp.int32)
+            # the carried k-1 shifts need the parent's column-0 values
+            # at band start (the left-column chains cross bands here)
+            m1sh_ref[...] = jnp.where(
+                j_iota == 0, ma_ref[offa : offa + 1, :], jnp.int32(NEG)
+            )
+            iy1sh_ref[...] = jnp.where(
+                j_iota == 0, ya_ref[offa : offa + 1, :], jnp.int32(NEG)
+            )
+            score_ref[...] = jnp.where(
+                (first == 1) & (len1 + len2 == 0),
+                jnp.int32(0), jnp.int32(NEG),
+            )
+            state_ref[...] = jnp.zeros((1, BT), jnp.int32)
+
+        # M/IY rollover injections serve the NEXT step: window shifted
+        # one element ahead of the IX (standard producer-step) window
+        offb = offa + 1
+        if offb < C:
+            mscr_ref[0 : C - offb, :] = ma_ref[offb:C, :]
+            yscr_ref[0 : C - offb, :] = ya_ref[offb:C, :]
+        mscr_ref[C - offb : C, :] = mb_ref[0:offb, :]
+        yscr_ref[C - offb : C, :] = yb_ref[0:offb, :]
+        xscr_ref[0 : C - offa, :] = xa_ref[offa:C, :]
+        if offa:
+            xscr_ref[C - offa : C, :] = xb_ref[0:offa, :]
+
+        side_ch = sides_ref[...]
+
+        def shift_inj(x, inj_row):
+            return jnp.concatenate([inj_row, x[:-1, :]], axis=0)
+
+        def substep(t, tl, r4, seed_now, st):
+            (Mp, IXp, m1sh, iy1sh, m2sh, ix2sh, iy2sh, ch, pack) = st
+            new_top = tops_ref[pl.ds(tl, 1), :]
+            ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
+            sub = jnp.where(ch == side_ch, m, -kmis)
+
+            best_p2 = jnp.maximum(jnp.maximum(m2sh, ix2sh), iy2sh)
+            M = best_p2 + sub
+            mpred = jnp.where(
+                m2sh >= best_p2, 0, jnp.where(ix2sh >= iy2sh, 1, 2)
+            )
+            cand_open_x = Mp - op
+            cand_ext_x = IXp - ex
+            IX = jnp.maximum(cand_open_x, cand_ext_x)
+            ixext = cand_ext_x > cand_open_x
+            cand_open_y = m1sh - op
+            cand_ext_y = iy1sh - ex
+            IY = jnp.maximum(cand_open_y, cand_ext_y)
+            iyext = cand_ext_y > cand_open_y
+
+            # band-0 DP seed M(0,0) = 0, applied BEFORE the rollover so
+            # the k-1/k-2 shifts inherit it
+            M = jnp.where(
+                seed_now & (j_iota == 0), jnp.int32(0), M
+            )
+
+            if with_words:
+                bits = (
+                    mpred
+                    + (ixext.astype(jnp.int32) << 2)
+                    + (iyext.astype(jnp.int32) << 3)
+                )
+                word = bits << (r4 * 8)
+                pack = word if r4 == 0 else pack | word
+                if r4 == 3:
+                    words_ref[pl.ds(tl // 4, 1), :, :] = pack[None]
+
+            r8 = jnp.bitwise_and(tl, 7)
+            mst_ref[pl.ds(r8, 1), :] = M[RB - 1 : RB, :]
+            yst_ref[pl.ds(r8, 1), :] = IY[RB - 1 : RB, :]
+            xst_ref[pl.ds(r8, 1), :] = IX[RB - 1 : RB, :]
+
+            @pl.when(r8 == 7)
+            def _():
+                mbnd_ref[pl.ds(tl - 7, 8), :] = mst_ref[...]
+                ybnd_ref[pl.ds(tl - 7, 8), :] = yst_ref[...]
+                xbnd_ref[pl.ds(tl - 7, 8), :] = xst_ref[...]
+
+            @pl.when(t >= tcap)
+            def _():
+                best = jnp.maximum(jnp.maximum(M, IX), IY)
+                stm = jnp.where(M >= best, 0, jnp.where(IX >= IY, 1, 2))
+                hit = (t_corner == t) & (j_iota == tgt_row)
+                hb = jnp.max(
+                    jnp.where(hit, best, NEG), axis=0, keepdims=True
+                )
+                hs = jnp.sum(jnp.where(hit, stm, 0), axis=0, keepdims=True)
+                upd = hb > jnp.int32(NEG)
+                score_ref[...] = jnp.where(upd, hb, score_ref[...])
+                state_ref[...] = jnp.where(upd, hs, state_ref[...])
+
+            # rollover (k-2 shadows take the OLD k-1 values)
+            minj = mscr_ref[pl.ds(tl, 1), :]
+            yinj = yscr_ref[pl.ds(tl, 1), :]
+            xinj = xscr_ref[pl.ds(tl, 1), :]
+            new_m2sh = m1sh
+            new_iy2sh = iy1sh
+            new_ix2sh = shift_inj(IXp, xinj)
+            new_m1sh = shift_inj(M, minj)
+            new_iy1sh = shift_inj(IY, yinj)
+            return (
+                M, IX, new_m1sh, new_iy1sh, new_m2sh, new_ix2sh,
+                new_iy2sh, ch, pack,
+            )
+
+        def step(i, _):
+            tl0 = i * unroll
+            st = (
+                mp_ref[...], ixp_ref[...], m1sh_ref[...], iy1sh_ref[...],
+                m2sh_ref[...], ix2sh_ref[...], iy2sh_ref[...], ch_ref[...],
+                None,
+            )
+            for u in range(unroll):
+                tl = tl0 + u
+                seed_now = (
+                    (c == 0) & (i == 0) & (first == 1)
+                    if u == 0 else jnp.bool_(False)
+                )
+                st = substep(c * C + tl, tl, u % 4, seed_now, st)
+            (mp_ref[...], ixp_ref[...], m1sh_ref[...], iy1sh_ref[...],
+             m2sh_ref[...], ix2sh_ref[...], iy2sh_ref[...],
+             ch_ref[...]) = st[:8]
+            return 0
+
+        jax.lax.fori_loop(0, C // unroll, step, 0)
+
+    return kernel
+
+
+def build_affine_full_call(
+    RB, C, lag0a, offa, unroll, T_pad, U_pad, nb_pad, BT,
+    interpret, with_words,
+):
+    """The compiled Gotoh full-state band sweep: call(s, tops, sides,
+    lens, mbnd, mbnd, ybnd, ybnd, xbnd, xbnd) -> ([words], score, state,
+    mbnd_out, ybnd_out, xbnd_out)."""
+    if unroll % 4:
+        raise ValueError("unroll must be a multiple of 4 for word packing")
+    in_specs = [
+        pl.BlockSpec((C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (RB, BT), lambda b, c, s: (s[4], b), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec((2, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM),
+    ]
+    for _ in range(3):
+        in_specs += [
+            pl.BlockSpec(
+                (C, BT), lambda b, c, s: (c + lag0a, b),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (C, BT), lambda b, c, s: (c + lag0a + 1, b),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),   # score
+        jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),   # corner state
+        jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),  # M bnd
+        jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),  # IY bnd
+        jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),  # IX bnd
+    ]
+    out_specs = [
+        pl.BlockSpec((1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM),
+    ]
+    if with_words:
+        out_shapes.insert(
+            0, jax.ShapeDtypeStruct((1, T_pad // 4, RB, nb_pad), jnp.int32)
+        )
+        out_specs.insert(
+            0,
+            pl.BlockSpec(
+                (None, C // 4, RB, BT), lambda b, c, s: (0, c, 0, b),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+    scratch = (
+        [pltpu.VMEM((RB, BT), jnp.int32)] * 8   # registers
+        + [pltpu.VMEM((C, BT), jnp.int32)] * 3  # stream windows
+        + [pltpu.VMEM((8, BT), jnp.int32)] * 3  # stream staging
+    )
+    return pl.pallas_call(
+        _make_banded_affine_full_kernel(RB, C, offa, unroll, with_words),
+        out_shape=tuple(out_shapes),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb_pad // BT, T_pad // C),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=scratch,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "block_pairs", "band_rows", "chunk", "unroll",
+        "group_bands",
+    ),
+)
+def _affine_walk_device(
+    tops, sides, lens1, lens2, m, k, open_, extend,
+    interpret: bool,
+    block_pairs: int,
+    band_rows: int,
+    chunk: int,
+    unroll: int,
+    group_bands: int,
+):
+    """Device part of the banded Gotoh traceback: returns (score,
+    corner state, ops4, ng_stack)."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    BT = block_pairs
+    N = Bs + 1
+    S = group_bands
+    RB, nbands, C, T_pad, lag0a, offa, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    ngroups = -(-nbands // S)
+    nbands = ngroups * S
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+    score_call = build_affine_full_call(
+        RB, C, lag0a, offa, unroll, T_pad, U_pad, nb_pad, BT,
+        interpret, with_words=False,
+    )
+    words_call = build_affine_full_call(
+        RB, C, lag0a, offa, unroll, T_pad, U_pad, nb_pad, BT,
+        interpret, with_words=True,
+    )
+
+    bnd0 = jnp.full((U_pad, nb_pad), NEG, jnp.int32)
+    score0 = jnp.full((1, nb_pad), NEG, jnp.int32)
+    st0 = jnp.zeros((1, nb_pad), jnp.int32)
+
+    def group_fwd(carry, g):
+        score, stm, mb, yb, xb = carry
+        cp = (mb, yb, xb)
+
+        def band_fwd(c2, rr):
+            score2, stm2, mb2, yb2, xb2 = c2
+            s = _variant_scalars(m, k, open_, extend, g * S + rr, RB, lens, nb)
+            ps, pst, mb2, yb2, xb2 = score_call(
+                s, tops_sh, sides_sh, lens, mb2, mb2, yb2, yb2, xb2, xb2
+            )
+            upd = ps > score2
+            return (
+                jnp.maximum(score2, ps),
+                jnp.where(upd, pst, stm2),
+                mb2, yb2, xb2,
+            ), None
+
+        (score, stm, mb, yb, xb), _ = jax.lax.scan(
+            band_fwd, (score, stm, mb, yb, xb),
+            jnp.arange(S, dtype=jnp.int32),
+        )
+        return (score, stm, mb, yb, xb), cp
+
+    (score, stm, _, _, _), cps = jax.lax.scan(
+        group_fwd, (score0, st0, bnd0, bnd0, bnd0),
+        jnp.arange(ngroups, dtype=jnp.int32),
+    )
+    score = score[0, :nb]
+    stm = stm[0, :nb]
+
+    T4 = T_pad // 4
+    WU = 8
+    cap = -(-(A + S * RB + 1) // WU) * WU
+    b_ar = jnp.arange(nb, dtype=jnp.int32)
+
+    def group_walk(carry, idx):
+        i, j, mat = carry
+        g = ngroups - 1 - idx
+
+        def band_refill(c2, rr):
+            mb2, yb2, xb2 = c2
+            s = _variant_scalars(m, k, open_, extend, g * S + rr, RB, lens, nb)
+            words, _, _, mb2, yb2, xb2 = words_call(
+                s, tops_sh, sides_sh, lens, mb2, mb2, yb2, yb2, xb2, xb2
+            )
+            return (mb2, yb2, xb2), words[0]
+
+        _, words = jax.lax.scan(
+            band_refill, (cps[0][g], cps[1][g], cps[2][g]),
+            jnp.arange(S, dtype=jnp.int32),
+        )
+        words_flat = words.reshape(-1)
+        g0 = g * S * RB
+
+        def cond(st):
+            i2, j2, _, tl, _, _ = st
+            return jnp.any(((i2 > 0) | (j2 > 0)) & (j2 >= g0)) & (tl < cap)
+
+        def body(st):
+            i2, j2, mat2, tl, ops_g, ng = st
+            op_rows = []
+            for _ in range(WU):
+                active = ((i2 > 0) | (j2 > 0)) & (j2 >= g0)
+                jl = jnp.clip(j2 - g0, 0, S * RB - 1)
+                rr = jl // RB
+                jj = jl - rr * RB
+                t = jnp.clip(i2 + jj, 0, T_pad - 1)
+                lin = ((rr * T4 + (t >> 2)) * RB + jj) * nb_pad + b_ar
+                w = words_flat[lin]
+                b = (w >> ((t & 3) * 8)) & 0xFF
+                is_m = mat2 == 0
+                is_ix = mat2 == 1
+                op = jnp.where(
+                    is_m, OP_DIAG, jnp.where(is_ix, OP_LEFT, OP_UP)
+                ).astype(jnp.int8)
+                op_rows.append(jnp.where(active, op, OP_NONE))
+                di = jnp.where(active & (is_m | is_ix), 1, 0)
+                dj = jnp.where(active & ~is_ix, 1, 0)
+                ns = jnp.where(
+                    is_m, b & 3,
+                    jnp.where(
+                        is_ix,
+                        jnp.where((b >> 2) & 1, 1, 0),
+                        jnp.where((b >> 3) & 1, 2, 0),
+                    ),
+                )
+                i2 = i2 - di
+                j2 = j2 - dj
+                mat2 = jnp.where(active, ns, mat2)
+                ng = ng + active
+            ops_g = jax.lax.dynamic_update_slice(
+                ops_g, jnp.stack(op_rows), (tl, 0)
+            )
+            return (i2, j2, mat2, tl + WU, ops_g, ng)
+
+        ops_g0 = jnp.full((cap, nb), OP_NONE, jnp.int8)
+        ng0 = jnp.zeros((nb,), jnp.int32)
+        i, j, mat, _, ops_g, ng = jax.lax.while_loop(
+            cond, body, (i, j, mat, jnp.int32(0), ops_g0, ng0)
+        )
+        return (i, j, mat), (ops_g, ng)
+
+    i0 = jnp.asarray(lens1, jnp.int32)
+    j0v = jnp.asarray(lens2, jnp.int32)
+    (_, _, _), (ops_stack, ng_stack) = jax.lax.scan(
+        group_walk, (i0, j0v, stm), jnp.arange(ngroups, dtype=jnp.int32)
+    )
+    o = ops_stack.astype(jnp.uint8)
+    ops4 = (
+        (o[:, 0::4] & 3)
+        | ((o[:, 1::4] & 3) << 2)
+        | ((o[:, 2::4] & 3) << 4)
+        | ((o[:, 3::4] & 3) << 6)
+    )
+    return score, stm, ops4, ng_stack
+
+
+def affine_traceback_banded_batch(
+    tops, sides, lens1, lens2, m, k, open_, extend,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    chunk: int = 192,
+    unroll: int = DEFAULT_UNROLL,
+    group_bands: int = 8,
+):
+    """Batched Gotoh affine-gap full alignments at ANY side length.
+
+    Checkpointed group re-fill over the 4-bit walk codes; the walk is
+    the 3-matrix state machine (M->diag, IX->left, IY->up) starting at
+    the corner's best matrix.  Returns (scores int32[B],
+    ops int8[B, S], n int32[B]) in traceback.py op-code semantics.
+    """
+    import numpy as np
+
+    from nw_tpu.ops.banded_traceback import _compact_group_ops
+
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    score, stm, ops4, ng_stack = jax.device_get(
+        _affine_walk_device(
+            tops, sides, lens1, lens2, m, k, open_, extend,
+            interpret=interpret, block_pairs=block_pairs,
+            band_rows=band_rows, chunk=chunk, unroll=unroll,
+            group_bands=group_bands,
+        )
+    )
+    ops4 = np.asarray(ops4)
+    ngroups, cap4, nbp = ops4.shape
+    ops_stack = np.empty((ngroups, cap4 * 4, nbp), np.int8)
+    for r in range(4):
+        ops_stack[:, r::4] = (ops4 >> (2 * r)) & 3
+    ops, n = _compact_group_ops(ops_stack, ng_stack, A + Bs)
+    return np.asarray(score), ops, n

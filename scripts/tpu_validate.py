@@ -266,6 +266,36 @@ def main() -> int:
             )
             assert af6[b] == int(affine_score(t6[b], s6[b], 2, 1, 3, 1))
 
+    def banded_variant_tracebacks():
+        from nw_tpu.models.affine import affine_align
+        from nw_tpu.models.smith_waterman import sw_align
+        from nw_tpu.ops.traceback import ops_to_strings
+        from nw_tpu.ops.variants_banded import (
+            affine_traceback_banded_batch,
+            sw_traceback_banded_batch,
+        )
+
+        best, jst, ist, j_end, i_end, ops, n = sw_traceback_banded_batch(
+            tops, sides, l1, l2, 2, 1, 1,
+            band_rows=24, chunk=24, unroll=8, group_bands=2,
+        )
+        afs, aops, an = affine_traceback_banded_batch(
+            tops, sides, l1, l2, 2, 1, 3, 1,
+            band_rows=24, chunk=24, unroll=8, group_bands=2,
+        )
+        for b in range(0, len(ps), 31):
+            a, s2 = ps[b]
+            wb, wX, wY, wstart = sw_align(a, s2, 2, 1, 1)
+            X, Y = ops_to_strings(
+                ops[b], int(n[b]), a.encode()[: int(ist[b])],
+                s2.encode()[: int(jst[b])],
+            )
+            assert int(best[b]) == wb and (X, Y) == (wX, wY)
+            assert (int(j_end[b]), int(i_end[b])) == wstart
+            wa = affine_align(a, s2, 2, 1, 3, 1)
+            aX, aY = ops_to_strings(aops[b], int(an[b]), a.encode(), s2.encode())
+            assert int(afs[b]) == wa[0] and (aX, aY) == (wa[1], wa[2])
+
     def banded_traceback():
         from nw_tpu.ops.banded_traceback import traceback_banded_batch
 
@@ -343,6 +373,7 @@ def main() -> int:
     check("banded score kernel (multi-band + 10kb)", banded_scores)
     check("single-band arrows (flat layout) + consumers", banded_single_arrows)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
+    check("banded SW + affine FULL tracebacks", banded_variant_tracebacks)
     check("banded checkpointed traceback + counts", banded_traceback)
     check("huge-pair fold-chunk engine (config 5)", huge_pair_engine)
     check("sharded pallas path", sharded)

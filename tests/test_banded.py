@@ -194,3 +194,48 @@ def test_banded_variants_vs_oracle(geometry):
         ), b
         want_af = 0 if not (a or s2) else int(affine_score(t, si, 2, 1, 3, 1))
         assert af[b] == want_af, b
+
+
+@pytest.mark.parametrize("geometry", [(8, 8, 4, 2), (16, 16, 8, 3), (8, 24, 8, 2)])
+def test_banded_sw_traceback_vs_oracle(geometry):
+    from nw_tpu.models.smith_waterman import sw_align
+    from nw_tpu.ops.traceback import ops_to_strings
+    from nw_tpu.ops.variants_banded import sw_traceback_banded_batch
+
+    RB, C, U, S = geometry
+    rng = np.random.default_rng(hash(geometry) % 2**31)
+    ps = _pairs(rng, 6, 1, 60) + [(b"AAAA", b"TTTT"), (b"", b"ACG"), (b"ACG", b"")]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    best, jst, ist, j_end, i_end, ops, n = sw_traceback_banded_batch(
+        tops, sides, l1, l2, 2, 1, 1,
+        interpret=True, band_rows=RB, chunk=C, unroll=U, group_bands=S,
+    )
+    for b, (a, s2) in enumerate(ps):
+        want_best, want_X, want_Y, want_start = sw_align(a, s2, 2, 1, 1)
+        X, Y = ops_to_strings(
+            ops[b], int(n[b]), a[: int(ist[b])], s2[: int(jst[b])]
+        )
+        assert int(best[b]) == want_best, b
+        assert (X, Y) == (want_X, want_Y), b
+        assert (int(j_end[b]), int(i_end[b])) == want_start, b
+
+
+@pytest.mark.parametrize("geometry", [(8, 8, 4, 2), (16, 16, 8, 3)])
+def test_banded_affine_traceback_vs_oracle(geometry):
+    from nw_tpu.models.affine import affine_align
+    from nw_tpu.ops.traceback import ops_to_strings
+    from nw_tpu.ops.variants_banded import affine_traceback_banded_batch
+
+    RB, C, U, S = geometry
+    rng = np.random.default_rng(hash(geometry) % 2**31 + 1)
+    ps = _pairs(rng, 6, 1, 50) + [(b"ACGT", b""), (b"", b"ACGT")]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    score, ops, n = affine_traceback_banded_batch(
+        tops, sides, l1, l2, 2, 1, 3, 1,
+        interpret=True, band_rows=RB, chunk=C, unroll=U, group_bands=S,
+    )
+    for b, (a, s2) in enumerate(ps):
+        want = affine_align(a, s2, 2, 1, 3, 1)
+        X, Y = ops_to_strings(ops[b], int(n[b]), a, s2)
+        assert int(score[b]) == want[0], b
+        assert (X, Y) == (want[1], want[2]), b
