@@ -13,12 +13,19 @@ Variant-specific handoff details:
   and the best-score tracking is masked to each pair's true rectangle
   so clamped pad cells can't contribute.  No seed patch is needed:
   cell (0,0) = 0 falls out of the clamp.
-* **Gotoh**: two boundary streams.  The IY chain consumes the parent's
-  pre-combined ``max(M - (open-extend), IY)`` last row (staged by the
-  producer, so one stream covers both IY dependencies), and the M
-  diagonal consumes the parent's ``best`` last row through the carried
-  best-shift register.  Band 0 patches the M/best seed (0,0) = 0 after
-  the t = 0 substep, as the NW kernel does.
+* **Gotoh (score kernel)**: two boundary streams.  The IY chain
+  consumes the parent's pre-combined ``max(M - (open-extend), IY)``
+  last row (staged by the producer, so one stream covers both IY
+  dependencies), and the M diagonal consumes the parent's ``best`` last
+  row through the carried best-shift register.  Band 0 patches the
+  M/best seed (0,0) = 0 after the t = 0 substep, as the NW kernel does.
+
+Full-alignment engines (``sw_traceback_banded_batch``,
+``affine_traceback_banded_batch``) extend these with packed walk-code
+emission and the checkpointed group re-fill + batched walk structure of
+:mod:`nw_tpu.ops.banded_traceback`; the Gotoh full-state kernel carries
+the flat arrows kernel's register schedule and THREE boundary streams
+(see its docstring for the carried-shift band-start seeding).
 """
 
 from __future__ import annotations
