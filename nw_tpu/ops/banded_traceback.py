@@ -134,7 +134,7 @@ def _banded_walk_device(
 
     # ---- pass 2: per group (descending): arrows re-fill + batched walk
     T4 = T_pad // 4
-    WU = 8  # walk steps per while-loop iteration (amortizes loop overhead)
+    WU = 16  # walk steps per while-loop iteration (amortizes loop overhead)
     # max in-group walk steps (all-horizontal worst case), WU-aligned
     cap = -(-(A + S * RB + 1) // WU) * WU
     b_ar = jnp.arange(nb, dtype=jnp.int32)

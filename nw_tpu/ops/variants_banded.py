@@ -641,7 +641,7 @@ def _sw_walk_device(
 
     # ---- pass 2: per group (descending): words re-fill + local walk
     T4 = T_pad // 4
-    WU = 8
+    WU = 16
     cap = -(-(A + S * RB + 1) // WU) * WU
     b_ar = jnp.arange(nb, dtype=jnp.int32)
 
@@ -1107,7 +1107,7 @@ def _affine_walk_device(
     stm = stm[0, :nb]
 
     T4 = T_pad // 4
-    WU = 8
+    WU = 16
     cap = -(-(A + S * RB + 1) // WU) * WU
     b_ar = jnp.arange(nb, dtype=jnp.int32)
 
