@@ -277,6 +277,59 @@ def bench_huge_pair(L=100_000):
     return dt
 
 
+def bench_variant_tracebacks(NB=128, L=3072):
+    """Full SW / Gotoh alignments on long pairs (banded traceback)."""
+    from nw_tpu.models.affine import affine_align_batch
+    from nw_tpu.models.smith_waterman import sw_align_batch
+
+    rng = np.random.default_rng(9)
+    pairs = [
+        (
+            rng.integers(65, 69, L).astype(np.uint8).tobytes(),
+            rng.integers(65, 69, L).astype(np.uint8).tobytes(),
+        )
+        for _ in range(NB)
+    ]
+    sw_align_batch(pairs[:32], 2, 1, 1)
+    t0 = time.time()
+    sw_align_batch(pairs, 2, 1, 1)
+    _emit(
+        f"SW full alignments, {NB}x{L//1024}kb (banded traceback)",
+        round(NB / (time.time() - t0), 1), "pairs/s",
+    )
+    affine_align_batch(pairs[:32], 2, 1, 3, 1)
+    t0 = time.time()
+    affine_align_batch(pairs, 2, 1, 3, 1)
+    _emit(
+        f"Gotoh full alignments, {NB}x{L//1024}kb (banded traceback)",
+        round(NB / (time.time() - t0), 1), "pairs/s",
+    )
+
+
+def bench_huge_sharded(L=100_000, mesh_devices=None):
+    """Config 5 fill rate per device (fold-chunk engine; 1 chip here —
+    the same program pipelines over N-device meshes)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from nw_tpu.parallel.huge_pair import huge_pair_score_sharded
+
+    devs = jax.devices()[:mesh_devices] if mesh_devices else jax.devices()
+    mesh = Mesh(np.array(devs), ("seq",))
+    rng = np.random.default_rng(11)
+    top = jnp.asarray(rng.integers(65, 69, L), jnp.int32)
+    side = jnp.asarray(rng.integers(65, 69, L), jnp.int32)
+    huge_pair_score_sharded(top, side, 2, 1, 1, mesh)  # warm
+    t0 = time.time()
+    huge_pair_score_sharded(top, side, 2, 1, 1, mesh)
+    dt = time.time() - t0
+    _emit(
+        f"config-5 tiled fill, 1x{L//1000}kb over {len(devs)}-device mesh",
+        round(L * L / dt / 1e9 / len(devs), 1), "GCUPS/device",
+    )
+
+
 def bench_variants(NB=10240, L=150, reps=20):
     import jax.numpy as jnp
 
@@ -330,7 +383,9 @@ def main() -> None:
     bench_e2e_150()
     bench_sharded(mesh_n)
     bench_variants()
+    bench_variant_tracebacks()
     bench_huge_pair()
+    bench_huge_sharded(mesh_devices=mesh_n)
 
 
 if __name__ == "__main__":

@@ -560,9 +560,9 @@ def fill_arrows_banded_batch(
     BT = block_pairs
     N = Bs + 1
     # the double-buffered (chunk/4, RB, BT) word slab must fit VMEM:
-    # clamp the chunk to the band height (2 * C * RB * BT bytes <= ~6MB)
+    # clamp the chunk to the band height (2 * C * RB * BT bytes <= ~6.5MB)
     RB_est = min(band_rows, _round_up(N, 8))
-    c_max = (6 << 20) // (2 * RB_est * BT)
+    c_max = (13 << 20) // (4 * RB_est * BT)
     chunk = max(unroll, min(chunk, c_max // unroll * unroll))
     RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
         A, N, band_rows, chunk, unroll
@@ -686,11 +686,20 @@ def fill_arrows_banded_single(
     Returns (words int32[T4, N_pad, B], scores[, counts]).
     """
     nb = tops.shape[0]
+    A = tops.shape[1]
     Bs = sides.shape[1]
+    RB = _round_up(Bs + 1, 8)
+    # choose a chunk that divides the sweep near-evenly under the VMEM
+    # slab budget: T_pad rounds up to a chunk multiple, so a clamped
+    # default chunk can pad the sweep by 30%+ at short lengths
+    T_est = A + RB
+    c_max = max(unroll, ((13 << 20) // (4 * RB * block_pairs)) // unroll * unroll)
+    nch = -(-T_est // c_max)
+    chunk = max(unroll, _round_up(-(-T_est // nch), unroll))
     out = fill_arrows_banded_batch(
         tops, sides, lens1, lens2, m, k, d,
         interpret=interpret, block_pairs=block_pairs,
-        band_rows=_round_up(Bs + 1, 8), chunk=chunk, unroll=unroll,
+        band_rows=RB, chunk=chunk, unroll=unroll,
         with_counts=with_counts,
     )
     return (out[0][0][:, :, :nb],) + out[1:]
