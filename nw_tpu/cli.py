@@ -367,6 +367,7 @@ def _needleman_wunsch(
 
 def console_main() -> None:
     _quiet_library_logging()
+    stderr_io = _isolate_stderr_fd()
     platform = os.environ.get("NW_TPU_PLATFORM")
     if platform:
         # jax may already be imported (e.g. by a sitecustomize that
@@ -377,7 +378,45 @@ def console_main() -> None:
 
         jax.config.update("jax_platforms", platform)
     enable_default_compile_cache()
-    sys.exit(main(sys.argv))
+    try:
+        code = main(sys.argv, stderr=stderr_io)
+    except BaseException:
+        if stderr_io is not None and not isinstance(
+            sys.exc_info()[1], (SystemExit, KeyboardInterrupt)
+        ):
+            # crashes must not vanish into the /dev/null'd fd 2
+            import traceback
+
+            stderr_io.write(traceback.format_exc().encode())
+            sys.exit(1)
+        raise
+    sys.exit(code)
+
+
+def _isolate_stderr_fd() -> Optional[BinaryIO]:
+    """Hard stderr byte-parity guarantee: the reference binary writes
+    NOTHING to stderr unprompted (its only release-mode stderr writes
+    are the ``-s`` summary, computation.c:277-280, and error paths).
+    XLA's C++ absl logging (e.g. cpu_aot_loader.cc machine-feature
+    complaints when a persistent-cache AOT entry mismatches) writes to
+    the raw fd 2 and ignores TF_CPP_MIN_LOG_LEVEL on some jaxlib
+    builds, so env/logging suppression alone is not airtight.
+
+    Fix at the fd level: keep a private dup of the real stderr for the
+    CLI's own parity output, then point fd 2 itself at /dev/null so
+    nothing any C++ library prints can reach the user.  Returns the
+    stream the CLI must write parity stderr bytes to (None = use the
+    process stderr unchanged, e.g. under NW_TPU_VERBOSE=1)."""
+    if os.environ.get("NW_TPU_VERBOSE"):
+        return None
+    try:
+        real_fd = os.dup(2)
+        devnull = os.open(os.devnull, os.O_WRONLY)
+        os.dup2(devnull, 2)
+        os.close(devnull)
+    except OSError:
+        return None
+    return os.fdopen(real_fd, "wb", buffering=0)
 
 
 def _quiet_library_logging() -> None:

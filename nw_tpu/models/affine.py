@@ -284,11 +284,7 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
         for a, b in pairs
     ]
     tops, sides, l1, l2 = encode_batch(norm)
-    if (
-        sides.shape[1] > 3072
-        and jax.devices()[0].platform == "tpu"
-        and len(norm) >= 24
-    ):
+    if sides.shape[1] > 3072 and jax.devices()[0].platform == "tpu":
         # long-side batches: the banded Gotoh kernel (any side length;
         # ops/variants_banded.py)
         from nw_tpu.ops.variants_banded import affine_scores_banded_batch
@@ -398,9 +394,12 @@ def affine_align_batch(pairs, m: int, k: int, open_: int, extend: int):
     tops, sides, l1, l2 = encode_batch(norm)
     interpret = jax.devices()[0].platform != "tpu"
     if sides.shape[1] > 1024:
-        if not interpret and len(norm) >= 24:
-            # long-side batches: the banded Gotoh traceback engine
-            # (checkpointed group re-fill; ops/variants_banded.py)
+        if not interpret:
+            # long-side batches of ANY size: the banded Gotoh traceback
+            # engine (checkpointed group re-fill; variants_banded.py).
+            # Small batches pad to the engine's 128-lane quantum —
+            # wasted lanes beat the per-pair scan's ~100x cliff
+            # (VERDICT r2 item 5)
             from nw_tpu.ops.variants_banded import (
                 affine_traceback_banded_batch,
             )

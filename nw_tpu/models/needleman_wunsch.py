@@ -417,6 +417,31 @@ class NWAligner:
             result.counts = np.asarray(counts)
             return result
 
+        if (
+            traceback_strings
+            and not count
+            and use_pallas
+            and len2 <= LANES_ARROWS_MAX_SIDE
+        ):
+            # greedy-strings-only: the walk never reads tie masks, so
+            # fill 2-bit greedy-direction words (16 cells/word — 1/4 the
+            # slab and store traffic of the 3-bit arrows) and walk them
+            from nw_tpu.ops.fill_pallas_banded import (
+                fill_greedy_banded_single,
+            )
+
+            words2, scores = fill_greedy_banded_single(
+                tops, sides, lens1, lens2, m, k, d
+            )
+            ops, n = traceback.traceback_greedy2_batch(
+                words2, l1j, l2j, max_steps=len1 + len2
+            )
+            scores, ops, n = jax.device_get((scores, ops, n))
+            return BatchResult(
+                scores=scores, status=status, ops=ops, ops_len=n,
+                _pairs=norm,
+            )
+
         # arrow-emitting fill: batch-in-lanes Pallas kernel for short
         # sides, fold-layout kernel for long sides (both TPU, packed
         # 4-diagonals-per-word layout — pathcount and traceback dispatch

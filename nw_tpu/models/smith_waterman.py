@@ -166,9 +166,11 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     ]
     tops, sides, l1, l2 = encode_batch(norm)
     interpret = jax.devices()[0].platform != "tpu"
-    if sides.shape[1] > 4096 and not interpret and len(norm) >= 24:
-        # long-side batches: the banded kernel (any side length,
-        # batch-in-lanes; ops/variants_banded.py)
+    if sides.shape[1] > 4096 and not interpret:
+        # long-side batches of ANY size: the banded kernel (any side
+        # length, batch-in-lanes; ops/variants_banded.py — small
+        # batches pad to the 128-lane quantum, still far faster than
+        # the per-pair scan; VERDICT r2 item 5)
         from nw_tpu.ops.variants_banded import sw_scores_banded_batch
 
         return np.asarray(
@@ -266,9 +268,13 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     tops, sides, l1, l2 = encode_batch(norm)
     interpret = jax.devices()[0].platform != "tpu"
     if sides.shape[1] > 2048:
-        if not interpret and len(norm) >= 24:
-            # long-side batches: the banded SW traceback engine
-            # (checkpointed group re-fill; ops/variants_banded.py)
+        if not interpret:
+            # long-side batches of ANY size: the banded SW traceback
+            # engine (checkpointed group re-fill; variants_banded.py).
+            # Small batches pad to the engine's 128-lane quantum —
+            # wasted lanes beat the per-pair scan's ~100x cliff
+            # (VERDICT r2 item 5; 32 x 3kb measured 380 s on the scan
+            # path vs ~3 s banded)
             from nw_tpu.ops.variants_banded import sw_traceback_banded_batch
 
             best, jst, ist, j_end, i_end, ops, n = sw_traceback_banded_batch(

@@ -211,11 +211,22 @@ def _make_banded_scores_kernel(RB: int, C: int, off: int, unroll: int):
     return kernel
 
 
+def _chunk_quantum(unroll: int) -> int:
+    """Chunks must be a multiple of BOTH ``unroll`` (the fori loop runs
+    ``C // unroll`` whole groups) and 8 (the boundary-out staging slab
+    flushes only at ``tl % 8 == 7``; a chunk that isn't 8-aligned would
+    silently never write its last ``C % 8`` boundary rows — the next
+    band would read garbage)."""
+    import math
+
+    return unroll * 8 // math.gcd(unroll, 8)
+
+
 def _geometry(A: int, N: int, band_rows: int, chunk: int, unroll: int):
     """Clamp the (RB, C, UNROLL) geometry to the table."""
     RB = min(band_rows, _round_up(N, 8))
     nbands = -(-N // RB)
-    C = _round_up(chunk, unroll)
+    C = _round_up(chunk, _chunk_quantum(unroll))
     T = A + RB  # steps t in [0, T): last row's col A lands at t = A+RB-1
     T_pad = _round_up(T, C)
     lag0 = (RB - 1) // C
@@ -330,23 +341,36 @@ def build_scores_call(
 
 def _make_banded_arrows_kernel(
     RB: int, C: int, off: int, unroll: int, with_counts: bool,
-    with_words: bool = True,
+    with_words: bool = True, pack_bits: int = 8,
 ):
     """Arrows-emitting banded kernel; grid (batch_blocks, T_pad // C).
 
     Same hot loop as the scores kernel plus walk-flag emission
-    (needleman-wunsch.c:485-503): bit0 diag, bit1 left, bit2 up, four
-    band-local diagonals packed per int32 word little-endian.  The pack
-    register lives in vregs only — ``unroll % 4 == 0`` means every word
-    completes inside one unrolled group.  Output layout is band-major:
-    cell (j, i) of pair b is byte ``(i + j%RB) & 3`` of
-    ``words[j//RB, (i + j%RB) >> 2, j%RB, b]``.
+    (needleman-wunsch.c:485-503).  Two packings:
+
+    * ``pack_bits=8`` (default): the full 3-bit tie mask — bit0 diag,
+      bit1 left, bit2 up — four band-local diagonals per int32 word
+      little-endian.  Cell (j, i) of pair b is byte ``(i + j%RB) & 3``
+      of ``words[j//RB, (i + j%RB) >> 2, j%RB, b]``.  Feeds counting and
+      enumeration, which need every tied direction.
+    * ``pack_bits=2``: only the GREEDY direction — the diag > left > up
+      choice the reference DFS descends first (needleman-wunsch.c:
+      305-324) — sixteen diagonals per word: cell (j, i) is bits
+      ``2 * ((i + j%RB) & 15)`` of ``words[j//RB, (i+j%RB) >> 4, j%RB,
+      b]`` with code 0 diag / 1 left / 2 up.  4x less word traffic and
+      VMEM slab; exactly what the greedy traceback consumers read
+      (they never look at tie masks).
+
+    The pack register lives in vregs only — ``unroll`` must be a
+    multiple of the pack period (32 // pack_bits) so every word
+    completes inside one unrolled group.
 
     With ``with_counts``, solution-count diagonals ride along (their
     boundary row streams through a second bnd in/out pair), emitting the
     reference's ``-s`` solution count (int32 wraparound == the
     reference's unsigned overflow, computation.h:65) with no second pass.
     """
+    P = 32 // pack_bits  # cells per packed int32 word
 
     def kernel(*refs):
         it = iter(refs)
@@ -418,7 +442,7 @@ def _make_banded_arrows_kernel(
 
         side_ch = sides_ref[...]
 
-        def substep(t, tl, r4, st):
+        def substep(t, tl, rp, st):
             prev, prev2sh, ch, cprev, cprev2sh, pack = st
             new_top = tops_ref[pl.ds(tl, 1), :]
             ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
@@ -436,17 +460,26 @@ def _make_banded_arrows_kernel(
             b_left = prev == score_d
             b_up = prev_sh == score_d
             if with_words:
-                # r4 is static (unroll % 4 == 0): the pack register
+                # rp is static (unroll % P == 0): the pack register
                 # never crosses an unrolled group
-                arrows = (
-                    b_diag.astype(jnp.int32)
-                    + b_left.astype(jnp.int32) * 2
-                    + b_up.astype(jnp.int32) * 4
-                )
-                word = arrows << (r4 * 8)
-                pack = word if r4 == 0 else pack | word
-                if r4 == 3:
-                    words_ref[pl.ds(tl // 4, 1), :, :] = pack[None]
+                if pack_bits == 8:
+                    arrows = (
+                        b_diag.astype(jnp.int32)
+                        + b_left.astype(jnp.int32) * 2
+                        + b_up.astype(jnp.int32) * 4
+                    )
+                else:
+                    # greedy choice only: 0 diag, 1 left, 2 up
+                    # (diag > left > up, needleman-wunsch.c:305-324)
+                    arrows = jnp.where(
+                        b_diag,
+                        jnp.int32(0),
+                        jnp.where(b_left, jnp.int32(1), jnp.int32(2)),
+                    )
+                word = arrows << (rp * pack_bits)
+                pack = word if rp == 0 else pack | word
+                if rp == P - 1:
+                    words_ref[pl.ds(tl // P, 1), :, :] = pack[None]
 
             r8 = jnp.bitwise_and(tl, 7)
             stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
@@ -498,7 +531,7 @@ def _make_banded_arrows_kernel(
             )
             for u in range(unroll):
                 tl = tl0 + u
-                st = substep(c * C + tl, tl, u % 4, st)
+                st = substep(c * C + tl, tl, u % P, st)
                 if u == 0:
                     seed_now = (c == 0) & (i == 0) & (first == 1)
                     seed_mask = seed_now & (j_iota == 0)
@@ -523,7 +556,7 @@ def _make_banded_arrows_kernel(
     jax.jit,
     static_argnames=(
         "interpret", "block_pairs", "band_rows", "chunk", "unroll",
-        "with_counts",
+        "with_counts", "pack_bits",
     ),
 )
 def fill_arrows_banded_batch(
@@ -534,23 +567,29 @@ def fill_arrows_banded_batch(
     chunk: int = 192,
     unroll: int = DEFAULT_UNROLL,
     with_counts: bool = False,
+    pack_bits: int = 8,
 ):
     """Banded fill emitting band-major packed arrows + scores (+counts).
 
     Returns (words, scores[, counts]):
-      words: int32[nbands, T_pad//4, RB, B] — cell (j, i) of pair b is
-        byte ``(i + j%RB) & 3`` of ``words[j//RB, (i + j%RB)>>2, j%RB, b]``
-        (band-local diagonal ``t = i + j%RB``; out-of-table cells hold
-        unspecified garbage, including the never-read cell (0,0) byte).
+      words: int32[nbands, T_pad//P, RB, B] with ``P = 32 // pack_bits``
+        — cell (j, i) of pair b is the ``(i + j%RB) % P``-th field of
+        ``words[j//RB, (i + j%RB)//P, j%RB, b]`` (band-local diagonal
+        ``t = i + j%RB``; out-of-table cells hold unspecified garbage,
+        including the never-read cell (0,0) field).  ``pack_bits=8``
+        stores the 3-bit tie mask (4 cells/word); ``pack_bits=2`` stores
+        only the greedy direction code (16 cells/word — see
+        :func:`_make_banded_arrows_kernel`).
       scores: int32[B] true-corner scores.
       counts: uint32[B] solution counts (``with_counts``), reference
         wraparound semantics.
 
     The default chunk is smaller than the scores kernel's: the
-    double-buffered (chunk/4, RB, BT) word slab must fit VMEM.
+    double-buffered (chunk/P, RB, BT) word slab must fit VMEM.
     """
     nb, A = tops.shape
     _, Bs = sides.shape
+    P = 32 // pack_bits
     if nb == 0:
         empty = (
             jnp.zeros((1, 0, band_rows, 0), jnp.int32),
@@ -559,11 +598,17 @@ def fill_arrows_banded_batch(
         return empty + ((jnp.zeros((0,), jnp.uint32),) if with_counts else ())
     BT = block_pairs
     N = Bs + 1
-    # the double-buffered (chunk/4, RB, BT) word slab must fit VMEM:
-    # clamp the chunk to the band height (2 * C * RB * BT bytes <= ~6.5MB)
+    # the double-buffered (chunk/P, RB, BT) word slab must fit VMEM:
+    # clamp the chunk so 2 * (C/P) * RB * BT * 4 bytes <= ~6.5MB
     RB_est = min(band_rows, _round_up(N, 8))
-    c_max = (13 << 20) // (4 * RB_est * BT)
-    chunk = max(unroll, min(chunk, c_max // unroll * unroll))
+    q = _chunk_quantum(unroll)
+    c_fit = (13 << 20) // (16 * RB_est * BT // P) // q * q
+    if c_fit == 0:
+        raise ValueError(
+            f"VMEM word-slab budget cannot fit one {q}-aligned chunk at "
+            f"RB={RB_est}, BT={BT}; lower band_rows/block_pairs/unroll"
+        )
+    chunk = min(max(chunk, q), c_fit)
     RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
         A, N, band_rows, chunk, unroll
     )
@@ -574,7 +619,7 @@ def fill_arrows_banded_batch(
 
     call = build_arrows_call(
         RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
-        with_counts,
+        with_counts, pack_bits=pack_bits,
     )
 
     bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
@@ -664,7 +709,10 @@ def fill_scores_counts_banded_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "block_pairs", "chunk", "unroll", "with_counts"),
+    static_argnames=(
+        "interpret", "block_pairs", "chunk", "unroll", "with_counts",
+        "pack_bits",
+    ),
 )
 def fill_arrows_banded_single(
     tops, sides, lens1, lens2, m, k, d,
@@ -673,61 +721,105 @@ def fill_arrows_banded_single(
     chunk: int = DEFAULT_CHUNK,
     unroll: int = DEFAULT_UNROLL,
     with_counts: bool = False,
+    pack_bits: int = 8,
 ):
     """Single-band arrows fill in the FLAT packed layout.
 
     With one band covering the whole table, the band-major layout
     degenerates to the flat kernels' diagonal-major packed-word layout:
-    cell (j, i) is byte ``(i+j) & 3`` of ``words[(i+j) >> 2, j, b]`` —
-    a drop-in for the packed pathcount/traceback consumers, at the
-    unrolled register-resident loop's throughput (59-73 GCUPS at
-    150bp-1kb sides vs the flat kernel's 43-51, measured).
+    cell (j, i) is field ``(i+j) % P`` of ``words[(i+j) // P, j, b]``
+    (``P = 32 // pack_bits``; byte-packed at the default 8) — a drop-in
+    for the packed pathcount/traceback consumers, at the unrolled
+    register-resident loop's throughput (59-73 GCUPS at 150bp-1kb sides
+    vs the flat kernel's 43-51, measured).
 
-    Returns (words int32[T4, N_pad, B], scores[, counts]).
+    Returns (words int32[T_pad//P, N_pad, B], scores[, counts]).
     """
     nb = tops.shape[0]
     A = tops.shape[1]
     Bs = sides.shape[1]
+    P = 32 // pack_bits
     RB = _round_up(Bs + 1, 8)
     # choose a chunk that divides the sweep near-evenly under the VMEM
     # slab budget: T_pad rounds up to a chunk multiple, so a clamped
     # default chunk can pad the sweep by 30%+ at short lengths
     T_est = A + RB
-    c_max = max(unroll, ((13 << 20) // (4 * RB * block_pairs)) // unroll * unroll)
+    q = _chunk_quantum(unroll)
+    c_max = ((13 << 20) // (16 * RB * block_pairs // P)) // q * q
+    if c_max == 0:
+        raise ValueError(
+            f"VMEM word-slab budget cannot fit one {q}-aligned chunk at "
+            f"RB={RB}, BT={block_pairs}; lower block_pairs/unroll or use "
+            "the multi-band layout"
+        )
     nch = -(-T_est // c_max)
-    chunk = max(unroll, _round_up(-(-T_est // nch), unroll))
+    chunk = _round_up(-(-T_est // nch), q)
     out = fill_arrows_banded_batch(
         tops, sides, lens1, lens2, m, k, d,
         interpret=interpret, block_pairs=block_pairs,
         band_rows=RB, chunk=chunk, unroll=unroll,
-        with_counts=with_counts,
+        with_counts=with_counts, pack_bits=pack_bits,
     )
     return (out[0][0][:, :, :nb],) + out[1:]
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "block_pairs", "unroll"),
+)
+def fill_greedy_banded_single(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    unroll: int = 16,
+):
+    """Single-band GREEDY arrows fill: 2-bit direction codes, 16 cells
+    per int32 word (the ``pack_bits=2`` flat layout) — the feed for
+    greedy-only tracebacks, at ~1/4 the word traffic of the 3-bit path.
+
+    Cell (j, i) of pair b is bits ``2 * ((i+j) & 15)`` of
+    ``words[(i+j) >> 4, j, b]``: 0 diag, 1 left, 2 up (the reference
+    DFS's descend priority, needleman-wunsch.c:305-324).
+
+    Returns (words int32[T_pad//16, N_pad, B], scores int32[B]).
+    """
+    return fill_arrows_banded_single(
+        tops, sides, lens1, lens2, m, k, d,
+        interpret=interpret, block_pairs=block_pairs,
+        unroll=unroll, with_counts=False, pack_bits=2,
+    )
+
+
 def build_arrows_call(
     RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
-    with_counts, with_words=True,
+    with_counts, with_words=True, pack_bits=8,
 ):
     """The compiled arrows-band sweep: call(s, tops_sh, sides_sh, lens,
-    bnd, bnd[, cbnd, cbnd]) -> ([words (1, T_pad//4, RB, nb_pad),]
-    score partial, bnd_out[, count partial, cbnd_out]).
+    bnd, bnd[, cbnd, cbnd]) -> ([words (1, T_pad//P, RB, nb_pad),]
+    score partial, bnd_out[, count partial, cbnd_out]) with
+    ``P = 32 // pack_bits`` cells per word (see
+    :func:`_make_banded_arrows_kernel` for the two packings).
 
     ``with_words=False, with_counts=True`` is the fused score+count
     sweep — the reference's ``-s`` summary with no arrow storage."""
-    if unroll % 4:
-        raise ValueError("unroll must be a multiple of 4 for word packing")
+    P = 32 // pack_bits
+    if unroll % P:
+        raise ValueError(
+            f"unroll must be a multiple of {P} for {pack_bits}-bit packing"
+        )
+    if C % P:
+        raise ValueError(f"chunk must be a multiple of {P}, got {C}")
     n_bnd_streams = 2 if with_counts else 1
     out_shapes = []
     out_specs = []
     if with_words:
         out_shapes.append(
             # one band plane per call; the band scan stacks them
-            jax.ShapeDtypeStruct((1, T_pad // 4, RB, nb_pad), jnp.int32)
+            jax.ShapeDtypeStruct((1, T_pad // P, RB, nb_pad), jnp.int32)
         )
         out_specs.append(
             pl.BlockSpec(
-                (None, C // 4, RB, BT), lambda b, c, s: (0, c, 0, b),
+                (None, C // P, RB, BT), lambda b, c, s: (0, c, 0, b),
                 memory_space=pltpu.VMEM,
             )
         )
@@ -777,7 +869,9 @@ def build_arrows_call(
         ]
 
     call = pl.pallas_call(
-        _make_banded_arrows_kernel(RB, C, off, unroll, with_counts, with_words),
+        _make_banded_arrows_kernel(
+            RB, C, off, unroll, with_counts, with_words, pack_bits
+        ),
         out_shape=tuple(out_shapes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

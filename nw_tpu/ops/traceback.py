@@ -85,6 +85,58 @@ def traceback_greedy(arrows_diag, len1, len2, max_steps: int):
     return ops, n
 
 
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def traceback_greedy2(words2, len1, len2, max_steps: int):
+    """Greedy walk over flat 2-bit GREEDY-direction words.
+
+    ``words2``: int32[T16, N] from
+    :func:`nw_tpu.ops.fill_pallas_banded.fill_greedy_banded_single` —
+    cell (j, i) is bits ``2 * ((i+j) & 15)`` of ``words2[(i+j) >> 4, j]``
+    with code 0 diag / 1 left / 2 up (the code IS the op: the kernel
+    already applied the reference's diag > left > up descend priority,
+    needleman-wunsch.c:305-324).  Same contract as
+    :func:`traceback_greedy` otherwise.
+    """
+
+    def step(t, state):
+        i, j, n, ops = state
+        active = (i > 0) | (j > 0)
+        kk = i + j
+        a = (words2[kk >> 4, j] >> ((kk & 15) * 2)) & 3
+        di = jnp.where(a != OP_UP, 1, 0)
+        dj = jnp.where(a != OP_LEFT, 1, 0)
+        ops = ops.at[t].set(
+            jnp.where(active, a, jnp.int32(OP_NONE)).astype(jnp.int8)
+        )
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        n = n + jnp.where(active, 1, 0)
+        return (i, j, n, ops)
+
+    ops0 = jnp.full((max_steps,), OP_NONE, jnp.int8)
+    i0 = jnp.asarray(len1, jnp.int32)
+    j0 = jnp.asarray(len2, jnp.int32)
+    _, _, n, ops = jax.lax.fori_loop(
+        0, max_steps, step, (i0, j0, jnp.int32(0), ops0)
+    )
+    return ops, n
+
+
+@functools.lru_cache(maxsize=None)
+def _greedy2_batch_vmapped(max_steps: int):
+    return jax.jit(
+        jax.vmap(
+            lambda a, l1, l2: traceback_greedy2(a, l1, l2, max_steps),
+            in_axes=(2, 0, 0),
+        )
+    )
+
+
+def traceback_greedy2_batch(words2, lens1, lens2, max_steps: int):
+    """Batched 2-bit greedy traceback: words2 int32[T16, N, B]."""
+    return _greedy2_batch_vmapped(max_steps)(words2, lens1, lens2)
+
+
 @functools.lru_cache(maxsize=None)
 def _greedy_batch_vmapped(max_steps: int):
     # cached: a fresh jax.jit wrapper per call would recompile every time

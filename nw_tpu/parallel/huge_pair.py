@@ -252,6 +252,12 @@ def _huge_pair_device(
     B = side.shape[0]
     nseq = mesh.shape[axis]
     C = chunk
+    if engine == "pallas" and traceback and (C < 4 or C % 4):
+        # the fold-chunk kernel packs 4 diagonals per int32 word and
+        # stores only at t % 4 == 3: a chunk that isn't 4-aligned would
+        # silently drop the last C % 4 diagonals' arrows from every
+        # chunk and corrupt the walk
+        raise ValueError(f"traceback chunk must be a multiple of 4, got {C}")
 
     # the pallas engine folds each device's rows into (R, 128) registers
     row_quantum = nseq * LANES if engine == "pallas" else nseq

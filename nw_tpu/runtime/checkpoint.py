@@ -22,9 +22,15 @@ import numpy as np
 
 
 class CheckpointedRunner:
-    def __init__(self, directory: str, chunk_size: int = 1024):
+    def __init__(self, directory: str, chunk_size: int = 1024, key: str = ""):
+        """``key`` identifies the computation (scoring params, engine,
+        mode, ...).  It is stored in the manifest and checked on resume
+        so a directory of chunk files from a *different* computation is
+        rejected instead of silently concatenated into mixed results
+        (ResumableBandedFill keys its state the same way)."""
         self.directory = directory
         self.chunk_size = chunk_size
+        self.key = key
         os.makedirs(directory, exist_ok=True)
 
     def _chunk_path(self, idx: int) -> str:
@@ -55,14 +61,17 @@ class CheckpointedRunner:
             "total_pairs": n,
             "chunk_size": self.chunk_size,
             "num_chunks": nchunks,
+            "key": self.key,
         }
         mpath = self._manifest_path()
         if os.path.exists(mpath):
             old = json.loads(open(mpath).read())
-            if (old["total_pairs"], old["chunk_size"]) != (n, self.chunk_size):
+            if (
+                old["total_pairs"], old["chunk_size"], old.get("key", "")
+            ) != (n, self.chunk_size, self.key):
                 raise ValueError(
                     f"checkpoint dir {self.directory} was written by a "
-                    f"different run shape: {old}"
+                    f"different run shape/computation: {old}"
                 )
         else:
             tmp = mpath + f".tmp{os.getpid()}"

@@ -224,6 +224,20 @@ def main() -> int:
         assert (np.asarray(n1) == np.asarray(n2)).all()
         assert (np.asarray(o1) == np.asarray(o2)).all()
 
+    def greedy2_arrows():
+        from nw_tpu.ops.fill_pallas_banded import fill_greedy_banded_single
+        from nw_tpu.ops.traceback import traceback_greedy2_batch
+
+        w2, s = fill_greedy_banded_single(tops, sides, l1, l2, 2, 1, 1)
+        assert (np.asarray(s) == ref_scores).all()
+        o2, n2 = traceback_greedy2_batch(w2, l1j, l2j, max_steps=240)
+        tb = lambda a, a1, a2: traceback.traceback_greedy(a, a1, a2, max_steps=240)
+        o1, n1 = jax.vmap(tb)(ref["arrows"], l1j, l2j)
+        assert (np.asarray(n1) == np.asarray(n2)).all()
+        o1, o2, n1 = np.asarray(o1), np.asarray(o2), np.asarray(n1)
+        for b in range(len(ps)):
+            assert (o1[b, : n1[b]] == o2[b, : n1[b]]).all(), b
+
     def banded_variants():
         from nw_tpu.models.affine import affine_score
         from nw_tpu.models.smith_waterman import sw_fill_diag
@@ -295,6 +309,30 @@ def main() -> int:
             wa = affine_align(a, s2, 2, 1, 3, 1)
             aX, aY = ops_to_strings(aops[b], int(an[b]), a.encode(), s2.encode())
             assert int(afs[b]) == wa[0] and (aX, aY) == (wa[1], wa[2])
+
+    def small_batch_long_variants():
+        # 8 x 3kb FULL alignments must take the banded engines (a few
+        # seconds) — not the per-pair scan engines (was ~12 s/pair: the
+        # <24-pair capability cliff, VERDICT r2 item 5)
+        import time
+
+        from nw_tpu.models.affine import affine_align, affine_align_batch
+        from nw_tpu.models.smith_waterman import sw_align, sw_align_batch
+
+        ps3 = [
+            (
+                "".join(rng.choice(list("ACGT"), 3000)),
+                "".join(rng.choice(list("ACGT"), 3000)),
+            )
+            for _ in range(8)
+        ]
+        t0 = time.perf_counter()
+        sw = sw_align_batch(ps3, 2, 1, 1)
+        af = affine_align_batch(ps3, 2, 1, 3, 1)
+        wall = time.perf_counter() - t0
+        assert sw[0] == sw_align(*ps3[0], 2, 1, 1)
+        assert af[0] == affine_align(*ps3[0], 2, 1, 3, 1)
+        assert wall < 120, f"small-batch long-side cliff: {wall:.0f}s"
 
     def banded_traceback():
         from nw_tpu.ops.banded_traceback import traceback_banded_batch
@@ -372,8 +410,10 @@ def main() -> int:
     check("long-side score routing (lax.map fold)", long_side_scores)
     check("banded score kernel (multi-band + 10kb)", banded_scores)
     check("single-band arrows (flat layout) + consumers", banded_single_arrows)
+    check("2-bit greedy arrows + walk", greedy2_arrows)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
     check("banded SW + affine FULL tracebacks", banded_variant_tracebacks)
+    check("small-batch long-side SW/Gotoh alignments", small_batch_long_variants)
     check("banded checkpointed traceback + counts", banded_traceback)
     check("huge-pair fold-chunk engine (config 5)", huge_pair_engine)
     check("sharded pallas path", sharded)

@@ -161,6 +161,87 @@ def test_banded_scores_band_boundary_lengths():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("with_counts", [False, True])
+@pytest.mark.parametrize(
+    "geometry", [(8, 8, 4, 2), (16, 8, 8, 3), (8, 16, 4, 2), (32, 32, 16, 2)]
+)
+def test_banded_nw_traceback_vs_oracle(geometry, with_counts):
+    """traceback_banded_batch (2-bit greedy refill + device-side stitch)
+    vs the scan-oracle greedy walk: scores, ops, lengths, counts."""
+    from nw_tpu.ops import pathcount
+    from nw_tpu.ops.banded_traceback import traceback_banded_batch
+    from nw_tpu.ops.fill_scan import fill_diag_batch
+    from nw_tpu.ops.traceback import traceback_greedy
+
+    RB, C, U, S = geometry
+    rng = np.random.default_rng(hash(geometry) % 2**31 + with_counts)
+    ps = _pairs(rng, 6, 1, 60) + [(b"", b""), (b"ACGT", b""), (b"", b"ACG")]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    l1j, l2j = jnp.asarray(l1), jnp.asarray(l2)
+    ref = fill_diag_batch(tops, sides, 2, 1, 1, l1j, l2j)
+
+    out = traceback_banded_batch(
+        tops, sides, l1, l2, 2, 1, 1,
+        interpret=True, band_rows=RB, chunk=C, unroll=U, group_bands=S,
+        with_counts=with_counts,
+    )
+    if with_counts:
+        scores, counts, ops, n = out
+        want_counts = np.array(
+            jax.vmap(pathcount.count_paths)(ref["arrows"], l1j, l2j)
+        )
+        # 1x1 tables: the reference DFS emits nothing (count 0)
+        want_counts[(l1 == 0) & (l2 == 0)] = 0
+        got_counts = np.array(counts)
+        got_counts[(l1 == 0) & (l2 == 0)] = 0
+        np.testing.assert_array_equal(got_counts, want_counts)
+    else:
+        scores, ops, n = out
+    np.testing.assert_array_equal(np.asarray(scores), np.asarray(ref["score"]))
+    for b in range(len(ps)):
+        max_steps = int(l1[b] + l2[b]) or 1
+        want_ops, want_n = traceback_greedy(
+            ref["arrows"][b], int(l1[b]), int(l2[b]), max_steps=max_steps
+        )
+        assert int(n[b]) == int(want_n), b
+        np.testing.assert_array_equal(
+            np.asarray(ops[b][: int(n[b])]),
+            np.asarray(want_ops[: int(want_n)]),
+            err_msg=str(b),
+        )
+
+
+def test_greedy2_single_band_vs_oracle():
+    """fill_greedy_banded_single (flat 2-bit layout) + traceback_greedy2
+    vs the scan-oracle greedy walk."""
+    from nw_tpu.ops.fill_pallas_banded import fill_greedy_banded_single
+    from nw_tpu.ops.fill_scan import fill_diag_batch
+    from nw_tpu.ops.traceback import traceback_greedy, traceback_greedy2_batch
+
+    rng = np.random.default_rng(77)
+    ps = _pairs(rng, 6, 1, 50) + [(b"", b""), (b"ACGT", b""), (b"", b"ACG")]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    l1j, l2j = jnp.asarray(l1), jnp.asarray(l2)
+    ref = fill_diag_batch(tops, sides, 2, 1, 1, l1j, l2j)
+
+    words2, scores = fill_greedy_banded_single(
+        tops, sides, l1, l2, 2, 1, 1, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(scores), np.asarray(ref["score"]))
+    max_steps = tops.shape[1] + sides.shape[1]
+    ops, n = traceback_greedy2_batch(words2, l1j, l2j, max_steps=max_steps)
+    for b in range(len(ps)):
+        want_ops, want_n = traceback_greedy(
+            ref["arrows"][b], int(l1[b]), int(l2[b]), max_steps=max_steps
+        )
+        assert int(n[b]) == int(want_n), b
+        np.testing.assert_array_equal(
+            np.asarray(ops[b][: int(n[b])]),
+            np.asarray(want_ops[: int(want_n)]),
+            err_msg=str(b),
+        )
+
+
 @pytest.mark.parametrize("geometry", [(8, 8, 4), (16, 8, 8), (32, 32, 16)])
 def test_banded_variants_vs_oracle(geometry):
     from nw_tpu.models.affine import affine_score
