@@ -178,6 +178,13 @@ def _run(argv: List[str], stdin: BinaryIO, stdout: BinaryIO, stderr: BinaryIO):
         _log_err(stderr, prog, "got EOF too early when reading input strings")
         raise _Exit(1)
 
+    # The reference reads raw bytes up to whitespace but then treats the
+    # buffers as C strings everywhere (strlen at computation.c:158-160,
+    # %s prints): an embedded NUL truncates the sequence, while the
+    # reader still consumed the bytes after it from the stream.
+    s1 = s1.split(b"\x00")[0]
+    s2 = s2.split(b"\x00")[0]
+
     m = c_atoi(operands[0])
     k = c_atoi(operands[1])
     d = c_atoi(operands[2])

@@ -51,74 +51,28 @@ from nw_tpu.ops.fill_pallas_banded import (
 from nw_tpu.ops.traceback import OP_DIAG, OP_LEFT, OP_NONE, OP_UP
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=(
-        "interpret", "block_pairs", "band_rows", "chunk", "unroll",
-        "group_bands", "with_counts",
-    ),
-)
-def _banded_walk_device(
-    tops, sides, lens1, lens2, m, k, d,
-    interpret: bool,
-    block_pairs: int,
-    band_rows: int,
-    chunk: int,
-    unroll: int,
-    group_bands: int,
-    with_counts: bool,
+def _make_group_fns(
+    score_call, arrows_call, tops_sh, sides_sh, lens,
+    m, k, d, A, S, RB, T_pad, nb, nb_pad, with_counts,
 ):
-    """Device part: (scores int32[nb], counts, ops_stack
-    int8[ngroups, cap, nb] in walk order (last group first), ng_stack
-    int32[ngroups, nb]).  ``counts`` rides the checkpoint pass for free
-    when ``with_counts`` (None otherwise)."""
-    import math
+    """Per-group building blocks shared by the monolithic scan
+    (:func:`_banded_walk_device`) and the resumable runner
+    (:class:`nw_tpu.runtime.checkpoint.ResumableBandedTraceback`):
 
-    nb, A = tops.shape
-    _, Bs = sides.shape
-    BT = block_pairs
-    N = Bs + 1
-    S = group_bands
-    # the pass-2 refill packs 16 greedy codes per int32 word, so the
-    # chunk must be a multiple of lcm(unroll, 16) (the pack register
-    # cannot cross a grid step); pass 1 only needs C % lcm(unroll, 8)
-    q = unroll * 16 // math.gcd(unroll, 16)
-    chunk = -(-chunk // q) * q
-    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
-        A, N, band_rows, chunk, unroll
-    )
-    ngroups = -(-nbands // S)
-    nbands = ngroups * S  # pad to whole groups (extra bands fill pad rows)
-    N_pad = nbands * RB
-    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
-        tops, sides, lens1, lens2, BT, T_pad, N_pad
-    )
+    * ``group_fwd((scores, counts, bnd, cbnd), g) -> (state', cp)`` —
+      one pass-1 group sweep; ``cp`` is the boundary entering group g
+      (the checkpoint pass 2 refills from).
+    * ``group_walk(i, j, cp, g) -> (i, j, ops_g, ng)`` — pass-2 arrows
+      re-fill of group g plus the batched backward walk of every pair
+      whose cursor lies inside it; ``ops_g`` is int8[cap, nb] with each
+      pair's ops in loop-counter prefix positions [0, ng).
 
-    if with_counts:
-        score_call = build_arrows_call(
-            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
-            with_counts=True, with_words=False,
-        )
-    else:
-        score_call = build_scores_call(
-            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret
-        )
-    # pass-2 refill emits 2-bit GREEDY direction codes (16 cells/word):
-    # the walk never reads tie masks, and the 4x-smaller word slab cuts
-    # both the kernel's store traffic and its VMEM footprint
-    # (VERDICT r2 item 3)
-    WALK_UNROLL = 16  # pack period of the 2-bit words
-    arrows_call = build_arrows_call(
-        RB, C, off, lag0, WALK_UNROLL, T_pad, U_pad, nb_pad, BT, interpret,
-        with_counts=False, pack_bits=2,
-    )
-
-    # ---- pass 1: score sweep, checkpoint = boundary at each group entry
-    # (solution counts ride along when asked — one pass serves -s too)
-    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
-    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
-    cbnd0 = jnp.zeros((U_pad, nb_pad), jnp.int32)
-    counts0 = jnp.zeros((1, nb_pad), jnp.int32)
+    Returns (group_fwd, group_walk, cap).
+    """
+    T16 = T_pad // 16
+    WU = 16  # walk steps per while-loop iteration (amortizes overhead)
+    # max in-group walk steps (all-horizontal worst case), WU-aligned
+    cap = -(-(A + S * RB + 1) // WU) * WU
 
     def group_fwd(carry, g):
         scores, counts, bnd, cbnd = carry
@@ -142,29 +96,16 @@ def _banded_walk_device(
         )
         return (scores, counts, bnd, cbnd), cp
 
-    (scores, counts, _, _), cps = jax.lax.scan(
-        group_fwd, (scores0, counts0, bnd0, cbnd0),
-        jnp.arange(ngroups, dtype=jnp.int32),
-    )
-
-    # ---- pass 2: per group (descending): arrows re-fill + batched walk
-    T16 = T_pad // 16
-    WU = 16  # walk steps per while-loop iteration (amortizes loop overhead)
-    # max in-group walk steps (all-horizontal worst case), WU-aligned
-    cap = -(-(A + S * RB + 1) // WU) * WU
     b_ar = jnp.arange(nb, dtype=jnp.int32)
 
-    def group_walk(carry, idx):
-        i, j = carry
-        g = ngroups - 1 - idx
-
+    def group_walk(i, j, cp, g):
         def band_refill(bnd2, rr):
             s = _band_scalars(m, k, d, g * S + rr, RB, lens, nb)
             words, _, bnd2 = arrows_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
             return bnd2, words[0]
 
         _, words = jax.lax.scan(
-            band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
+            band_refill, cp, jnp.arange(S, dtype=jnp.int32)
         )  # (S, T16, RB, nb_pad)
         words_flat = words.reshape(-1)
 
@@ -207,12 +148,120 @@ def _banded_walk_device(
         i, j, _, ops_g, ng = jax.lax.while_loop(
             cond, body, (i, j, jnp.int32(0), ops_g0, ng0)
         )
+        return i, j, ops_g, ng
+
+    return group_fwd, group_walk, cap
+
+
+def _walk_setup(
+    tops, sides, lens1, lens2, m, k, d, interpret, block_pairs,
+    band_rows, chunk, unroll, group_bands, with_counts,
+):
+    """Geometry + layouts + compiled calls + per-group fns for the
+    checkpointed banded traceback — shared by the monolithic scan
+    (:func:`_banded_walk_device`) and the resumable runner.
+
+    Returns (ngroups, U_pad, nb_pad, group_fwd, group_walk, cap)."""
+    import math
+
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    BT = block_pairs
+    N = Bs + 1
+    S = group_bands
+    # the pass-2 refill packs 16 greedy codes per int32 word, so the
+    # chunk must be a multiple of lcm(unroll, 16) (the pack register
+    # cannot cross a grid step); pass 1 only needs C % lcm(unroll, 8)
+    q = unroll * 16 // math.gcd(unroll, 16)
+    chunk = -(-chunk // q) * q
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    ngroups = -(-nbands // S)
+    nbands = ngroups * S  # pad to whole groups (extra bands fill pad rows)
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+
+    if with_counts:
+        score_call = build_arrows_call(
+            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+            with_counts=True, with_words=False,
+        )
+    else:
+        score_call = build_scores_call(
+            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret
+        )
+    # pass-2 refill emits 2-bit GREEDY direction codes (16 cells/word):
+    # the walk never reads tie masks, and the 4x-smaller word slab cuts
+    # both the kernel's store traffic and its VMEM footprint
+    # (VERDICT r2 item 3)
+    WALK_UNROLL = 16  # pack period of the 2-bit words
+    arrows_call = build_arrows_call(
+        RB, C, off, lag0, WALK_UNROLL, T_pad, U_pad, nb_pad, BT, interpret,
+        with_counts=False, pack_bits=2,
+    )
+
+    group_fwd, group_walk, cap = _make_group_fns(
+        score_call, arrows_call, tops_sh, sides_sh, lens,
+        m, k, d, A, S, RB, T_pad, nb, nb_pad, with_counts,
+    )
+    return ngroups, U_pad, nb_pad, group_fwd, group_walk, cap
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "block_pairs", "band_rows", "chunk", "unroll",
+        "group_bands", "with_counts",
+    ),
+)
+def _banded_walk_device(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool,
+    block_pairs: int,
+    band_rows: int,
+    chunk: int,
+    unroll: int,
+    group_bands: int,
+    with_counts: bool,
+):
+    """Device part: (scores int32[nb], counts, ops4 (stitched, packed),
+    total int32[nb]).  ``counts`` rides the checkpoint pass for free
+    when ``with_counts`` (None otherwise)."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    (
+        ngroups, U_pad, nb_pad, group_fwd, group_walk, cap
+    ) = _walk_setup(
+        tops, sides, lens1, lens2, m, k, d, interpret, block_pairs,
+        band_rows, chunk, unroll, group_bands, with_counts,
+    )
+
+    # ---- pass 1: score sweep, checkpoint = boundary at each group entry
+    # (solution counts ride along when asked — one pass serves -s too)
+    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
+    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
+    cbnd0 = jnp.zeros((U_pad, nb_pad), jnp.int32)
+    counts0 = jnp.zeros((1, nb_pad), jnp.int32)
+
+    (scores, counts, _, _), cps = jax.lax.scan(
+        group_fwd, (scores0, counts0, bnd0, cbnd0),
+        jnp.arange(ngroups, dtype=jnp.int32),
+    )
+
+    # ---- pass 2: per group (descending): arrows re-fill + batched walk
+    def walk_body(carry, idx):
+        i, j = carry
+        g = ngroups - 1 - idx
+        i, j, ops_g, ng = group_walk(i, j, cps[g], g)
         return (i, j), (ops_g, ng)
 
     i0 = jnp.asarray(lens1, jnp.int32)
     j0v = jnp.asarray(lens2, jnp.int32)
     (_, _), (ops_stack, ng_stack) = jax.lax.scan(
-        group_walk, (i0, j0v), jnp.arange(ngroups, dtype=jnp.int32)
+        walk_body, (i0, j0v), jnp.arange(ngroups, dtype=jnp.int32)
     )
     counts_out = (
         counts[0, :nb].astype(jnp.uint32) if with_counts else None
@@ -224,6 +273,7 @@ def _banded_walk_device(
     # cursor interval contains p — found by an ngroups-step accumulation
     # (ngroups is small), then one flat gather.
     L = A + Bs if A + Bs > 0 else 1
+    b_ar = jnp.arange(nb, dtype=jnp.int32)
     starts = jnp.concatenate(
         [jnp.zeros((1, nb), jnp.int32), jnp.cumsum(ng_stack, axis=0)], axis=0
     )  # (ngroups+1, nb)

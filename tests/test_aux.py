@@ -310,6 +310,65 @@ def test_resumable_banded_fill_kill_and_resume(tmp_path):
         )
 
 
+def test_resumable_banded_traceback_kill_and_resume(tmp_path):
+    """Mid-WALK checkpoint (VERDICT r2 item 6): a config-3 style
+    traceback run killed in pass 1, pass 2, or between them resumes
+    bit-identical to an uninterrupted run (scores, counts, ops, n)."""
+    from nw_tpu.ops.banded_traceback import traceback_banded_batch
+    from nw_tpu.runtime.checkpoint import ResumableBandedTraceback
+
+    rng = np.random.default_rng(14)
+    ps = [
+        (
+            "".join(rng.choice(list("ACGT"), int(rng.integers(30, 70)))).encode(),
+            "".join(rng.choice(list("ACGT"), int(rng.integers(30, 70)))).encode(),
+        )
+        for _ in range(5)
+    ]
+    from nw_tpu.ops.encode import encode_batch
+
+    tops, sides, l1, l2 = encode_batch(ps)
+    kw = dict(
+        with_counts=True, interpret=True, band_rows=8, chunk=16,
+        unroll=4, group_bands=2,
+    )
+    want = traceback_banded_batch(tops, sides, l1, l2, 2, 1, 1, **kw)
+
+    # kill at successive span boundaries; each resume must finish
+    # identically (spans cover pass 1, the pass boundary, and pass 2)
+    rdir = tmp_path / "walk"
+    for abort_at in (1, 2, 4):
+        runner = ResumableBandedTraceback(str(rdir) + str(abort_at), save_every=1)
+        try:
+            runner.run(
+                tops, sides, l1, l2, 2, 1, 1,
+                _abort_after_spans=abort_at, **kw
+            )
+            killed = False
+        except KeyboardInterrupt:
+            killed = True
+        if not killed:
+            continue
+        got = ResumableBandedTraceback(
+            str(rdir) + str(abort_at), save_every=1
+        ).run(tops, sides, l1, l2, 2, 1, 1, **kw)
+        for a, b in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # uninterrupted run through the runner matches too
+    got = ResumableBandedTraceback(str(tmp_path / "w0"), save_every=2).run(
+        tops, sides, l1, l2, 2, 1, 1, **kw
+    )
+    for a, b in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # wrong-params resume is refused
+    with pytest.raises(ValueError):
+        ResumableBandedTraceback(str(rdir) + "1", save_every=1).run(
+            tops, sides, l1, l2, 3, 1, 1, **kw
+        )
+
+
 def test_resumable_banded_fill_counts(tmp_path):
     import jax
     import jax.numpy as jnp

@@ -162,16 +162,57 @@ def test_differential_real_subprocess(reference_binary, tmp_path):
         assert ours.returncode == ref.returncode
 
 
+def _run_ref_guarded(reference_binary, args, stdin, timeout=10):
+    """Run the reference with a hard timeout, returning None when it
+    explodes (the DFS enumerates ALL optimal alignments whenever it
+    prints, needleman-wunsch.c:667; degenerate params make that set
+    astronomical).  The guard is REFERENCE-side — a pre-count with our
+    own engine would skip exactly the cases where an under-reporting
+    count bug hides (VERDICT r2 weak 6)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [reference_binary, *args], input=stdin, capture_output=True,
+            timeout=timeout,
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    return r.returncode, r.stdout, r.stderr
+
+
+def _diff_one(reference_binary, args, stdin, timeout=10):
+    """One guarded differential case; returns False if skipped."""
+    import os
+
+    ref = _run_ref_guarded(reference_binary, args, stdin, timeout)
+    if ref is None:
+        return False
+    rc_ref, out_ref, err_ref = ref
+    rc, out, err = run_ours(args, stdin)
+    err_ref = err_ref.replace(
+        reference_binary.encode(), b"needleman-wunsch"
+    ).replace(
+        os.path.basename(reference_binary).encode(), b"needleman-wunsch"
+    )
+    assert out == out_ref, (args, stdin[:80], out[:200], out_ref[:200])
+    assert err == err_ref, (args, stdin[:80], err[:200], err_ref[:200])
+    assert rc == rc_ref, (args, stdin[:80])
+    return True
+
+
 def test_mixed_flag_campaign(reference_binary):
     """The randomized mixed-flag campaign, in the gate (VERDICT r1
     item 5): seed-pinned cases over every flag combination class,
     ACGT + full printable-byte alphabets, params in [-3, 4], lengths up
-    to 20 — byte-compared on stdout, stderr, and exit code."""
-    import os
+    to 20 — byte-compared on stdout, stderr, and exit code.  Explosive
+    cases are dropped by a reference-side timeout, not by pre-counting
+    with our own engine."""
     import random
 
     rng = random.Random(20260816)
     full_alpha = [chr(c) for c in range(33, 127)]
+    ran = 0
     for trial in range(160):
         lens = rng.choice([(4, 3), (8, 6), (8, 8), (12, 5), (20, 14), (1, 20)])
         alpha = "ACGT" if trial % 3 else full_alpha
@@ -185,34 +226,70 @@ def test_mixed_flag_campaign(reference_binary):
             flags += ["-p", str(rng.randint(2, 8))]
         args = flags + ["--"] + params
         stdin = f"{s1} {s2}".encode()
-        # the reference enumerates ALL optimal alignments whenever it
-        # prints them (-q without -l/-s/-t is the only skip,
-        # needleman-wunsch.c:667); degenerate params make that set
-        # astronomically large and the reference runs ~forever
-        # [verified: '-l -q -- -1 2 -3' did not finish in 120 s].
-        # Pre-count with our O(M*N) engine and skip explosive cases.
-        enumerates = ("-q" not in flags) or any(
-            f in flags for f in ("-l", "-s", "-t")
-        )
-        if enumerates:
-            from nw_tpu.models.needleman_wunsch import align as _align
+        ran += _diff_one(reference_binary, args, stdin)
+    assert ran >= 100  # the timeout guard must not hollow out the campaign
 
-            count = _align(
-                s1.encode(), s2.encode(),
-                int(params[0]), int(params[1]), int(params[2]),
-            ).solution_count
-            if count > 2000:
-                continue
-        rc_ref, out_ref, err_ref = run_ref(reference_binary, args, stdin)
-        rc, out, err = run_ours(args, stdin)
-        err_ref = err_ref.replace(
-            reference_binary.encode(), b"needleman-wunsch"
-        ).replace(
-            os.path.basename(reference_binary).encode(), b"needleman-wunsch"
+
+def test_differential_long_reads(reference_binary):
+    """50-200 bp differential cases (VERDICT r2 weak 6: fuzz lengths
+    capped at 20).  s2 is s1 with a few point edits so the optimal-
+    alignment set stays printable; params vary so ties still occur."""
+    import random
+
+    rng = random.Random(20260817)
+    for L, nmut, flags in [
+        (50, 3, ["-s"]),
+        (80, 5, ["-l"]),
+        (120, 4, ["-q", "-s"]),
+        (200, 6, ["-s", "-l"]),
+        (64, 2, ["-c"]),
+        (100, 8, ["-q", "-s"]),
+    ]:
+        s1 = "".join(rng.choice("ACGT") for _ in range(L))
+        s2l = list(s1)
+        for _ in range(nmut):
+            p = rng.randrange(L)
+            s2l[p] = rng.choice("ACGT")
+        if nmut % 2:
+            del s2l[rng.randrange(len(s2l))]  # an indel too
+        s2 = "".join(s2l)
+        params = [str(rng.randint(1, 3)) for _ in range(3)]
+        args = flags + ["--"] + params
+        assert _diff_one(
+            reference_binary, args, f"{s1} {s2}".encode(), timeout=30
         )
-        assert out == out_ref, (args, stdin, out[:200], out_ref[:200])
-        assert err == err_ref, (args, stdin, err[:200], err_ref[:200])
-        assert rc == rc_ref, (args, stdin)
+
+
+def test_differential_file_input(reference_binary, tmp_path):
+    """-f sequence-file cases (untested differentially before —
+    VERDICT r2 weak 6): both binaries read the same file."""
+    cases = [
+        (b"GCATGCU GATTACA\n", ["-s", "1", "1", "1"]),
+        (b"GT\tGA", ["-l", "2", "1", "1"]),
+        (b"G\nGATTACA\n", ["-s", "1", "1", "1"]),
+        (b"GT", ["-s", "1", "1", "1"]),  # early EOF from a file
+    ]
+    for i, (content, flags) in enumerate(cases):
+        p = tmp_path / f"seq{i}.txt"
+        p.write_bytes(content)
+        assert _diff_one(reference_binary, ["-f", str(p)] + flags, b"")
+
+
+def test_differential_crlf_and_nul(reference_binary):
+    """CRLF separators and embedded NUL bytes (VERDICT r2 weak 6).
+    \\r is isspace so CRLF delimits like any whitespace; a NUL is read
+    into the buffer but the reference computes with strlen
+    (computation.c:158-160), so it truncates the sequence."""
+    cases = [
+        (["-s", "1", "1", "1"], b"GT\r\nGA\r\n"),
+        (["-s", "1", "1", "1"], b"GCATGCU\r\nGATTACA"),
+        (["-s", "-l", "1", "1", "1"], b"G\x00T GA"),
+        (["-s", "1", "1", "1"], b"GT G\x00ATTACA"),
+        (["-q", "-s", "1", "1", "1"], b"\x00GT GA"),  # len-0 first seq
+        (["-s", "-t", "1", "1", "1"], b"A\x00B\tC\x00"),
+    ]
+    for args, stdin in cases:
+        assert _diff_one(reference_binary, args, stdin)
 
 
 def test_debug_build_parity(reference_debug_binary, monkeypatch):
