@@ -206,7 +206,7 @@ class NWAligner:
         s2: str | bytes,
         mesh,
         axis: str = "seq",
-        chunk: int = 512,
+        chunk: Optional[int] = None,
     ) -> "HugeAlignmentResult":
         """Exact first-optimal alignment of ONE pair too large for a
         single device: the DP matrix is tiled over ``mesh``'s ``axis``

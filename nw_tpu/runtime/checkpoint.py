@@ -335,6 +335,141 @@ class ResumableBandedTraceback:
         return scores, ops, n
 
 
+class ResumableHugePair:
+    """Checkpoint/resume for the config-5 sharded huge-pair run
+    (:mod:`nw_tpu.parallel.huge_pair`) — VERDICT r2 item 6: the tiled
+    fill used to restart from phase 0 on preemption.
+
+    The fill runs as spans of ``span`` pipeline phases through
+    :func:`nw_tpu.parallel.huge_pair._huge_span_device`; after each
+    span the per-device carry (boundary registers, halo queue, corner
+    capture) plus the arrow planes produced so far are persisted
+    atomically.  A killed run resumes from the last completed span; the
+    final walk runs over the reassembled arrows and is bit-identical to
+    the uninterrupted :func:`huge_pair_align_sharded`.
+    """
+
+    def __init__(self, directory: str, span: int = 4):
+        self.directory = directory
+        self.span = span
+        os.makedirs(directory, exist_ok=True)
+
+    def _state_path(self) -> str:
+        return os.path.join(self.directory, "huge_state.npz")
+
+    def run(
+        self,
+        top,
+        side,
+        m: int,
+        k: int,
+        d: int,
+        mesh,
+        axis: str = "seq",
+        chunk: int = 64,
+        engine: Optional[str] = None,
+        interpret: bool = False,
+        traceback: bool = True,
+        _abort_after_spans: Optional[int] = None,
+    ):
+        """Returns :class:`nw_tpu.parallel.huge_pair.HugeShardedResult`
+        (or just the int score with ``traceback=False``)."""
+        import jax.numpy as jnp
+
+        from nw_tpu.parallel.huge_pair import (
+            HugeShardedResult,
+            _huge_span_device,
+            _huge_walk_sharded,
+            _pick_engine,
+            _stitch_segments,
+            _tile_geometry,
+            _tile_inputs,
+            huge_state_init,
+        )
+
+        engine = _pick_engine(engine)
+        top = np.asarray(top)
+        side = np.asarray(side)
+        A, B = top.shape[0], side.shape[0]
+        nseq = mesh.shape[axis]
+        _, _, _, _, nphases = _tile_geometry(A, B, nseq, chunk, engine)
+        side_sh, top_ext = _tile_inputs(
+            jnp.asarray(top), jnp.asarray(side), _tile_geometry(
+                A, B, nseq, chunk, engine
+            )[0],
+        )
+
+        shape_key = dict(
+            A=A, B=B, m=int(m), k=int(k), d=int(d), nseq=nseq,
+            chunk=chunk, engine=engine, traceback=traceback,
+            span=self.span,
+        )
+        spath = self._state_path()
+        s0 = 0
+        arr_spans: list = []
+        state = None
+        if os.path.exists(spath):
+            saved = np.load(spath, allow_pickle=True)
+            if json.loads(str(saved["key"])) != shape_key:
+                raise ValueError(
+                    f"checkpoint at {spath} is from a different run: "
+                    f"{saved['key']}"
+                )
+            s0 = int(saved["s0"])
+            state = {
+                k2[3:]: saved[k2]
+                for k2 in saved.files
+                if k2.startswith("st_")
+            }
+            if traceback and "arr" in saved.files and s0 > 0:
+                arr_spans = [saved["arr"]]
+        if state is None:
+            state = huge_state_init(A, B, mesh, axis, chunk, engine)
+
+        spans_done = 0
+        while s0 < nphases:
+            n_span = min(self.span, nphases - s0)
+            state, arr = _huge_span_device(
+                side_sh, top_ext, state, s0,
+                A=A, B=B, m=int(m), k=int(k), d=int(d), mesh=mesh,
+                axis=axis, chunk=chunk, span=n_span, traceback=traceback,
+                engine=engine, interpret=interpret,
+            )
+            state = {k2: np.asarray(v) for k2, v in state.items()}
+            if traceback:
+                arr_spans.append(np.asarray(arr))
+            s0 += n_span
+            payload = dict(
+                key=json.dumps(shape_key), s0=s0,
+                **{f"st_{k2}": v for k2, v in state.items()},
+            )
+            if traceback:
+                payload["arr"] = np.concatenate(arr_spans, axis=1)
+                arr_spans = [payload["arr"]]
+            tmp = spath + f".tmp{os.getpid()}"
+            with open(tmp, "wb") as f:
+                np.savez(f, **payload)
+            os.replace(tmp, spath)
+            spans_done += 1
+            if (
+                _abort_after_spans
+                and spans_done >= _abort_after_spans
+                and s0 < nphases
+            ):
+                raise KeyboardInterrupt("simulated preemption")
+
+        cap = state["cap"]
+        score = int(cap.reshape(nseq, -1).max())
+        if not traceback:
+            return score
+        segs, seg_ns = _huge_walk_sharded(
+            jnp.asarray(arr_spans[0]), np.int32(score),
+            A=A, B=B, mesh=mesh, axis=axis, chunk=chunk, engine=engine,
+        )
+        ops = _stitch_segments(segs, seg_ns, nseq)
+        return HugeShardedResult(score=score, ops=ops, n=len(ops))
+
+
 class ResumableBandedFill:
     """Mid-fill checkpoint/resume for ONE banded fill (SURVEY §5
     checkpoint row: boundary vectors + tile progress).

@@ -111,6 +111,80 @@ def test_align_huge_sharded_api():
     assert (r.X, r.Y) == (want_X, want_Y)
 
 
+def test_auto_chunk_efficiency():
+    """Chunk auto-pick keeps the phase pipeline >= 85% efficient at
+    production scale and stays correct on a real (tiny) mesh run
+    (VERDICT r2 item 8)."""
+    from nw_tpu.parallel.huge_pair import (
+        auto_chunk,
+        huge_pair_align_sharded,
+        pipeline_efficiency,
+    )
+
+    for nseq in (2, 4, 8):
+        for L in (30_000, 100_000, 400_000):
+            C = auto_chunk(L, L, nseq, "pallas")
+            eff = pipeline_efficiency(L, L, nseq, C, "pallas")
+            assert eff >= 0.85, (nseq, L, C, eff)
+    # smaller chunks only help: the efficiency model is monotone
+    assert pipeline_efficiency(100_000, 100_000, 8, 128, "pallas") >= (
+        pipeline_efficiency(100_000, 100_000, 8, 2048, "pallas")
+    )
+
+    # chunk=None (auto) drives a real mesh run to the oracle answer
+    mesh = _mesh(4)
+    rng = np.random.default_rng(123)
+    top, side = _case(rng, 60, 70)
+    ref = fill_diag(top, side, 2, 1, 1, with_scores=False)
+    opsr, nr = traceback.traceback_greedy(ref["arrows"], 60, 70, max_steps=130)
+    r = huge_pair_align_sharded(top, side, 2, 1, 1, mesh)
+    assert r.score == int(ref["score"])
+    assert r.n == int(nr)
+    np.testing.assert_array_equal(r.ops, np.asarray(opsr)[: int(nr)])
+
+
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
+def test_resumable_huge_pair_kill_and_resume(tmp_path, engine):
+    """Config-5 checkpoint/resume (VERDICT r2 item 6): the tiled fill
+    persists its per-device phase carry + arrow planes each span; a
+    killed run resumes and produces the identical score/ops as the
+    uninterrupted sharded engine."""
+    from nw_tpu.parallel.huge_pair import huge_pair_align_sharded
+    from nw_tpu.runtime.checkpoint import ResumableHugePair
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(99 + len(engine))
+    top, side = _case(rng, 40, 50)
+    kw = dict(chunk=8, engine=engine, interpret=engine == "pallas")
+    want = huge_pair_align_sharded(top, side, 2, 1, 1, mesh, **kw)
+
+    rdir = tmp_path / f"huge-{engine}"
+    runner = ResumableHugePair(str(rdir), span=3)
+    with pytest.raises(KeyboardInterrupt):
+        runner.run(
+            top, side, 2, 1, 1, mesh, _abort_after_spans=2, **kw
+        )
+    assert (rdir / "huge_state.npz").exists()
+    got = ResumableHugePair(str(rdir), span=3).run(
+        top, side, 2, 1, 1, mesh, **kw
+    )
+    assert got.score == want.score
+    assert got.n == want.n
+    np.testing.assert_array_equal(got.ops, want.ops)
+
+    # uninterrupted run through the runner matches too
+    got2 = ResumableHugePair(str(tmp_path / f"h0-{engine}"), span=4).run(
+        top, side, 2, 1, 1, mesh, **kw
+    )
+    assert (got2.score, got2.n) == (want.score, want.n)
+
+    # wrong-params resume is refused
+    with pytest.raises(ValueError):
+        ResumableHugePair(str(rdir), span=3).run(
+            top, side, 3, 1, 1, mesh, **kw
+        )
+
+
 @pytest.mark.parametrize(
     "la,lb,C,mkd",
     [
