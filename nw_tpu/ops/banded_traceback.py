@@ -266,13 +266,24 @@ def _banded_walk_device(
     counts_out = (
         counts[0, :nb].astype(jnp.uint32) if with_counts else None
     )
-    # ---- device-side stitch (VERDICT r2 item 4): per-group op prefixes
-    # concatenate into per-pair op strings ON DEVICE (the host numpy
-    # stitch loop + the ~5 MB ops4 transfer were half the e2e time).
-    # out[p, b] = ops_stack[g, p - starts[g], b] for the group g whose
-    # cursor interval contains p — found by an ngroups-step accumulation
-    # (ngroups is small), then one flat gather.
-    L = A + Bs if A + Bs > 0 else 1
+    ops4, total = device_stitch_pack(ops_stack, ng_stack, A + Bs, cap, nb)
+    return scores[0, :nb], counts_out, ops4, total
+
+
+def device_stitch_pack(ops_stack, ng_stack, s_total, cap, nb):
+    """Device-side stitch (VERDICT r2 item 4): per-group op prefixes
+    concatenate into per-pair op strings ON DEVICE (the host numpy
+    stitch loop + the multi-MB ops4 transfer were half the e2e time).
+
+    ``out[p, b] = ops_stack[g, p - starts[g], b]`` for the group g
+    whose cursor interval contains p — found by an ngroups-step
+    accumulation (ngroups is small), then one flat gather.  Returns
+    (ops4 uint8[ceil(L/4), nb] 2-bit packed — 4x less host-link
+    transfer — and total int32[nb]); unpack with :func:`unpack_ops4`.
+    Shared by the NW, SW, and Gotoh banded walk engines.
+    """
+    ngroups = ops_stack.shape[0]
+    L = s_total if s_total > 0 else 1
     b_ar = jnp.arange(nb, dtype=jnp.int32)
     starts = jnp.concatenate(
         [jnp.zeros((1, nb), jnp.int32), jnp.cumsum(ng_stack, axis=0)], axis=0
@@ -297,8 +308,6 @@ def _banded_walk_device(
     lin = (g_of * cap + local) * nb + b_ar[None, :]
     vals = jnp.take(ops_stack.reshape(-1), lin.reshape(-1)).reshape(L, nb)
     ops = jnp.where(p_col < total[None, :], vals, OP_NONE)
-    # 2-bit-pack the op stream before it crosses the host link (the op
-    # codes are 0..3); 4x less transfer on remote-TPU setups
     L4 = -(-L // 4)
     o = jnp.pad(ops, ((0, L4 * 4 - L), (0, 0)), constant_values=3).astype(
         jnp.uint8
@@ -309,7 +318,17 @@ def _banded_walk_device(
         | ((o[2::4] & 3) << 4)
         | ((o[3::4] & 3) << 6)
     )
-    return scores[0, :nb], counts_out, ops4, total
+    return ops4, total
+
+
+def unpack_ops4(ops4, s_total):
+    """Host: (L4, nb) packed 2-bit ops -> (nb, s_total) int8 op codes."""
+    ops4 = np.asarray(ops4)
+    L4, nbp = ops4.shape
+    ops = np.empty((L4 * 4, nbp), np.int8)
+    for r in range(4):
+        ops[r::4] = (ops4 >> (2 * r)) & 3
+    return np.ascontiguousarray(ops[: max(s_total, 1)].T)
 
 
 def traceback_banded_batch(
@@ -347,13 +366,7 @@ def traceback_banded_batch(
         with_counts=with_counts,
     )
     scores, counts, ops4, n = jax.device_get((scores, counts, ops4, n))
-    ops4 = np.asarray(ops4)  # (L4, nb) packed, already stitched on device
-    L4, nbp = ops4.shape
-    ops = np.empty((L4 * 4, nbp), np.int8)
-    for r in range(4):
-        ops[r::4] = (ops4 >> (2 * r)) & 3
-    L = max(A + Bs, 1)
-    ops = np.ascontiguousarray(ops[:L].T)
+    ops = unpack_ops4(ops4, A + Bs)  # already stitched on device
     n = np.asarray(n, np.int32)
     if with_counts:
         return np.asarray(scores), np.asarray(counts), ops, n

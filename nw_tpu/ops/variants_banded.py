@@ -25,7 +25,12 @@ Full-alignment engines (``sw_traceback_banded_batch``,
 emission and the checkpointed group re-fill + batched walk structure of
 :mod:`nw_tpu.ops.banded_traceback`; the Gotoh full-state kernel carries
 the flat arrows kernel's register schedule and THREE boundary streams
-(see its docstring for the carried-shift band-start seeding).
+(see its docstring for the carried-shift band-start seeding).  Walk
+words are packed to the consumer's true information content: SW greedy
+codes are 2 bits (diag/left/up/STOP, 16 cells/word), Gotoh codes are
+4 bits (M-predecessor + IX/IY extends, 8 cells/word); both stitch the
+per-group op prefixes on device
+(:func:`nw_tpu.ops.banded_traceback.device_stitch_pack`).
 """
 
 from __future__ import annotations
@@ -55,15 +60,22 @@ NEG = -(2**29)
 def _make_banded_sw_kernel(
     RB: int, C: int, off: int, unroll: int,
     with_words: bool = False, with_argmax: bool = False,
+    pack_bits: int = 8,
 ):
     """SW banded kernel; grid (batch_blocks, T_pad // C).
 
     s_ref: scalar prefetch int32[8] — m, k, d, (p3 unused), band r, j0.
     Outs: best (1, BT) c-invariant accumulator; [kk*/j* argmax pair
     (scan tie rule: first diagonal achieving the band max, then lowest
-    row)]; [words (1, C//4-per-chunk slabs) — walk bits zeroed where
-    score == 0, a local-alignment start has no arrows]; bndout (C, BT).
+    row)]; [words — walk state; bndout (C, BT)].
+
+    ``pack_bits=8``: 3-bit tie masks, 4 cells/int32 word, bits zeroed
+    where score == 0 (a local-alignment start has no arrows).
+    ``pack_bits=2``: greedy code only, 16 cells/word — 0 diag / 1 left
+    / 2 up / 3 STOP (score == 0); exactly the four states the greedy
+    local walk distinguishes, at 1/4 the word traffic.
     """
+    P = 32 // pack_bits
 
     def kernel(*refs):
         it = iter(refs)
@@ -131,16 +143,30 @@ def _make_banded_sw_kernel(
 
             if with_words:
                 score_d = score + d
-                arrows = (
-                    (cand_d == score).astype(jnp.int32)
-                    + (prev == score_d).astype(jnp.int32) * 2
-                    + (prev_sh == score_d).astype(jnp.int32) * 4
-                )
-                arrows = jnp.where(score > 0, arrows, 0)
-                word = arrows << (r4 * 8)
+                b_diag = cand_d == score
+                if pack_bits == 8:
+                    arrows = (
+                        b_diag.astype(jnp.int32)
+                        + (prev == score_d).astype(jnp.int32) * 2
+                        + (prev_sh == score_d).astype(jnp.int32) * 4
+                    )
+                    arrows = jnp.where(score > 0, arrows, 0)
+                else:
+                    arrows = jnp.where(
+                        score <= 0,
+                        jnp.int32(3),  # STOP: local-alignment start
+                        jnp.where(
+                            b_diag,
+                            jnp.int32(0),
+                            jnp.where(
+                                prev == score_d, jnp.int32(1), jnp.int32(2)
+                            ),
+                        ),
+                    )
+                word = arrows << (r4 * pack_bits)
                 pack = word if r4 == 0 else pack | word
-                if r4 == 3:
-                    words_ref[pl.ds(tl // 4, 1), :, :] = pack[None]
+                if r4 == P - 1:
+                    words_ref[pl.ds(tl // P, 1), :, :] = pack[None]
 
             r8 = jnp.bitwise_and(tl, 7)
             stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
@@ -171,7 +197,7 @@ def _make_banded_sw_kernel(
             for u in range(unroll):
                 tl = tl0 + u
                 prev, prev2sh, ch, pack = substep(
-                    c * C + tl, tl, u % 4, prev, prev2sh, ch, pack
+                    c * C + tl, tl, u % P, prev, prev2sh, ch, pack
                 )
             prev_ref[...] = prev
             prev2sh_ref[...] = prev2sh
@@ -256,12 +282,17 @@ def _banded_specs(RB, C, lag0, BT, n_streams):
 
 def build_sw_call(
     RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
-    with_words=False, with_argmax=False,
+    with_words=False, with_argmax=False, pack_bits=8,
 ):
     """The compiled SW band sweep.  Outs: [words], best, [kk*, j*],
     bndout."""
-    if with_words and unroll % 4:
-        raise ValueError("unroll must be a multiple of 4 for word packing")
+    P = 32 // pack_bits
+    if with_words and unroll % P:
+        raise ValueError(
+            f"unroll must be a multiple of {P} for {pack_bits}-bit packing"
+        )
+    if with_words and C % P:
+        raise ValueError(f"chunk must be a multiple of {P}, got {C}")
     in_specs, out_specs = _banded_specs(RB, C, lag0, BT, 1)
     out_shapes = [
         jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
@@ -279,12 +310,12 @@ def build_sw_call(
         ] * 2
     if with_words:
         out_shapes.insert(
-            0, jax.ShapeDtypeStruct((1, T_pad // 4, RB, nb_pad), jnp.int32)
+            0, jax.ShapeDtypeStruct((1, T_pad // P, RB, nb_pad), jnp.int32)
         )
         out_specs.insert(
             0,
             pl.BlockSpec(
-                (None, C // 4, RB, BT), lambda b, c, s: (0, c, 0, b),
+                (None, C // P, RB, BT), lambda b, c, s: (0, c, 0, b),
                 memory_space=pltpu.VMEM,
             ),
         )
@@ -299,7 +330,9 @@ def build_sw_call(
     if with_argmax:
         scratch.append(pltpu.VMEM((RB, BT), jnp.int32))  # first-kk per row
     return pl.pallas_call(
-        _make_banded_sw_kernel(RB, C, off, unroll, with_words, with_argmax),
+        _make_banded_sw_kernel(
+            RB, C, off, unroll, with_words, with_argmax, pack_bits
+        ),
         out_shape=tuple(out_shapes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -571,11 +604,17 @@ def _sw_walk_device(
     """Device part of the banded SW traceback (see
     :func:`sw_traceback_banded_batch`): returns (best, j*, i*, j_end,
     i_end, ops_stack int8[ngroups, cap, nb] walk order, ng_stack)."""
+    import math
+
     nb, A = tops.shape
     _, Bs = sides.shape
     BT = block_pairs
     N = Bs + 1
     S = group_bands
+    # pass 2 packs 16 greedy codes per word: chunk must be a multiple
+    # of lcm(unroll, 16) (the pack register cannot cross a grid step)
+    q = unroll * 16 // math.gcd(unroll, 16)
+    chunk = -(-chunk // q) * q
     RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
         A, N, band_rows, chunk, unroll
     )
@@ -589,9 +628,12 @@ def _sw_walk_device(
         RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
         with_argmax=True,
     )
+    # the greedy local walk needs only diag/left/up/STOP — exactly the
+    # four 2-bit codes; 1/4 the word slab of the 3-bit tie masks
+    WALK_UNROLL = 16
     words_call = build_sw_call(
-        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
-        with_words=True,
+        RB, C, off, lag0, WALK_UNROLL, T_pad, U_pad, nb_pad, BT, interpret,
+        with_words=True, pack_bits=2,
     )
 
     # ---- pass 1: score sweep with per-group checkpoints + global argmax
@@ -640,7 +682,7 @@ def _sw_walk_device(
     ist = kst - jst
 
     # ---- pass 2: per group (descending): words re-fill + local walk
-    T4 = T_pad // 4
+    T16 = T_pad // 16
     WU = 16
     cap = -(-(A + S * RB + 1) // WU) * WU
     b_ar = jnp.arange(nb, dtype=jnp.int32)
@@ -673,21 +715,18 @@ def _sw_walk_device(
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i2 + jj, 0, T_pad - 1)
-                lin = ((rr * T4 + (t >> 2)) * RB + jj) * nb_pad + b_ar
+                lin = ((rr * T16 + (t >> 4)) * RB + jj) * nb_pad + b_ar
                 w = words_flat[lin]
-                a = (w >> ((t & 3) * 8)) & 0xFF
-                # a local-alignment start (score <= 0) ends the walk
-                active = inside & (a != 0)
-                done2 = done2 | (inside & (a == 0))
-                take_diag = (a & 1) != 0
-                take_left = (~take_diag) & ((a & 2) != 0)
-                take_up = ~(take_diag | take_left)
-                op = jnp.where(
-                    take_diag, OP_DIAG, jnp.where(take_left, OP_LEFT, OP_UP)
-                ).astype(jnp.int8)
+                # 2-bit code: 0 diag / 1 left / 2 up / 3 STOP — the op
+                # IS the field; STOP (a local-alignment start, score
+                # <= 0) ends the walk
+                a = (w >> ((t & 15) * 2)) & 3
+                active = inside & (a != 3)
+                done2 = done2 | (inside & (a == 3))
+                op = a.astype(jnp.int8)
                 op_rows.append(jnp.where(active, op, OP_NONE))
-                di = jnp.where(active & (take_diag | take_left), 1, 0)
-                dj = jnp.where(active & (take_diag | take_up), 1, 0)
+                di = jnp.where(active & (a != OP_UP), 1, 0)
+                dj = jnp.where(active & (a != OP_LEFT), 1, 0)
                 i2 = i2 - di
                 j2 = j2 - dj
                 ng = ng + active
@@ -707,14 +746,10 @@ def _sw_walk_device(
     (i_end, j_end, _), (ops_stack, ng_stack) = jax.lax.scan(
         group_walk, (ist, jst, done0), jnp.arange(ngroups, dtype=jnp.int32)
     )
-    o = ops_stack.astype(jnp.uint8)
-    ops4 = (
-        (o[:, 0::4] & 3)
-        | ((o[:, 1::4] & 3) << 2)
-        | ((o[:, 2::4] & 3) << 4)
-        | ((o[:, 3::4] & 3) << 6)
-    )
-    return best, jst, ist, j_end, i_end, ops4, ng_stack
+    from nw_tpu.ops.banded_traceback import device_stitch_pack
+
+    ops4, total = device_stitch_pack(ops_stack, ng_stack, A + Bs, cap, nb)
+    return best, jst, ist, j_end, i_end, ops4, total
 
 
 def sw_traceback_banded_batch(
@@ -737,7 +772,7 @@ def sw_traceback_banded_batch(
     """
     import numpy as np
 
-    from nw_tpu.ops.banded_traceback import _compact_group_ops
+    from nw_tpu.ops.banded_traceback import unpack_ops4
 
     nb, A = tops.shape
     _, Bs = sides.shape
@@ -746,16 +781,12 @@ def sw_traceback_banded_batch(
         interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
         chunk=chunk, unroll=unroll, group_bands=group_bands,
     )
-    best, jst, ist, j_end, i_end, ops4, ng_stack = jax.device_get(out)
-    ops4 = np.asarray(ops4)
-    ngroups, cap4, nbp = ops4.shape
-    ops_stack = np.empty((ngroups, cap4 * 4, nbp), np.int8)
-    for r in range(4):
-        ops_stack[:, r::4] = (ops4 >> (2 * r)) & 3
-    ops, n = _compact_group_ops(ops_stack, ng_stack, A + Bs)
+    best, jst, ist, j_end, i_end, ops4, n = jax.device_get(out)
+    ops = unpack_ops4(ops4, A + Bs)  # stitched on device
     return (
         np.asarray(best), np.asarray(jst), np.asarray(ist),
-        np.asarray(j_end), np.asarray(i_end), ops, n,
+        np.asarray(j_end), np.asarray(i_end), ops,
+        np.asarray(n, np.int32),
     )
 
 
@@ -885,15 +916,18 @@ def _make_banded_affine_full_kernel(
             )
 
             if with_words:
+                # the Gotoh walk code is exactly 4 bits (2-bit M
+                # predecessor + IX-extends + IY-extends): pack 8 cells
+                # per int32 word, half the slab of byte packing
                 bits = (
                     mpred
                     + (ixext.astype(jnp.int32) << 2)
                     + (iyext.astype(jnp.int32) << 3)
                 )
-                word = bits << (r4 * 8)
+                word = bits << (r4 * 4)
                 pack = word if r4 == 0 else pack | word
-                if r4 == 3:
-                    words_ref[pl.ds(tl // 4, 1), :, :] = pack[None]
+                if r4 == 7:
+                    words_ref[pl.ds(tl // 8, 1), :, :] = pack[None]
 
             r8 = jnp.bitwise_and(tl, 7)
             mst_ref[pl.ds(r8, 1), :] = M[RB - 1 : RB, :]
@@ -946,7 +980,7 @@ def _make_banded_affine_full_kernel(
                     (c == 0) & (i == 0) & (first == 1)
                     if u == 0 else jnp.bool_(False)
                 )
-                st = substep(c * C + tl, tl, u % 4, seed_now, st)
+                st = substep(c * C + tl, tl, u % 8, seed_now, st)
             (mp_ref[...], ixp_ref[...], m1sh_ref[...], iy1sh_ref[...],
              m2sh_ref[...], ix2sh_ref[...], iy2sh_ref[...],
              ch_ref[...]) = st[:8]
@@ -963,9 +997,12 @@ def build_affine_full_call(
 ):
     """The compiled Gotoh full-state band sweep: call(s, tops, sides,
     lens, mbnd, mbnd, ybnd, ybnd, xbnd, xbnd) -> ([words], score, state,
-    mbnd_out, ybnd_out, xbnd_out)."""
-    if unroll % 4:
-        raise ValueError("unroll must be a multiple of 4 for word packing")
+    mbnd_out, ybnd_out, xbnd_out).  Words are 4-bit codes, 8 cells per
+    int32 word."""
+    if with_words and unroll % 8:
+        raise ValueError("unroll must be a multiple of 8 for 4-bit packing")
+    if with_words and C % 8:
+        raise ValueError(f"chunk must be a multiple of 8, got {C}")
     in_specs = [
         pl.BlockSpec((C, BT), lambda b, c, s: (c, b), memory_space=pltpu.VMEM),
         pl.BlockSpec(
@@ -1000,12 +1037,12 @@ def build_affine_full_call(
     ]
     if with_words:
         out_shapes.insert(
-            0, jax.ShapeDtypeStruct((1, T_pad // 4, RB, nb_pad), jnp.int32)
+            0, jax.ShapeDtypeStruct((1, T_pad // 8, RB, nb_pad), jnp.int32)
         )
         out_specs.insert(
             0,
             pl.BlockSpec(
-                (None, C // 4, RB, BT), lambda b, c, s: (0, c, 0, b),
+                (None, C // 8, RB, BT), lambda b, c, s: (0, c, 0, b),
                 memory_space=pltpu.VMEM,
             ),
         )
@@ -1067,8 +1104,11 @@ def _affine_walk_device(
         RB, C, lag0a, offa, unroll, T_pad, U_pad, nb_pad, BT,
         interpret, with_words=False,
     )
+    # pass-2 refill packs 8 four-bit codes per word; its unroll must be
+    # 8-aligned (C is always a lcm(unroll, 8) multiple via _geometry)
+    WALK_UNROLL = unroll if unroll % 8 == 0 else 8
     words_call = build_affine_full_call(
-        RB, C, lag0a, offa, unroll, T_pad, U_pad, nb_pad, BT,
+        RB, C, lag0a, offa, WALK_UNROLL, T_pad, U_pad, nb_pad, BT,
         interpret, with_words=True,
     )
 
@@ -1106,7 +1146,7 @@ def _affine_walk_device(
     score = score[0, :nb]
     stm = stm[0, :nb]
 
-    T4 = T_pad // 4
+    T8 = T_pad // 8
     WU = 16
     cap = -(-(A + S * RB + 1) // WU) * WU
     b_ar = jnp.arange(nb, dtype=jnp.int32)
@@ -1143,9 +1183,9 @@ def _affine_walk_device(
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i2 + jj, 0, T_pad - 1)
-                lin = ((rr * T4 + (t >> 2)) * RB + jj) * nb_pad + b_ar
+                lin = ((rr * T8 + (t >> 3)) * RB + jj) * nb_pad + b_ar
                 w = words_flat[lin]
-                b = (w >> ((t & 3) * 8)) & 0xFF
+                b = (w >> ((t & 7) * 4)) & 0xF
                 is_m = mat2 == 0
                 is_ix = mat2 == 1
                 op = jnp.where(
@@ -1183,14 +1223,10 @@ def _affine_walk_device(
     (_, _, _), (ops_stack, ng_stack) = jax.lax.scan(
         group_walk, (i0, j0v, stm), jnp.arange(ngroups, dtype=jnp.int32)
     )
-    o = ops_stack.astype(jnp.uint8)
-    ops4 = (
-        (o[:, 0::4] & 3)
-        | ((o[:, 1::4] & 3) << 2)
-        | ((o[:, 2::4] & 3) << 4)
-        | ((o[:, 3::4] & 3) << 6)
-    )
-    return score, stm, ops4, ng_stack
+    from nw_tpu.ops.banded_traceback import device_stitch_pack
+
+    ops4, total = device_stitch_pack(ops_stack, ng_stack, A + Bs, cap, nb)
+    return score, stm, ops4, total
 
 
 def affine_traceback_banded_batch(
@@ -1211,11 +1247,11 @@ def affine_traceback_banded_batch(
     """
     import numpy as np
 
-    from nw_tpu.ops.banded_traceback import _compact_group_ops
+    from nw_tpu.ops.banded_traceback import unpack_ops4
 
     nb, A = tops.shape
     _, Bs = sides.shape
-    score, stm, ops4, ng_stack = jax.device_get(
+    score, stm, ops4, n = jax.device_get(
         _affine_walk_device(
             tops, sides, lens1, lens2, m, k, open_, extend,
             interpret=interpret, block_pairs=block_pairs,
@@ -1223,10 +1259,5 @@ def affine_traceback_banded_batch(
             group_bands=group_bands,
         )
     )
-    ops4 = np.asarray(ops4)
-    ngroups, cap4, nbp = ops4.shape
-    ops_stack = np.empty((ngroups, cap4 * 4, nbp), np.int8)
-    for r in range(4):
-        ops_stack[:, r::4] = (ops4 >> (2 * r)) & 3
-    ops, n = _compact_group_ops(ops_stack, ng_stack, A + Bs)
-    return np.asarray(score), ops, n
+    ops = unpack_ops4(ops4, A + Bs)  # stitched on device
+    return np.asarray(score), ops, np.asarray(n, np.int32)
