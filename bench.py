@@ -324,14 +324,18 @@ def bench_variant_tracebacks(NB=128, L=3072):
         )
         for _ in range(NB)
     ]
-    sw_align_batch(pairs[:32], 2, 1, 1)
+    # warm with the SAME batch shape: a different batch size is a
+    # different compiled program, so the old 32-pair warm call left the
+    # timed run paying a full compile (bench measured 45 pairs/s where
+    # the warm engine does ~470)
+    sw_align_batch(pairs, 2, 1, 1)
     t0 = time.time()
     sw_align_batch(pairs, 2, 1, 1)
     _emit(
         f"SW full alignments, {NB}x{L//1024}kb (banded traceback)",
         round(NB / (time.time() - t0), 1), "pairs/s",
     )
-    affine_align_batch(pairs[:32], 2, 1, 3, 1)
+    affine_align_batch(pairs, 2, 1, 3, 1)
     t0 = time.time()
     affine_align_batch(pairs, 2, 1, 3, 1)
     _emit(
