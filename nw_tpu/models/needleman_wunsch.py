@@ -246,6 +246,25 @@ class NWAligner:
 
     # ---------------- batched (production path) ----------------
 
+    def _align_batch_banded_pipelined(
+        self, norm, m, k, d, chunk, count
+    ) -> "BatchResult":
+        """Banded-traceback batches larger than one 128-lane chunk:
+        see :func:`_pipelined_banded_walk`."""
+        scores_l, counts_l, ops_l, n_l = _pipelined_banded_walk(
+            norm, m, k, d, chunk, count, self.config.bucket_for
+        )
+        result = BatchResult(
+            scores=np.concatenate(scores_l),
+            status=np.zeros((len(norm),), np.uint8),
+            _pairs=norm,
+        )
+        if count:
+            result.counts = np.concatenate(counts_l)
+        result.ops = np.concatenate(ops_l)
+        result.ops_len = np.concatenate(n_l)
+        return result
+
     def align_batch(
         self,
         pairs: Sequence[Tuple[str | bytes, str | bytes]],
@@ -292,6 +311,17 @@ class NWAligner:
                 # materialized; live memory is one group of bands per
                 # 128-lane block, so chunk only to keep lanes full
                 chunk = int(os.environ.get("NW_TPU_BANDED_TB_PAIRS", "128"))
+                if (
+                    traceback_strings
+                    and chunk < len(norm)
+                    and max_length is None
+                ):
+                    # pipelined multi-chunk path: dispatch every chunk
+                    # before fetching any, so host unpack of chunk i
+                    # overlaps device compute of chunk i+1
+                    return self._align_batch_banded_pipelined(
+                        norm, m, k, d, chunk, count
+                    )
             else:
                 arrow_bytes = (L1 + L2 + 2) * (L2 + 1)  # packed words/pair
                 budget = int(os.environ.get("NW_TPU_ARROW_HBM", str(4 << 30)))
@@ -486,6 +516,49 @@ class NWAligner:
             result.ops = ops
             result.ops_len = n
         return result
+
+
+def _pipelined_banded_walk(
+    norm, m, k, d, chunk, count, bucket_for, interpret: bool = False
+):
+    """Dispatch-all-then-finalize banded tracebacks over sub-batches.
+
+    One compiled program serves every sub-batch (the tail pads to the
+    chunk quantum with empty pairs); JAX's async dispatch keeps the
+    device running sub-batch i+1 while the host unpacks sub-batch i —
+    large-batch e2e tracks the device engine rate instead of
+    device + host serialized (VERDICT r2 item 4).
+    """
+    from nw_tpu.ops.banded_traceback import (
+        traceback_banded_dispatch,
+        traceback_banded_finalize,
+    )
+
+    L1 = bucket_for(max((len(a) for a, _ in norm), default=1))
+    L2 = bucket_for(max((len(b) for _, b in norm), default=1))
+    subs = [norm[i : i + chunk] for i in range(0, len(norm), chunk)]
+    handles = []
+    for sub in subs:
+        padded = sub + [(b"", b"")] * (chunk - len(sub))
+        tops, sides, l1, l2 = enc.encode_batch(padded, L1, L2)
+        handles.append(
+            traceback_banded_dispatch(
+                tops, sides, l1, l2, m, k, d, with_counts=count,
+                interpret=interpret,
+            )
+        )
+    scores_l, counts_l, ops_l, n_l = [], [], [], []
+    for sub, h in zip(subs, handles):
+        outs = traceback_banded_finalize(h, L1, L2, with_counts=count)
+        if count:
+            sc, ct, ops, n = outs
+            counts_l.append(ct[: len(sub)])
+        else:
+            sc, ops, n = outs
+        scores_l.append(sc[: len(sub)])
+        ops_l.append(ops[: len(sub)])
+        n_l.append(n[: len(sub)])
+    return scores_l, counts_l, ops_l, n_l
 
 
 _PALLAS_OK: Optional[bool] = None

@@ -211,6 +211,33 @@ def test_banded_nw_traceback_vs_oracle(geometry, with_counts):
         )
 
 
+def test_pipelined_banded_walk_matches_single_chunk():
+    """The dispatch-all/finalize-all multi-chunk path must concatenate
+    to exactly what one big traceback_banded_batch call produces."""
+    from nw_tpu.models.needleman_wunsch import _pipelined_banded_walk
+    from nw_tpu.ops.banded_traceback import traceback_banded_batch
+
+    rng = np.random.default_rng(55)
+    norm = _pairs(rng, 10, 10, 60)
+    bucket = lambda n: max(64, n)
+    sc_l, ct_l, ops_l, n_l = _pipelined_banded_walk(
+        norm, 2, 1, 1, chunk=4, count=True, bucket_for=bucket,
+        interpret=True,
+    )
+    tops, sides, l1, l2 = enc.encode_batch(norm, 64, 64)
+    want_sc, want_ct, want_ops, want_n = traceback_banded_batch(
+        tops, sides, l1, l2, 2, 1, 1, interpret=True, with_counts=True
+    )
+    np.testing.assert_array_equal(np.concatenate(sc_l), want_sc)
+    np.testing.assert_array_equal(np.concatenate(ct_l), want_ct)
+    np.testing.assert_array_equal(np.concatenate(n_l), want_n)
+    got_ops = np.concatenate(ops_l)
+    for b in range(len(norm)):
+        np.testing.assert_array_equal(
+            got_ops[b, : want_n[b]], want_ops[b, : want_n[b]]
+        )
+
+
 def test_greedy2_single_band_vs_oracle():
     """fill_greedy_banded_single (flat 2-bit layout) + traceback_greedy2
     vs the scan-oracle greedy walk."""
