@@ -45,6 +45,7 @@ from nw_tpu.ops.fill_pallas_banded import (
     _band_scalars,
     _geometry,
     _prep_banded,
+    _round_up,
     build_arrows_call,
     build_scores_call,
 )
@@ -96,7 +97,7 @@ def _make_group_fns(
         )
         return (scores, counts, bnd, cbnd), cp
 
-    b_ar = jnp.arange(nb, dtype=jnp.int32)
+    walk_loop = _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap)
 
     def group_walk(i, j, cp, g):
         def band_refill(bnd2, rr):
@@ -107,8 +108,21 @@ def _make_group_fns(
         _, words = jax.lax.scan(
             band_refill, cp, jnp.arange(S, dtype=jnp.int32)
         )  # (S, T16, RB, nb_pad)
-        words_flat = words.reshape(-1)
+        return walk_loop(i, j, words.reshape(-1), g)
 
+    return group_fwd, group_walk, cap
+
+
+def _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap):
+    """The batched backward walk over one group's 2-bit word planes
+    (``words_flat`` = (S, T_pad//16, RB, nb_pad) raveled); shared by
+    the two-pass (re-fill) and one-pass (materialized-words) engines.
+    Returns ``walk(i, j, words_flat, g) -> (i, j, ops_g, ng)``."""
+    T16 = T_pad // 16
+    WU = 16
+    b_ar = jnp.arange(nb, dtype=jnp.int32)
+
+    def walk(i, j, words_flat, g):
         g0 = g * S * RB
 
         def cond(st):
@@ -150,7 +164,7 @@ def _make_group_fns(
         )
         return i, j, ops_g, ng
 
-    return group_fwd, group_walk, cap
+    return walk
 
 
 def _walk_setup(
@@ -331,6 +345,113 @@ def unpack_ops4(ops4, s_total):
     return np.ascontiguousarray(ops[: max(s_total, 1)].T)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "block_pairs", "band_rows", "chunk", "group_bands",
+        "with_counts",
+    ),
+)
+def _banded_walk_onepass_device(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool,
+    block_pairs: int,
+    band_rows: int,
+    chunk: int,
+    group_bands: int,
+    with_counts: bool,
+):
+    """One-pass engine: a single fused band sweep emits score
+    (+counts) AND the full-table 2-bit walk words; the walk runs over
+    the materialized word stack — no checkpoint pass, no re-fill.
+
+    At 2 bits/cell a 128 x 10kb batch's whole word stack is ~3.4 GB:
+    within the single-chip HBM budget that the two-pass engine's
+    "never materialize arrows" rule was designed around (that rule
+    still governs beyond the budget — see traceback_banded_dispatch).
+    Same outputs as :func:`_banded_walk_device`.
+    """
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    BT = block_pairs
+    N = Bs + 1
+    S = group_bands
+    UN = 16  # fused-kernel unroll = the 2-bit pack period
+    chunk = -(-chunk // 16) * 16
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, UN
+    )
+    ngroups = -(-nbands // S)
+    nbands = ngroups * S
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+    fused_call = build_arrows_call(
+        RB, C, off, lag0, UN, T_pad, U_pad, nb_pad, BT, interpret,
+        with_counts=with_counts, with_words=True, pack_bits=2,
+    )
+
+    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
+    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
+    cbnd0 = jnp.zeros((U_pad, nb_pad), jnp.int32)
+    counts0 = jnp.zeros((1, nb_pad), jnp.int32)
+
+    def band_body(carry, r):
+        s = _band_scalars(m, k, d, r, RB, lens, nb)
+        if with_counts:
+            scores, counts, bnd, cbnd = carry
+            words, part, bnd, cpart, cbnd = fused_call(
+                s, tops_sh, sides_sh, lens, bnd, bnd, cbnd, cbnd
+            )
+            return (
+                jnp.maximum(scores, part), counts + cpart, bnd, cbnd
+            ), words[0]
+        scores, bnd = carry
+        words, part, bnd = fused_call(s, tops_sh, sides_sh, lens, bnd, bnd)
+        return (jnp.maximum(scores, part), bnd), words[0]
+
+    init = (
+        (scores0, counts0, bnd0, cbnd0) if with_counts else (scores0, bnd0)
+    )
+    carry, w_all = jax.lax.scan(
+        band_body, init, jnp.arange(nbands, dtype=jnp.int32)
+    )  # w_all: (nbands, T_pad//16, RB, nb_pad)
+    scores = carry[0]
+    counts_out = (
+        carry[1][0, :nb].astype(jnp.uint32) if with_counts else None
+    )
+
+    WU = 16
+    cap = -(-(A + S * RB + 1) // WU) * WU
+    walk_loop = _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap)
+
+    def walk_body(carry2, idx):
+        i, j = carry2
+        g = ngroups - 1 - idx
+        words = jax.lax.dynamic_slice_in_dim(w_all, g * S, S, axis=0)
+        i, j, ops_g, ng = walk_loop(i, j, words.reshape(-1), g)
+        return (i, j), (ops_g, ng)
+
+    i0 = jnp.asarray(lens1, jnp.int32)
+    j0v = jnp.asarray(lens2, jnp.int32)
+    (_, _), (ops_stack, ng_stack) = jax.lax.scan(
+        walk_body, (i0, j0v), jnp.arange(ngroups, dtype=jnp.int32)
+    )
+    ops4, total = device_stitch_pack(ops_stack, ng_stack, A + Bs, cap, nb)
+    return scores[0, :nb], counts_out, ops4, total
+
+
+def _onepass_word_bytes(A, Bs, band_rows, group_bands):
+    """HBM bytes of the full-table 2-bit word stack the one-pass engine
+    materializes (whole groups of band planes)."""
+    RB = min(band_rows, _round_up(Bs + 1, 8))
+    nbands = -(-(Bs + 1) // RB)
+    nbands = -(-nbands // group_bands) * group_bands
+    T16 = _round_up(A + RB, 16) // 16
+    return nbands * T16 * RB * 4 * 128  # nb_pad >= 128 lanes
+
+
 def traceback_banded_dispatch(
     tops, sides, lens1, lens2, m, k, d,
     interpret: bool = False,
@@ -347,7 +468,31 @@ def traceback_banded_dispatch(
     sub-batches dispatch them all first and then finalize in order, so
     the host-side unpack/strings work of sub-batch i overlaps the
     device compute of sub-batch i+1 (VERDICT r2 item 4's overlap).
+
+    Engine choice: with ``NW_TPU_ONEPASS_HBM`` set to an HBM byte
+    budget, batches whose full-table 2-bit word stack fits it take the
+    one-pass engine (ONE fused sweep emits score (+counts) and the walk
+    words; no re-fill pass).  OFF by default: measured at 128 x 10kb
+    the one-pass engine is only ~4% faster warm (291 vs 280 pairs/s
+    device) but XLA takes ~300 s to compile the 3.4 GB-output band scan
+    vs ~70 s for the two-pass program — the checkpointed re-fill keeps
+    both live memory AND compile time bounded.
     """
+    import os
+
+    budget = int(os.environ.get("NW_TPU_ONEPASS_HBM", "0"))
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    if (
+        nb <= 128
+        and _onepass_word_bytes(A, Bs, band_rows, group_bands) <= budget
+    ):
+        return _banded_walk_onepass_device(
+            tops, sides, lens1, lens2, m, k, d,
+            interpret=interpret, block_pairs=block_pairs,
+            band_rows=band_rows, chunk=chunk, group_bands=group_bands,
+            with_counts=with_counts,
+        )
     return _banded_walk_device(
         tops, sides, lens1, lens2, m, k, d,
         interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,

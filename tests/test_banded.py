@@ -161,18 +161,22 @@ def test_banded_scores_band_boundary_lengths():
     np.testing.assert_array_equal(got, ref)
 
 
+@pytest.mark.parametrize("engine", ["onepass", "twopass"])
 @pytest.mark.parametrize("with_counts", [False, True])
 @pytest.mark.parametrize(
     "geometry", [(8, 8, 4, 2), (16, 8, 8, 3), (8, 16, 4, 2), (32, 32, 16, 2)]
 )
-def test_banded_nw_traceback_vs_oracle(geometry, with_counts):
-    """traceback_banded_batch (2-bit greedy refill + device-side stitch)
-    vs the scan-oracle greedy walk: scores, ops, lengths, counts."""
+def test_banded_nw_traceback_vs_oracle(geometry, with_counts, engine, monkeypatch):
+    """traceback_banded_batch vs the scan-oracle greedy walk: scores,
+    ops, lengths, counts — through BOTH the one-pass (materialized
+    2-bit words) and two-pass (checkpointed re-fill) engines."""
     from nw_tpu.ops import pathcount
     from nw_tpu.ops.banded_traceback import traceback_banded_batch
     from nw_tpu.ops.fill_scan import fill_diag_batch
     from nw_tpu.ops.traceback import traceback_greedy
 
+    if engine == "onepass":
+        monkeypatch.setenv("NW_TPU_ONEPASS_HBM", str(8 << 30))
     RB, C, U, S = geometry
     rng = np.random.default_rng(hash(geometry) % 2**31 + with_counts)
     ps = _pairs(rng, 6, 1, 60) + [(b"", b""), (b"ACGT", b""), (b"", b"ACG")]
