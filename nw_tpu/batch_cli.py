@@ -139,7 +139,18 @@ def main(argv=None) -> int:
     if args.checkpoint_dir:
         from nw_tpu.runtime.checkpoint import CheckpointedRunner
 
-        runner = CheckpointedRunner(args.checkpoint_dir, chunk_size=args.chunk)
+        # key the manifest on everything that shapes chunk results, so
+        # resuming with different params/flags is rejected instead of
+        # silently concatenating stale chunk files
+        key = (
+            f"mode={args.mode} m={args.m} k={args.k} d={args.d} "
+            f"open={args.gap_open} extend={args.gap_extend} "
+            f"counts={args.counts} alignments={args.alignments} "
+            f"sorted={args.sort_by_length}"
+        )
+        runner = CheckpointedRunner(
+            args.checkpoint_dir, chunk_size=args.chunk, key=key
+        )
         res = runner.run(pairs, align_chunk, retries=args.retries)
     else:
         parts = [
