@@ -160,7 +160,7 @@ def bench_arrows_150(NB=10240, L=150, reps=20):
     return gcups
 
 
-def bench_greedy2_150(NB=10240, L=150, reps=20):
+def bench_greedy2_150(NB=10240, L=150, reps=50):
     """2-bit greedy arrows fill at 150 bp — the traceback feed
     (VERDICT r2 item 3: 16 cells/word, greedy direction only)."""
     import jax.numpy as jnp
