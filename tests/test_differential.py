@@ -213,7 +213,7 @@ def test_mixed_flag_campaign(reference_binary):
     rng = random.Random(20260816)
     full_alpha = [chr(c) for c in range(33, 127)]
     ran = 0
-    for trial in range(160):
+    for trial in range(220):
         lens = rng.choice([(4, 3), (8, 6), (8, 8), (12, 5), (20, 14), (1, 20)])
         alpha = "ACGT" if trial % 3 else full_alpha
         s1 = "".join(rng.choice(alpha) for _ in range(lens[0]))
@@ -227,7 +227,7 @@ def test_mixed_flag_campaign(reference_binary):
         args = flags + ["--"] + params
         stdin = f"{s1} {s2}".encode()
         ran += _diff_one(reference_binary, args, stdin)
-    assert ran >= 100  # the timeout guard must not hollow out the campaign
+    assert ran >= 150  # the timeout guard must not hollow out the campaign
 
 
 def test_differential_long_reads(reference_binary):
