@@ -33,6 +33,9 @@ def check(name, fn):
 
 
 def main() -> int:
+    from nw_tpu.cli import enable_default_compile_cache
+
+    enable_default_compile_cache()
     if jax.devices()[0].platform != "tpu":
         print("not a TPU host; nothing to validate", file=sys.stderr)
         return 1
@@ -351,6 +354,45 @@ def main() -> int:
         for b in range(len(ps)):
             assert (ops[b, : n[b]] == opsr[b, : n[b]]).all()
 
+    def align_batch_greedy2_route():
+        # the model's strings-only route (2-bit greedy fill + walker)
+        # must produce the same alignments as the counts route (3-bit
+        # arrows + byte walker) end-to-end through align_batch
+        from nw_tpu.models.needleman_wunsch import align_batch
+
+        sub = [(a.encode(), b.encode()) for a, b in ps[:64]]
+        r1 = align_batch(sub, 2, 1, 1, traceback_strings=True)
+        r2 = align_batch(sub, 2, 1, 1, traceback_strings=True, count=True)
+        assert (r1.scores == r2.scores).all()
+        assert r1.alignment_strings() == r2.alignment_strings()
+
+    def resumable_walk():
+        # the resumable config-3 runner's own jitted span programs,
+        # compiled on hardware: kill mid-run, resume, compare to the
+        # monolithic engine
+        import tempfile
+
+        from nw_tpu.ops.banded_traceback import traceback_banded_batch
+        from nw_tpu.runtime.checkpoint import ResumableBandedTraceback
+
+        sub = 24
+        t, s2, a1, a2 = tops[:sub], sides[:sub], l1[:sub], l2[:sub]
+        kw = dict(with_counts=True, band_rows=24, chunk=48, unroll=8,
+                  group_bands=2)
+        want = traceback_banded_batch(t, s2, a1, a2, 2, 1, 1, **kw)
+        with tempfile.TemporaryDirectory() as d:
+            runner = ResumableBandedTraceback(d, save_every=1)
+            try:
+                runner.run(t, s2, a1, a2, 2, 1, 1,
+                           _abort_after_spans=2, **kw)
+            except KeyboardInterrupt:
+                pass
+            got = ResumableBandedTraceback(d, save_every=1).run(
+                t, s2, a1, a2, 2, 1, 1, **kw
+            )
+        for a, b in zip(got, want):
+            assert (np.asarray(a) == np.asarray(b)).all()
+
     def huge_pair_engine():
         from jax.sharding import Mesh
 
@@ -415,6 +457,8 @@ def main() -> int:
     check("banded SW + affine FULL tracebacks", banded_variant_tracebacks)
     check("small-batch long-side SW/Gotoh alignments", small_batch_long_variants)
     check("banded checkpointed traceback + counts", banded_traceback)
+    check("align_batch greedy2 strings route", align_batch_greedy2_route)
+    check("resumable walk kill/resume (compiled)", resumable_walk)
     check("huge-pair fold-chunk engine (config 5)", huge_pair_engine)
     check("sharded pallas path", sharded)
     return 1 if FAILED else 0
