@@ -58,6 +58,24 @@ class _Exit(Exception):
         self.code = code
 
 
+class _FdStream:
+    """Minimal raw-fd stream: read errors surface at read() time, like
+    a stdio FILE over the same fd (fopen succeeds on a directory; the
+    first fgetc sets ferror with EISDIR)."""
+
+    def __init__(self, fd: int):
+        self._fd = fd
+
+    def fileno(self) -> int:
+        return self._fd
+
+    def read(self, n: int) -> bytes:
+        return os.read(self._fd, n)
+
+    def close(self) -> None:
+        os.close(self._fd)
+
+
 def _prog_name(argv0: str) -> str:
     """set_prog_name (dbg.c:7-15): strip only a leading './'."""
     return argv0[2:] if argv0.startswith("./") else argv0
@@ -161,8 +179,13 @@ def _run(argv: List[str], stdin: BinaryIO, stdout: BinaryIO, stderr: BinaryIO):
     if infile_path is None:
         infile = stdin
     else:
+        # fopen(path, "r") only open(2)s — it SUCCEEDS on a directory
+        # (needleman-wunsch.c:776-777); the failure surfaces at the
+        # first fgetc as a stream error.  Mirror that by opening the
+        # raw fd (no Python io validation) and deferring the error to
+        # the read loop below.
         try:
-            infile = open(infile_path, "rb")
+            infile = _FdStream(os.open(infile_path, os.O_RDONLY))
         except OSError as e:
             _log_err(
                 stderr,
@@ -176,6 +199,12 @@ def _run(argv: List[str], stdin: BinaryIO, stdout: BinaryIO, stderr: BinaryIO):
         s1, s2 = read_two_sequences(infile)
     except EarlyEOFError:
         _log_err(stderr, prog, "got EOF too early when reading input strings")
+        raise _Exit(1)
+    except OSError as e:
+        # ferror() is checked BEFORE feof() (read-sequences.c:46-55):
+        # any read(2) failure — e.g. EISDIR for `-f <directory>` — dies
+        # as "fgetc failed: <strerror>", even where EOF would be legal.
+        _log_err(stderr, prog, "fgetc failed", (e.strerror or "").encode())
         raise _Exit(1)
 
     # The reference reads raw bytes up to whitespace but then treats the

@@ -10,6 +10,7 @@
 // buffered the same way); bytes past sequence 2's terminator are left
 // unread up to chunk granularity, exactly like stdio buffering.
 
+#include <cerrno>
 #include <cstdlib>
 #include <cstring>
 #include <unistd.h>
@@ -41,12 +42,16 @@ struct Reader {
   int fd;
   char chunk[1 << 16];
   ssize_t n = 0, pos = 0;
-  // returns -1 on EOF, else the next byte
+  int err = 0;  // errno of a failed read(2), 0 otherwise
+  // returns -1 on EOF or read error (err distinguishes), else the byte
   int next() {
     if (pos >= n) {
       n = read(fd, chunk, sizeof chunk);
       pos = 0;
-      if (n <= 0) return -1;
+      if (n <= 0) {
+        if (n < 0) err = errno;  // ferror() analogue (EISDIR on a dir fd)
+        return -1;
+      }
     }
     return static_cast<unsigned char>(chunk[pos++]);
   }
@@ -58,20 +63,29 @@ struct Reader {
 extern "C" {
 
 // Returns 0 on success, 1 on early EOF (the reference's fatal case),
-// 2 on allocation failure.  *s1/*s2 are malloc'd (never null on
-// success; possibly empty); free with nw_read_free.
+// 2 on allocation failure, 3 on a read(2) error with *out_errno set —
+// the reference's check_stream_for_err_and_eof tests ferror() BEFORE
+// feof() (read-sequences.c:46-55), so a stream error ("fgetc failed",
+// e.g. EISDIR on a directory fd) wins even where EOF would be legal.
+// *s1/*s2 are malloc'd (never null on success; possibly empty); free
+// with nw_read_free.
 int nw_read_two_sequences(int fd, char** s1, long long* n1, char** s2,
-                          long long* n2) {
+                          long long* n2, int* out_errno) {
   Reader r{fd};
   Buf a, b;
   *s1 = *s2 = nullptr;
   *n1 = *n2 = 0;
+  *out_errno = 0;
 
   // sequence 1: up to first whitespace; EOF is fatal (eof_ok == 0)
   for (;;) {
     int c = r.next();
     if (c < 0) {
       free(a.data);
+      if (r.err) {
+        *out_errno = r.err;
+        return 3;
+      }
       return 1;
     }
     if (c_isspace(static_cast<unsigned char>(c))) break;
@@ -86,15 +100,27 @@ int nw_read_two_sequences(int fd, char** s1, long long* n1, char** s2,
     c = r.next();
     if (c < 0) {
       free(a.data);
+      if (r.err) {
+        *out_errno = r.err;
+        return 3;
+      }
       return 1;
     }
     if (!c_isspace(static_cast<unsigned char>(c))) break;
   }
   r.unget();
-  // sequence 2: up to whitespace or EOF (eof_ok == 1)
+  // sequence 2: up to whitespace or EOF (eof_ok == 1; error still fatal)
   for (;;) {
     c = r.next();
-    if (c < 0) break;
+    if (c < 0) {
+      if (r.err) {
+        free(a.data);
+        free(b.data);
+        *out_errno = r.err;
+        return 3;
+      }
+      break;
+    }
     if (c_isspace(static_cast<unsigned char>(c))) break;
     if (!b.push(static_cast<char>(c))) {
       free(a.data);

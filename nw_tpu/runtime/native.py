@@ -115,6 +115,7 @@ class NativeRuntime:
             ctypes.POINTER(ctypes.c_longlong),  # n1
             ctypes.POINTER(ctypes.c_void_p),  # s2
             ctypes.POINTER(ctypes.c_longlong),  # n2
+            ctypes.POINTER(ctypes.c_int),  # out_errno (read errors)
         ]
         self._read_two = rd
         self._read_free = lib.nw_read_free
@@ -175,12 +176,19 @@ class NativeRuntime:
         s2 = ctypes.c_void_p()
         n1 = ctypes.c_longlong()
         n2 = ctypes.c_longlong()
+        err = ctypes.c_int()
         rc = self._read_two(
             fd, ctypes.byref(s1), ctypes.byref(n1),
-            ctypes.byref(s2), ctypes.byref(n2),
+            ctypes.byref(s2), ctypes.byref(n2), ctypes.byref(err),
         )
         if rc == 1:
             raise EOFError("got EOF too early when reading input strings")
+        if rc == 3:
+            # read(2) failed — the reference's "fgetc failed" case
+            # (ferror checked before feof, read-sequences.c:46-55)
+            import os as _os
+
+            raise OSError(err.value, _os.strerror(err.value))
         if rc != 0:
             raise MemoryError("nw_read_two_sequences allocation failed")
         try:

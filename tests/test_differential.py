@@ -275,6 +275,34 @@ def test_differential_file_input(reference_binary, tmp_path):
         assert _diff_one(reference_binary, ["-f", str(p)] + flags, b"")
 
 
+def test_differential_file_errors(reference_binary, tmp_path):
+    """-f pathological targets: fopen("r") SUCCEEDS on a directory
+    (needleman-wunsch.c:776-777) and the failure surfaces at the first
+    fgetc as "fgetc failed: Is a directory" (ferror is checked before
+    feof, read-sequences.c:46-55); an empty file is the early-EOF case;
+    a missing file fails at open."""
+    d = tmp_path / "a_directory"
+    d.mkdir()
+    empty = tmp_path / "empty.txt"
+    empty.write_bytes(b"")
+    for target in [str(d), str(empty), str(tmp_path / "does-not-exist")]:
+        assert _diff_one(reference_binary, ["-f", target, "-s", "1", "1", "1"], b"")
+
+
+def test_differential_atoi_overflow(reference_binary):
+    """atoi overflow wraps mod 2^32 (glibc (int)strtol truncation):
+    -p -99999999999999 -> num-threads == -276447231 in the error text
+    (needleman-wunsch.c:738-741); an operand of 4294967297 scores as 1
+    (:783-785).  The positive -p overflow is NOT tested: the reference
+    then really spawns threads until pthread_create fails, which is
+    resource-dependent."""
+    assert _diff_one(
+        reference_binary, ["-p", "-99999999999999", "-s", "1", "1", "1"], b"GT GA\n"
+    )
+    assert _diff_one(reference_binary, ["-s", "4294967297", "1", "1"], b"GT GA\n")
+    assert _diff_one(reference_binary, ["-s", "1", "-4294967295", "1"], b"GT GA\n")
+
+
 def test_differential_crlf_and_nul(reference_binary):
     """CRLF separators and embedded NUL bytes (VERDICT r2 weak 6).
     \\r is isspace so CRLF delimits like any whitespace; a NUL is read
