@@ -451,14 +451,17 @@ def _make_banded_arrows_kernel(
             inj = bscr_ref[pl.ds(tl, 1), :]
             prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
             cand_d = prev2sh + sub
-            score = jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d)
+            mxd = jnp.maximum(prev_sh, prev) - d
+            score = jnp.maximum(cand_d, mxd)
 
-            # walk flags: left/up candidates aren't materialized (fused
-            # max-then-subtract), so compare against score + d
-            score_d = score + d
-            b_diag = cand_d == score
-            b_left = prev == score_d
-            b_up = prev_sh == score_d
+            greedy_only = pack_bits == 2 and not with_counts
+            if not greedy_only:
+                # walk flags: left/up candidates aren't materialized
+                # (fused max-then-subtract), so compare against score+d
+                score_d = score + d
+                b_diag = cand_d == score
+                b_left = prev == score_d
+                b_up = prev_sh == score_d
             if with_words:
                 # rp is static (unroll % P == 0): the pack register
                 # never crosses an unrolled group
@@ -468,15 +471,27 @@ def _make_banded_arrows_kernel(
                         + b_left.astype(jnp.int32) * 2
                         + b_up.astype(jnp.int32) * 4
                     )
+                    word = arrows << (rp * pack_bits)
                 else:
                     # greedy choice only: 0 diag, 1 left, 2 up
-                    # (diag > left > up, needleman-wunsch.c:305-324)
-                    arrows = jnp.where(
-                        b_diag,
+                    # (diag > left > up, needleman-wunsch.c:305-324),
+                    # from the PRE-max operands: diag wins iff
+                    # cand_d >= max(left,up)-d; else left beats up iff
+                    # prev >= prev_sh.  The pack shift folds into the
+                    # select constants — 2 fewer VPU ops per cell than
+                    # encode-then-shift off the equality flags.
+                    def _c(v):  # wrap the shifted constant to signed i32
+                        return jnp.int32(((v + 2**31) % 2**32) - 2**31)
+
+                    word = jnp.where(
+                        cand_d >= mxd,
                         jnp.int32(0),
-                        jnp.where(b_left, jnp.int32(1), jnp.int32(2)),
+                        jnp.where(
+                            prev >= prev_sh,
+                            _c(1 << (rp * pack_bits)),
+                            _c(2 << (rp * pack_bits)),
+                        ),
                     )
-                word = arrows << (rp * pack_bits)
                 pack = word if rp == 0 else pack | word
                 if rp == P - 1:
                     words_ref[pl.ds(tl // P, 1), :, :] = pack[None]
