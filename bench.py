@@ -204,7 +204,7 @@ def bench_scores_counts_banded(L=10240, NB=128, reps=5):
     return gcups
 
 
-def bench_config3(NB=256, L=10240, trials=3):
+def bench_config3(NB=256, L=10240, trials=5):
     """BASELINE config 3: long pairs, arrows + traceback + strings +
     counts, end-to-end wall clock (banded checkpointed engine).
 
@@ -220,8 +220,11 @@ def bench_config3(NB=256, L=10240, trials=3):
         )
         for _ in range(NB)
     ]
-    # warm (compile)
-    align_batch(pairs[:128], 2, 1, 1, traceback_strings=True, count=True)
+    # warm at FULL batch size through the strings pass: a half-size warm
+    # takes the one-shot (non-pipelined) path, so trial 1 paid the
+    # pipelined programs' compile and the reported median sagged ~2x
+    r = align_batch(pairs, 2, 1, 1, traceback_strings=True, count=True)
+    r.alignment_strings()
     rates = []
     for _ in range(trials):
         t0 = time.time()
