@@ -1,0 +1,59 @@
+"""Row-sweep fill engine vs the scan oracle (interpret mode).
+
+The engine's contract is fill_scores_pallas_batch's: exact int32
+corner scores for any m/k/d (including the reference's unvalidated
+atoi operands — zero and negative params, needleman-wunsch.c:783-785).
+"""
+
+import numpy as np
+import pytest
+
+from nw_tpu.ops import encode as enc
+from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch
+from nw_tpu.ops.fill_scan import fill_scores_batch
+
+
+def _pairs(rng, n, lo, hi):
+    out = []
+    for _ in range(n):
+        a = rng.integers(65, 69, rng.integers(lo, hi)).astype(np.uint8)
+        b = rng.integers(65, 69, rng.integers(lo, hi)).astype(np.uint8)
+        out.append((a.tobytes(), b.tobytes()))
+    return out
+
+
+@pytest.mark.parametrize("mkd", [(1, 1, 1), (2, 1, 1), (0, 0, 0), (-2, 3, -1)])
+@pytest.mark.parametrize("rows", [2, 8])
+def test_rowsweep_vs_oracle(mkd, rows):
+    m, k, d = mkd
+    rng = np.random.default_rng(11 * rows + m + k + d)
+    ps = _pairs(rng, 18, 0, 30) + [
+        (b"", b""), (b"GCATGCU", b"GATTACA"), (b"A" * 29, b""),
+        (b"", b"T" * 17),
+    ]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    want = np.asarray(fill_scores_batch(tops, sides, m, k, d, l1, l2))
+    got = np.asarray(
+        fill_scores_rowsweep_batch(
+            tops, sides, l1, l2, m, k, d, rows=rows, interpret=True
+        )
+    )
+    assert (got == want).all()
+
+
+def test_rowsweep_ragged_uniform_mix():
+    """Mixed ragged lengths around pass boundaries (len1 % R edges)."""
+    rng = np.random.default_rng(3)
+    ps = []
+    for L in (7, 8, 9, 15, 16, 17, 24, 31):
+        a = rng.integers(65, 69, L).astype(np.uint8).tobytes()
+        b = rng.integers(65, 69, 33 - L).astype(np.uint8).tobytes()
+        ps.append((a, b))
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    want = np.asarray(fill_scores_batch(tops, sides, 2, 1, 1, l1, l2))
+    got = np.asarray(
+        fill_scores_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, rows=8, interpret=True
+        )
+    )
+    assert (got == want).all()
