@@ -137,6 +137,62 @@ def traceback_greedy2_batch(words2, lens1, lens2, max_steps: int):
     return _greedy2_batch_vmapped(max_steps)(words2, lens1, lens2)
 
 
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def traceback_greedy2_rowmajor(words, len1, len2, max_steps: int):
+    """Greedy walk over ROW-MAJOR 2-bit greedy words.
+
+    ``words``: int32[L1w, W16] from
+    :func:`nw_tpu.ops.arrows_rowsweep.fill_greedy_rowsweep_batch` —
+    cell (i, j) (i over s1 rows 1..len1, j over s2 columns) is bits
+    ``2 * (j & 15)`` of ``words[i - 1, j >> 4]``; the code IS the op
+    (0 diag / 1 left / 2 up, reference descend priority,
+    needleman-wunsch.c:305-324).  Row i = 0 is not stored: the only
+    move there consumes s2, i.e. OP_UP.
+    """
+
+    def step(t, state):
+        i, j, n, ops = state
+        active = (i > 0) | (j > 0)
+        stored = (
+            words[jnp.maximum(i - 1, 0), j >> 4] >> ((j & 15) * 2)
+        ) & 3
+        a = jnp.where(i == 0, jnp.int32(OP_UP), stored)
+        di = jnp.where(a != OP_UP, 1, 0)
+        dj = jnp.where(a != OP_LEFT, 1, 0)
+        ops = ops.at[t].set(
+            jnp.where(active, a, jnp.int32(OP_NONE)).astype(jnp.int8)
+        )
+        i = jnp.where(active, i - di, i)
+        j = jnp.where(active, j - dj, j)
+        n = n + jnp.where(active, 1, 0)
+        return (i, j, n, ops)
+
+    ops0 = jnp.full((max_steps,), OP_NONE, jnp.int8)
+    i0 = jnp.asarray(len1, jnp.int32)
+    j0 = jnp.asarray(len2, jnp.int32)
+    _, _, n, ops = jax.lax.fori_loop(
+        0, max_steps, step, (i0, j0, jnp.int32(0), ops0)
+    )
+    return ops, n
+
+
+@functools.lru_cache(maxsize=None)
+def _greedy2_rowmajor_batch_vmapped(max_steps: int):
+    return jax.jit(
+        jax.vmap(
+            lambda a, l1, l2: traceback_greedy2_rowmajor(
+                a, l1, l2, max_steps
+            ),
+            in_axes=(2, 0, 0),
+        )
+    )
+
+
+def traceback_greedy2_rowmajor_batch(words, lens1, lens2, max_steps: int):
+    """Batched row-major 2-bit greedy traceback: words int32[L1w, W16, B]."""
+    return _greedy2_rowmajor_batch_vmapped(max_steps)(words, lens1, lens2)
+
+
 @functools.lru_cache(maxsize=None)
 def _greedy_batch_vmapped(max_steps: int):
     # cached: a fresh jax.jit wrapper per call would recompile every time

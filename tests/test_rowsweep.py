@@ -57,3 +57,42 @@ def test_rowsweep_ragged_uniform_mix():
         )
     )
     assert (got == want).all()
+
+
+@pytest.mark.parametrize("mkd", [(1, 1, 1), (0, 0, 0), (-2, 3, -1)])
+def test_greedy_rowsweep_walk_first_emission(mkd):
+    """Row-sweep 2-bit arrows + row-major walker reproduce the FIRST
+    alignment the reference DFS emits (diag > left > up descend order,
+    needleman-wunsch.c:305-324), via the exact enumerator as oracle."""
+    import jax.numpy as jnp
+
+    from nw_tpu.models.needleman_wunsch import align
+    from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
+    from nw_tpu.ops.fill_scan import fill_scores_batch
+    from nw_tpu.ops.traceback import (
+        ops_to_strings,
+        traceback_greedy2_rowmajor_batch,
+    )
+
+    m, k, d = mkd
+    rng = np.random.default_rng(29 + m + k + d)
+    ps = _pairs(rng, 14, 0, 28) + [
+        (b"", b""), (b"GCATGCU", b"GATTACA"), (b"A" * 19, b""),
+        (b"", b"T" * 23),
+    ]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    L1, L2 = tops.shape[1], sides.shape[1]
+    want_sc = np.asarray(fill_scores_batch(tops, sides, m, k, d, l1, l2))
+    words, sc = fill_greedy_rowsweep_batch(
+        tops, sides, l1, l2, m, k, d, rows=4, interpret=True
+    )
+    assert (np.asarray(sc) == want_sc).all()
+    ops, n = traceback_greedy2_rowmajor_batch(
+        words[:, :, : len(ps)], jnp.asarray(l1), jnp.asarray(l2),
+        max_steps=L1 + L2,
+    )
+    ops, n = np.asarray(ops), np.asarray(n)
+    for b, (a, s2) in enumerate(ps):
+        X, Y = ops_to_strings(ops[b], int(n[b]), a, s2)
+        wX, wY = next(iter(align(a, s2, m, k, d).alignments(1)), (b"", b""))
+        assert (X, Y) == (wX, wY), (b, a, s2)
