@@ -96,3 +96,56 @@ def test_greedy_rowsweep_walk_first_emission(mkd):
         X, Y = ops_to_strings(ops[b], int(n[b]), a, s2)
         wX, wY = next(iter(align(a, s2, m, k, d).alignments(1)), (b"", b""))
         assert (X, Y) == (wX, wY), (b, a, s2)
+
+
+@pytest.mark.parametrize("mkd", [(2, 1, 1), (3, -1, 2)])
+def test_sw_rowsweep_vs_oracle(mkd):
+    import jax.numpy as jnp
+
+    from nw_tpu.models.smith_waterman import sw_fill_diag
+    from nw_tpu.ops.variants_rowsweep import sw_scores_rowsweep_batch
+
+    m, k, d = mkd
+    rng = np.random.default_rng(41 + m + k + d)
+    ps = _pairs(rng, 14, 0, 28) + [
+        (b"", b""), (b"AAAA", b"TTTT"), (b"A" * 19, b""), (b"", b"T" * 23),
+    ]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    got = np.asarray(
+        sw_scores_rowsweep_batch(
+            tops, sides, l1, l2, m, k, d, rows=4, interpret=True
+        )
+    )
+    for b, (a, s2) in enumerate(ps):
+        t = jnp.asarray(enc.encode(a))
+        si = jnp.asarray(enc.encode(s2))
+        want = int(sw_fill_diag(t, si, m, k, d, with_arrows=False)["score"])
+        assert got[b] == want, b
+
+
+def test_affine_rowsweep_vs_oracle():
+    import jax.numpy as jnp
+
+    from nw_tpu.models.affine import affine_score
+    from nw_tpu.ops.variants_rowsweep import affine_scores_rowsweep_batch
+
+    rng = np.random.default_rng(43)
+    ps = _pairs(rng, 14, 0, 28) + [
+        (b"", b""), (b"GCATGCU", b"GATTACA"), (b"A" * 19, b""),
+        (b"", b"T" * 23),
+    ]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    for (m, k, o, e) in [(2, 1, 3, 1), (2, 2, 5, 2)]:
+        got = np.asarray(
+            affine_scores_rowsweep_batch(
+                tops, sides, l1, l2, m, k, o, e, rows=8, interpret=True
+            )
+        )
+        for b, (a, s2) in enumerate(ps):
+            if not (a or s2):
+                want = 0
+            else:
+                t = jnp.asarray(enc.encode(a))
+                si = jnp.asarray(enc.encode(s2))
+                want = int(affine_score(t, si, m, k, o, e))
+            assert got[b] == want, b
