@@ -241,6 +241,53 @@ def main() -> int:
         for b in range(len(ps)):
             assert (o1[b, : n1[b]] == o2[b, : n1[b]]).all(), b
 
+    def rowsweep_scores():
+        from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch
+
+        got = np.asarray(
+            fill_scores_rowsweep_batch(tops, sides, l1, l2, 2, 1, 1)
+        )
+        assert (got == ref_scores).all()
+
+    def rowsweep_greedy():
+        from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
+        from nw_tpu.ops.traceback import traceback_greedy2_rowmajor_batch
+
+        w, s = fill_greedy_rowsweep_batch(tops, sides, l1, l2, 2, 1, 1)
+        assert (np.asarray(s) == ref_scores).all()
+        o2, n2 = traceback_greedy2_rowmajor_batch(
+            w[:, :, : len(ps)], l1j, l2j, max_steps=240
+        )
+        tb = lambda a, a1, a2: traceback.traceback_greedy(a, a1, a2, max_steps=240)
+        o1, n1 = jax.vmap(tb)(ref["arrows"], l1j, l2j)
+        assert (np.asarray(n1) == np.asarray(n2)).all()
+        o1, o2, n1 = np.asarray(o1), np.asarray(o2), np.asarray(n1)
+        for b in range(len(ps)):
+            assert (o1[b, : n1[b]] == o2[b, : n1[b]]).all(), b
+
+    def rowsweep_variants():
+        from nw_tpu.models.affine import affine_score
+        from nw_tpu.models.smith_waterman import sw_fill_diag
+        from nw_tpu.ops.variants_rowsweep import (
+            affine_scores_rowsweep_batch,
+            sw_scores_rowsweep_batch,
+        )
+
+        sw = np.asarray(
+            sw_scores_rowsweep_batch(tops, sides, l1, l2, 2, 1, 1)
+        )
+        af = np.asarray(
+            affine_scores_rowsweep_batch(tops, sides, l1, l2, 2, 1, 3, 1)
+        )
+        for b in range(0, len(ps), 23):
+            a, s2 = ps[b]
+            t = jnp.asarray(enc.encode(a.encode()))
+            si = jnp.asarray(enc.encode(s2.encode()))
+            assert sw[b] == int(
+                sw_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+            )
+            assert af[b] == int(affine_score(t, si, 2, 1, 3, 1))
+
     def banded_variants():
         from nw_tpu.models.affine import affine_score
         from nw_tpu.models.smith_waterman import sw_fill_diag
@@ -453,6 +500,9 @@ def main() -> int:
     check("banded score kernel (multi-band + 10kb)", banded_scores)
     check("single-band arrows (flat layout) + consumers", banded_single_arrows)
     check("2-bit greedy arrows + walk", greedy2_arrows)
+    check("row-sweep score kernel", rowsweep_scores)
+    check("row-sweep greedy arrows + row-major walk", rowsweep_greedy)
+    check("row-sweep SW + affine kernels", rowsweep_variants)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
     check("banded SW + affine FULL tracebacks", banded_variant_tracebacks)
     check("small-batch long-side SW/Gotoh alignments", small_batch_long_variants)
