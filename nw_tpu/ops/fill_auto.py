@@ -28,6 +28,7 @@ need only the (array, batch_axis) pair this module returns.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -45,6 +46,16 @@ FLAT_SCORES_MAX_SIDE = 256
 # lane-occupancy break-even: a batch smaller than this of long pairs is
 # faster one-pair-at-a-time in the fold layout than padded to 128 lanes
 BANDED_MIN_BATCH = 24
+# row-sweep engine bounds: sides short enough that 3 (L+1, 8, 128) VMEM
+# row/sequence buffers fit, batches big enough to fill 1024-pair blocks
+ROWSWEEP_MAX_SIDE = 512
+ROWSWEEP_MIN_BATCH = 1024
+
+
+def _rowsweep_enabled() -> bool:
+    # default off until the engine is hardware-validated on this jaxlib;
+    # flipped by NW_TPU_ROWSWEEP=1 (see PERF.md row-sweep rows)
+    return os.environ.get("NW_TPU_ROWSWEEP", "0") == "1"
 
 
 def default_platform() -> str:
@@ -62,6 +73,16 @@ def fill_scores_auto(
 
     if (platform or default_platform()) == "tpu":
         nb = tops.shape[0]
+        if (
+            _rowsweep_enabled()
+            and sides.shape[1] <= ROWSWEEP_MAX_SIDE
+            and nb >= ROWSWEEP_MIN_BATCH
+        ):
+            from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch
+
+            return fill_scores_rowsweep_batch(
+                tops, sides, lens1, lens2, m, k, d
+            )
         if sides.shape[1] <= FLAT_SCORES_MAX_SIDE:
             from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
 
