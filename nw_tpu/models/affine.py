@@ -310,6 +310,27 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
             np.int32,
         )
     interpret = jax.devices()[0].platform != "tpu"
+    from nw_tpu.ops.fill_auto import (
+        ROWSWEEP_MAX_SIDE,
+        ROWSWEEP_MIN_BATCH,
+        _rowsweep_enabled,
+    )
+
+    if (
+        not interpret
+        and _rowsweep_enabled()
+        and sides.shape[1] <= ROWSWEEP_MAX_SIDE
+        and len(norm) >= ROWSWEEP_MIN_BATCH
+    ):
+        from nw_tpu.ops.variants_rowsweep import (
+            affine_scores_rowsweep_batch,
+        )
+
+        return np.asarray(
+            affine_scores_rowsweep_batch(
+                tops, sides, l1, l2, m, k, open_, extend
+            )
+        )
     return np.asarray(
         affine_scores_pallas_batch(
             tops, sides, l1, l2, m, k, open_, extend, interpret=interpret

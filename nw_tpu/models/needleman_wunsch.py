@@ -456,16 +456,39 @@ class NWAligner:
             # greedy-strings-only: the walk never reads tie masks, so
             # fill 2-bit greedy-direction words (16 cells/word — 1/4 the
             # slab and store traffic of the 3-bit arrows) and walk them
-            from nw_tpu.ops.fill_pallas_banded import (
-                fill_greedy_banded_single,
+            from nw_tpu.ops.fill_auto import (
+                ROWSWEEP_MAX_SIDE,
+                ROWSWEEP_MIN_BATCH,
+                _rowsweep_enabled,
             )
 
-            words2, scores = fill_greedy_banded_single(
-                tops, sides, lens1, lens2, m, k, d
-            )
-            ops, n = traceback.traceback_greedy2_batch(
-                words2, l1j, l2j, max_steps=len1 + len2
-            )
+            if (
+                _rowsweep_enabled()
+                and len2 <= ROWSWEEP_MAX_SIDE
+                and len(norm) >= ROWSWEEP_MIN_BATCH
+            ):
+                from nw_tpu.ops.arrows_rowsweep import (
+                    fill_greedy_rowsweep_batch,
+                )
+
+                words2, scores = fill_greedy_rowsweep_batch(
+                    tops, sides, lens1, lens2, m, k, d
+                )
+                ops, n = traceback.traceback_greedy2_rowmajor_batch(
+                    words2[:, :, : len(norm)], l1j, l2j,
+                    max_steps=len1 + len2,
+                )
+            else:
+                from nw_tpu.ops.fill_pallas_banded import (
+                    fill_greedy_banded_single,
+                )
+
+                words2, scores = fill_greedy_banded_single(
+                    tops, sides, lens1, lens2, m, k, d
+                )
+                ops, n = traceback.traceback_greedy2_batch(
+                    words2, l1j, l2j, max_steps=len1 + len2
+                )
             scores, ops, n = jax.device_get((scores, ops, n))
             return BatchResult(
                 scores=scores, status=status, ops=ops, ops_len=n,

@@ -193,6 +193,23 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
             np.int32,
         )
     interpret = jax.devices()[0].platform != "tpu"
+    from nw_tpu.ops.fill_auto import (
+        ROWSWEEP_MAX_SIDE,
+        ROWSWEEP_MIN_BATCH,
+        _rowsweep_enabled,
+    )
+
+    if (
+        not interpret
+        and _rowsweep_enabled()
+        and sides.shape[1] <= ROWSWEEP_MAX_SIDE
+        and len(norm) >= ROWSWEEP_MIN_BATCH
+    ):
+        from nw_tpu.ops.variants_rowsweep import sw_scores_rowsweep_batch
+
+        return np.asarray(
+            sw_scores_rowsweep_batch(tops, sides, l1, l2, m, k, d)
+        )
     return np.asarray(
         sw_scores_pallas_batch(tops, sides, l1, l2, m, k, d, interpret=interpret)
     )
