@@ -433,14 +433,34 @@ class NWAligner:
 
         if count and not traceback_strings and use_pallas:
             # fused score+count wavefront: no arrows materialized at all
-            # (banded — any side length)
-            from nw_tpu.ops.fill_pallas_banded import (
-                fill_scores_counts_banded_batch,
+            # (row-sweep at short sides when enabled, else banded —
+            # any side length)
+            from nw_tpu.ops.fill_auto import (
+                ROWSWEEP_MAX_SIDE,
+                ROWSWEEP_MIN_BATCH,
+                _rowsweep_enabled,
             )
 
-            scores, counts = fill_scores_counts_banded_batch(
-                tops, sides, lens1, lens2, m, k, d
-            )
+            if (
+                _rowsweep_enabled()
+                and len2 <= ROWSWEEP_MAX_SIDE
+                and len(norm) >= ROWSWEEP_MIN_BATCH
+            ):
+                from nw_tpu.ops.fill_rowsweep import (
+                    fill_scores_counts_rowsweep_batch,
+                )
+
+                scores, counts = fill_scores_counts_rowsweep_batch(
+                    tops, sides, lens1, lens2, m, k, d
+                )
+            else:
+                from nw_tpu.ops.fill_pallas_banded import (
+                    fill_scores_counts_banded_batch,
+                )
+
+                scores, counts = fill_scores_counts_banded_batch(
+                    tops, sides, lens1, lens2, m, k, d
+                )
             result = BatchResult(
                 scores=np.asarray(scores), status=status, _pairs=norm
             )

@@ -135,6 +135,175 @@ def _make_rowsweep_kernel(L1p: int, L2p: int, R: int, npass: int):
     return kernel
 
 
+def _make_rowsweep_counts_kernel(L1p: int, L2p: int, R: int, npass: int):
+    """Fused score+count row-sweep kernel (the -q -s path).
+
+    Count DP rides the fill: count(i,j) = sum of counts over the
+    equal-to-max predecessors (pathcount.count_paths semantics —
+    uint32 wraparound, exactly the reference's ``unsigned int
+    solution_count`` overflow, computation.h:65; int32 adds wrap
+    bit-identically).  Row 0 counts are 1 (the single boundary path),
+    and the NEG_INF-decayed warm-up columns can never fake an
+    equal-to-max flag against a real score.
+    """
+
+    def kernel(
+        s_ref, tops_ref, sides_ref, lens_ref, out_ref, cout_ref,
+        row_ref, crow_ref,
+    ):
+        m = s_ref[0]
+        kmis = s_ref[1]
+        d = s_ref[2]
+        len1 = lens_ref[0]
+        len2 = lens_ref[1]
+
+        jj = jax.lax.broadcasted_iota(jnp.int32, (L2p + 1, _SL, _LN), 0)
+        row_ref[...] = jj * (-d)
+        crow_ref[...] = jnp.ones((L2p + 1, _SL, _LN), jnp.int32)
+
+        cap0 = jnp.where(len1 == 0, -len2 * d, jnp.int32(NEG_INF))
+        ccap0 = jnp.where(len1 == 0, jnp.int32(1), jnp.int32(0))
+
+        neg = jnp.full((_SL, _LN), NEG_INF, jnp.int32)
+        one = jnp.ones((_SL, _LN), jnp.int32)
+        chz = jnp.full((_SL, _LN), -5, jnp.int32)
+
+        def one_pass(p, caps):
+            i0 = p * R
+            t_ch = [
+                tops_ref[pl.ds(jnp.minimum(i0 + r, L1p - 1), 1)][0]
+                for r in range(R)
+            ]
+            hit_row = [len1 == (i0 + r + 1) for r in range(R)]
+            gate = s_ref[3 + p] != 0
+
+            def step(s, carry):
+                (scores, prevs, cnts, cprevs, win, ld_prev, cld_prev,
+                 cap, ccap) = carry
+                ld = row_ref[pl.ds(jnp.minimum(s, L2p), 1)][0]
+                cld = crow_ref[pl.ds(jnp.minimum(s, L2p), 1)][0]
+                ch_new = sides_ref[pl.ds(jnp.clip(s - 1, 0, L2p - 1), 1)][0]
+                win = (ch_new,) + win[:-1]
+
+                new, cnew = [], []
+                for r in range(R):
+                    up = ld if r == 0 else scores[r - 1]
+                    diag = ld_prev if r == 0 else prevs[r - 1]
+                    c_up = cld if r == 0 else cnts[r - 1]
+                    c_diag = cld_prev if r == 0 else cprevs[r - 1]
+                    left = scores[r]
+                    c_left = cnts[r]
+                    sub = jnp.where(t_ch[r] == win[r], m, -kmis)
+                    cand_d = diag + sub
+                    h = jnp.maximum(cand_d, jnp.maximum(up, left) - d)
+                    hd = h + d
+                    cnt = (
+                        jnp.where(cand_d == h, c_diag, 0)
+                        + jnp.where(up == hd, c_up, 0)
+                        + jnp.where(left == hd, c_left, 0)
+                    )
+                    new.append(h)
+                    cnew.append(cnt)
+
+                @pl.when((s >= R - 1) & (s - (R - 1) <= L2p))
+                def _():
+                    row_ref[pl.ds(s - (R - 1), 1)] = new[R - 1][None]
+                    crow_ref[pl.ds(s - (R - 1), 1)] = cnew[R - 1][None]
+
+                def capture(caps):
+                    cap, ccap = caps
+                    for r in range(R):
+                        hit = hit_row[r] & (len2 == (s - r))
+                        cap = jnp.where(hit, new[r], cap)
+                        ccap = jnp.where(hit, cnew[r], ccap)
+                    return cap, ccap
+
+                cap, ccap = jax.lax.cond(
+                    gate, capture, lambda c: c, (cap, ccap)
+                )
+                return (
+                    tuple(new), tuple(scores), tuple(cnew), tuple(cnts),
+                    win, ld, cld, cap, ccap,
+                )
+
+            carry = (
+                (neg,) * R, (neg,) * R, (one,) * R, (one,) * R,
+                (chz,) * R, neg, one, caps[0], caps[1],
+            )
+            out = jax.lax.fori_loop(0, L2p + R, step, carry)
+            return out[7], out[8]
+
+        cap, ccap = jax.lax.fori_loop(0, npass, one_pass, (cap0, ccap0))
+        out_ref[...] = cap
+        cout_ref[...] = ccap
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+def fill_scores_counts_rowsweep_batch(
+    tops, sides, lens1, lens2, m, k, d, *, rows: int = 8,
+    interpret: bool = False,
+):
+    """Batched (scores int32[nb], counts uint32[nb]) — fused, no arrows."""
+    nb, L1 = tops.shape
+    _, L2 = sides.shape
+    R = rows
+    L1p = max(L1, 1)
+    L2p = max(L2, 1)
+    nbp = _round_up(max(nb, 1), _PB)
+    nblk = nbp // _PB
+    npass = -(-L1p // R)
+
+    tops = jnp.pad(
+        tops, ((0, nbp - nb), (0, L1p - L1)), constant_values=PAD_TOP
+    ).astype(jnp.int32)
+    sides = jnp.pad(
+        sides, ((0, nbp - nb), (0, L2p - L2)), constant_values=PAD_SIDE
+    ).astype(jnp.int32)
+    l1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nbp - nb))
+    l2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nbp - nb))
+
+    tops_r = tops.T.reshape(L1p, nblk * _SL, _LN)
+    sides_r = sides.T.reshape(L2p, nblk * _SL, _LN)
+    lens_r = jnp.stack([l1, l2]).reshape(2, nblk * _SL, _LN)
+
+    pid = np.arange(npass, dtype=np.int32) * R
+    hit = jnp.any(
+        (l1[None, :] > jnp.asarray(pid)[:, None])
+        & (l1[None, :] <= jnp.asarray(pid)[:, None] + R),
+        axis=1,
+    ).astype(jnp.int32)
+    scalars = jnp.concatenate([jnp.asarray([m, k, d], jnp.int32), hit])
+
+    sc, ct = pl.pallas_call(
+        _make_rowsweep_counts_kernel(L1p, L2p, R, npass),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((L1p, _SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L2p, _SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((2, _SL, _LN), lambda b, s: (0, b, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((_SL, _LN), lambda b, s: (b, 0)),
+                pl.BlockSpec((_SL, _LN), lambda b, s: (b, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((L2p + 1, _SL, _LN), jnp.int32),
+                pltpu.VMEM((L2p + 1, _SL, _LN), jnp.int32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((nblk * _SL, _LN), jnp.int32),
+            jax.ShapeDtypeStruct((nblk * _SL, _LN), jnp.int32),
+        ],
+        interpret=interpret,
+    )(scalars, tops_r, sides_r, lens_r)
+    return sc.reshape(nbp)[:nb], ct.reshape(nbp)[:nb].astype(jnp.uint32)
+
+
 @functools.partial(
     jax.jit, static_argnames=("rows", "interpret")
 )

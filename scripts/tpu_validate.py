@@ -265,6 +265,15 @@ def main() -> int:
         for b in range(len(ps)):
             assert (o1[b, : n1[b]] == o2[b, : n1[b]]).all(), b
 
+    def rowsweep_counts():
+        from nw_tpu.ops.fill_rowsweep import (
+            fill_scores_counts_rowsweep_batch,
+        )
+
+        s, c = fill_scores_counts_rowsweep_batch(tops, sides, l1, l2, 2, 1, 1)
+        assert (np.asarray(s) == ref_scores).all()
+        assert (np.asarray(c) == ref_counts.astype(np.uint32)).all()
+
     def rowsweep_variants():
         from nw_tpu.models.affine import affine_score
         from nw_tpu.models.smith_waterman import sw_fill_diag
@@ -502,6 +511,7 @@ def main() -> int:
     check("2-bit greedy arrows + walk", greedy2_arrows)
     check("row-sweep score kernel", rowsweep_scores)
     check("row-sweep greedy arrows + row-major walk", rowsweep_greedy)
+    check("row-sweep fused score+count", rowsweep_counts)
     check("row-sweep SW + affine kernels", rowsweep_variants)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
     check("banded SW + affine FULL tracebacks", banded_variant_tracebacks)

@@ -149,3 +149,31 @@ def test_affine_rowsweep_vs_oracle():
                 si = jnp.asarray(enc.encode(s2))
                 want = int(affine_score(t, si, m, k, o, e))
             assert got[b] == want, b
+
+
+@pytest.mark.parametrize("mkd", [(1, 1, 1), (0, 0, 0), (-2, 3, -1)])
+def test_scores_counts_rowsweep_vs_oracle(mkd):
+    """Fused score+count (the -q -s path): uint32-wrap count parity."""
+    import jax
+    import jax.numpy as jnp
+
+    from nw_tpu.ops import pathcount
+    from nw_tpu.ops.fill_rowsweep import fill_scores_counts_rowsweep_batch
+    from nw_tpu.ops.fill_scan import fill_diag_batch
+
+    m, k, d = mkd
+    rng = np.random.default_rng(47 + m + k + d)
+    ps = _pairs(rng, 16, 0, 26) + [
+        (b"", b""), (b"GT", b"GA"), (b"A" * 19, b""), (b"", b"T" * 23),
+    ]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    l1j, l2j = jnp.asarray(l1), jnp.asarray(l2)
+    ref = fill_diag_batch(tops, sides, m, k, d, l1j, l2j)
+    want_ct = np.asarray(
+        jax.vmap(pathcount.count_paths)(ref["arrows"], l1j, l2j)
+    )
+    sc, ct = fill_scores_counts_rowsweep_batch(
+        tops, sides, l1, l2, m, k, d, rows=4, interpret=True
+    )
+    assert (np.asarray(sc) == np.asarray(ref["score"])).all()
+    assert (np.asarray(ct) == want_ct).all()
