@@ -95,10 +95,13 @@ def bench_config2(on_tpu, emit=True):
     tops, sides, lens = _rand_batch(jnp, rng, NB, L)
 
     if on_tpu:
-        from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch as fill
+        # the production score router (fill_auto) — the row tracks
+        # whatever engine align_batch's score path actually takes
+        from nw_tpu.ops.fill_auto import fill_scores_auto
 
         def fill_call(t):
-            return fill(t, sides, lens, lens, 2, 1, 1)
+            return fill_scores_auto(t, sides, lens, lens, 2, 1, 1,
+                                    platform="tpu")
     else:
         from nw_tpu.ops.fill_scan import fill_scores_batch
 
@@ -162,17 +165,28 @@ def bench_arrows_150(NB=10240, L=150, reps=20):
 
 def bench_greedy2_150(NB=10240, L=150, reps=50):
     """2-bit greedy arrows fill at 150 bp — the traceback feed
-    (VERDICT r2 item 3: 16 cells/word, greedy direction only)."""
+    (VERDICT r2 item 3: 16 cells/word, greedy direction only).  Tracks
+    the engine align_batch's strings route takes: row-sweep when
+    enabled, else the single-band diagonal-major kernel."""
     import jax.numpy as jnp
 
-    from nw_tpu.ops.fill_pallas_banded import fill_greedy_banded_single
+    from nw_tpu.ops.fill_auto import _rowsweep_enabled
 
     rng = np.random.default_rng(2)
     tops, sides, lens = _rand_batch(jnp, rng, NB, L)
 
-    def fill_call(t):
-        w, s = fill_greedy_banded_single(t, sides, lens, lens, 2, 1, 1)
-        return s + w[0, 0]
+    if _rowsweep_enabled():
+        from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
+
+        def fill_call(t):
+            w, s = fill_greedy_rowsweep_batch(t, sides, lens, lens, 2, 1, 1)
+            return s + w[0, 0]
+    else:
+        from nw_tpu.ops.fill_pallas_banded import fill_greedy_banded_single
+
+        def fill_call(t):
+            w, s = fill_greedy_banded_single(t, sides, lens, lens, 2, 1, 1)
+            return s + w[0, 0]
 
     per_call = _timed_scan(fill_call, tops, reps)
     gcups = NB * L * L / per_call / 1e9
