@@ -214,10 +214,18 @@ def ops_to_strings_batch(ops, ns, pairs, gap: int = ord("-")):
 
     ops: int8[B, S] walk op codes (corner -> origin); ns: int32[B];
     pairs: sequence of (s1 bytes, s2 bytes).  Returns a list of (X, Y)
-    aligned byte strings.  All per-step work is numpy over the whole
-    batch; Python touches each pair only once for the final tobytes.
+    aligned byte strings.  Takes the native one-pass builder
+    (runtime/cc/nwstrings.cc) when available — the numpy fallback
+    below does ~10 full passes over the ops matrix and dominated the
+    e2e host tail at 4k x 150 bp (58 ms vs ~4 ms native).
     """
     import numpy as np
+
+    from nw_tpu.runtime import native
+
+    rt = native.load()
+    if rt is not None:
+        return rt.ops_to_strings_batch(ops, ns, pairs, gap)
 
     ops = np.asarray(ops)
     ns = np.asarray(ns)

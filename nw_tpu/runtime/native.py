@@ -107,6 +107,23 @@ class NativeRuntime:
         self._free = lib.nw_buffer_free
         self._free.argtypes = [ctypes.POINTER(ctypes.c_char)]
 
+        st = lib.nw_ops_to_strings
+        st.restype = None
+        st.argtypes = [
+            ctypes.POINTER(ctypes.c_int8),  # ops [B, S]
+            ctypes.c_int64,  # B
+            ctypes.c_int64,  # S
+            ctypes.POINTER(ctypes.c_int32),  # ns
+            ctypes.POINTER(ctypes.c_ubyte),  # s1cat
+            ctypes.POINTER(ctypes.c_int64),  # off1 (B+1)
+            ctypes.POINTER(ctypes.c_ubyte),  # s2cat
+            ctypes.POINTER(ctypes.c_int64),  # off2 (B+1)
+            ctypes.POINTER(ctypes.c_int64),  # out_off (B+1)
+            ctypes.POINTER(ctypes.c_ubyte),  # out (2*sum ns)
+            ctypes.c_ubyte,  # gap
+        ]
+        self._ops_to_strings = st
+
         rd = lib.nw_read_two_sequences
         rd.restype = ctypes.c_int
         rd.argtypes = [
@@ -163,6 +180,54 @@ class NativeRuntime:
         if exc:
             raise exc[0]
         return int(count)
+
+    # ---- batch aligned-string builder ----
+
+    def ops_to_strings_batch(self, ops, ns, pairs, gap: int = ord("-")):
+        """One-pass native version of traceback.ops_to_strings_batch."""
+        ops = np.ascontiguousarray(ops, dtype=np.int8)
+        ns = np.ascontiguousarray(ns, dtype=np.int32)
+        B, S = ops.shape
+        if B == 0:
+            return []
+        l1 = np.fromiter(
+            (len(a) for a, _ in pairs), np.int64, count=B
+        )
+        l2 = np.fromiter(
+            (len(b) for _, b in pairs), np.int64, count=B
+        )
+        off1 = np.zeros(B + 1, np.int64)
+        np.cumsum(l1, out=off1[1:])
+        off2 = np.zeros(B + 1, np.int64)
+        np.cumsum(l2, out=off2[1:])
+        out_off = np.zeros(B + 1, np.int64)
+        np.cumsum(ns.astype(np.int64), out=out_off[1:])
+        s1cat = np.frombuffer(
+            b"".join(a for a, _ in pairs) or b"\0", np.uint8
+        )
+        s2cat = np.frombuffer(
+            b"".join(b for _, b in pairs) or b"\0", np.uint8
+        )
+        out = np.empty(max(2 * int(out_off[-1]), 1), np.uint8)
+        self._ops_to_strings(
+            ops.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            B, S,
+            ns.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            s1cat.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            off1.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            s2cat.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            off2.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out_off.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+            gap,
+        )
+        blob = out.tobytes()
+        result = []
+        for b in range(B):
+            o = 2 * int(out_off[b])
+            n = int(ns[b])
+            result.append((blob[o : o + n], blob[o + n : o + 2 * n]))
+        return result
 
     # ---- input reader ----
 
