@@ -297,15 +297,18 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
             best, jst, ist, j_end, i_end, ops, n = sw_traceback_banded_batch(
                 tops, sides, l1, l2, m, k, d
             )
-            out = []
-            for b, (s1, s2) in enumerate(norm):
-                X, Y = ops_to_strings(
-                    ops[b], int(n[b]), s1[: int(ist[b])], s2[: int(jst[b])]
-                )
-                out.append(
-                    (int(best[b]), X, Y, (int(j_end[b]), int(i_end[b])))
-                )
-            return out
+            from nw_tpu.ops.traceback import ops_to_strings_batch
+
+            ist, jst = np.asarray(ist), np.asarray(jst)
+            trunc = [
+                (s1[: int(ist[b])], s2[: int(jst[b])])
+                for b, (s1, s2) in enumerate(norm)
+            ]
+            strs = ops_to_strings_batch(np.asarray(ops), np.asarray(n), trunc)
+            return [
+                (int(best[b]), X, Y, (int(j_end[b]), int(i_end[b])))
+                for b, (X, Y) in enumerate(strs)
+            ]
         # small long-pair batches: the per-pair scan engine
         return [sw_align(a, b, m, k, d) for a, b in norm]
     words, best, j0, i0 = sw_arrows_pallas_batch(
@@ -317,8 +320,14 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     ops, n = np.asarray(ops), np.asarray(n)
     i0n, j0n = np.asarray(i0), np.asarray(j0)
     i_end, j_end = np.asarray(i_end), np.asarray(j_end)
-    out = []
-    for b, (s1, s2) in enumerate(norm):
-        X, Y = ops_to_strings(ops[b], int(n[b]), s1[: int(i0n[b])], s2[: int(j0n[b])])
-        out.append((int(best[b]), X, Y, (int(j_end[b]), int(i_end[b]))))
-    return out
+    from nw_tpu.ops.traceback import ops_to_strings_batch
+
+    trunc = [
+        (s1[: int(i0n[b])], s2[: int(j0n[b])])
+        for b, (s1, s2) in enumerate(norm)
+    ]
+    strs = ops_to_strings_batch(ops, n, trunc)
+    return [
+        (int(best[b]), X, Y, (int(j_end[b]), int(i_end[b])))
+        for b, (X, Y) in enumerate(strs)
+    ]
