@@ -274,7 +274,6 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     vmapped device walk; host only renders the byte strings.
     """
     from nw_tpu.ops.encode import encode_batch
-    from nw_tpu.ops.traceback import ops_to_strings
     from nw_tpu.ops.variants_pallas import sw_arrows_pallas_batch
 
     norm = [
