@@ -97,7 +97,9 @@ def sw_fill_diag(top, side, m, k, d, with_arrows: bool = True):
     return out
 
 
-sw_score_batch = jax.jit(
+# vmapped uniform-length array oracle (kept under a distinct name; the
+# public sw_score_batch below takes byte pairs)
+sw_score_array_batch = jax.jit(
     jax.vmap(
         lambda t, s, m, k, d: sw_fill_diag(t, s, m, k, d, with_arrows=False)["score"],
         in_axes=(0, 0, None, None, None),
