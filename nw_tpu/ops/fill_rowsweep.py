@@ -63,7 +63,7 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _make_rowsweep_kernel(L1p: int, L2p: int, R: int, npass: int):
+def _make_rowsweep_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL):
     def kernel(s_ref, tops_ref, sides_ref, lens_ref, out_ref, row_ref):
         m = s_ref[0]
         kmis = s_ref[1]
@@ -73,15 +73,15 @@ def _make_rowsweep_kernel(L1p: int, L2p: int, R: int, npass: int):
         len2 = lens_ref[1]
 
         # DP row 0: score -j*d with a LEFT arrow (computation.c:104-110)
-        jj = jax.lax.broadcasted_iota(jnp.int32, (L2p + 1, _SL, _LN), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (L2p + 1, SL, _LN), 0)
         row_ref[...] = jj * (-d)
 
         # pairs with len1 == 0 never enter a pass: their corner is the
         # row-0 cell (0, len2) = -len2*d
         cap0 = jnp.where(len1 == 0, -len2 * d, jnp.int32(NEG_INF))
 
-        neg = jnp.full((_SL, _LN), NEG_INF, jnp.int32)
-        chz = jnp.full((_SL, _LN), -5, jnp.int32)
+        neg = jnp.full((SL, _LN), NEG_INF, jnp.int32)
+        chz = jnp.full((SL, _LN), -5, jnp.int32)
 
         def one_pass(p, cap):
             i0 = p * R  # DP rows i0+1 .. i0+R this pass
@@ -305,25 +305,29 @@ def fill_scores_counts_rowsweep_batch(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("rows", "interpret")
+    jax.jit, static_argnames=("rows", "groups", "interpret")
 )
 def fill_scores_rowsweep_batch(
     tops, sides, lens1, lens2, m, k, d, *, rows: int = 8,
-    interpret: bool = False,
+    groups: int = 1, interpret: bool = False,
 ):
     """Batched NW corner scores, row-sweep engine (short sides).
 
     Same contract as ``fill_scores_pallas_batch``: int32[nb] corner
     scores for scoring params m/k/d (needleman-wunsch.c:654-689).
-    ``rows`` = R, the skewed rows in flight per pass (the ILP knob).
+    ``rows`` = R, the skewed rows in flight per pass, and ``groups``
+    = G vregs per vector op (block = G*1024 pairs): both are ILP
+    knobs, but G does not extend the R/B skew margin.
     """
     nb, L1 = tops.shape
     _, L2 = sides.shape
     R = rows
+    SL = _SL * groups
+    PB = SL * _LN
     L1p = max(L1, 1)
     L2p = max(L2, 1)
-    nbp = _round_up(max(nb, 1), _PB)
-    nblk = nbp // _PB
+    nbp = _round_up(max(nb, 1), PB)
+    nblk = nbp // PB
     npass = -(-L1p // R)
 
     tops = jnp.pad(
@@ -336,9 +340,9 @@ def fill_scores_rowsweep_batch(
     l2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nbp - nb))
 
     # pair p -> (block, sublane, lane): plain C-order reshape
-    tops_r = tops.T.reshape(L1p, nblk * _SL, _LN)
-    sides_r = sides.T.reshape(L2p, nblk * _SL, _LN)
-    lens_r = jnp.stack([l1, l2]).reshape(2, nblk * _SL, _LN)
+    tops_r = tops.T.reshape(L1p, nblk * SL, _LN)
+    sides_r = sides.T.reshape(L2p, nblk * SL, _LN)
+    lens_r = jnp.stack([l1, l2]).reshape(2, nblk * SL, _LN)
 
     # per-pass corner gate: pass p covers DP rows p*R+1 .. p*R+R
     pid = np.arange(npass, dtype=np.int32) * R
@@ -352,19 +356,19 @@ def fill_scores_rowsweep_batch(
     )
 
     out = pl.pallas_call(
-        _make_rowsweep_kernel(L1p, L2p, R, npass),
+        _make_rowsweep_kernel(L1p, L2p, R, npass, SL),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblk,),
             in_specs=[
-                pl.BlockSpec((L1p, _SL, _LN), lambda b, s: (0, b, 0)),
-                pl.BlockSpec((L2p, _SL, _LN), lambda b, s: (0, b, 0)),
-                pl.BlockSpec((2, _SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L1p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L2p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((2, SL, _LN), lambda b, s: (0, b, 0)),
             ],
-            out_specs=pl.BlockSpec((_SL, _LN), lambda b, s: (b, 0)),
-            scratch_shapes=[pltpu.VMEM((L2p + 1, _SL, _LN), jnp.int32)],
+            out_specs=pl.BlockSpec((SL, _LN), lambda b, s: (b, 0)),
+            scratch_shapes=[pltpu.VMEM((L2p + 1, SL, _LN), jnp.int32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((nblk * _SL, _LN), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nblk * SL, _LN), jnp.int32),
         interpret=interpret,
     )(scalars, tops_r, sides_r, lens_r)
     return out.reshape(nbp)[:nb]
