@@ -249,6 +249,16 @@ def main() -> int:
         )
         assert (got == ref_scores).all()
 
+    def rowsweep_groups():
+        from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch
+
+        got = np.asarray(
+            fill_scores_rowsweep_batch(
+                tops, sides, l1, l2, 2, 1, 1, rows=8, groups=2
+            )
+        )
+        assert (got == ref_scores).all()
+
     def rowsweep_greedy():
         from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
         from nw_tpu.ops.traceback import traceback_greedy2_rowmajor_batch
@@ -510,6 +520,7 @@ def main() -> int:
     check("single-band arrows (flat layout) + consumers", banded_single_arrows)
     check("2-bit greedy arrows + walk", greedy2_arrows)
     check("row-sweep score kernel", rowsweep_scores)
+    check("row-sweep score kernel groups=2", rowsweep_groups)
     check("row-sweep greedy arrows + row-major walk", rowsweep_greedy)
     check("row-sweep fused score+count", rowsweep_counts)
     check("row-sweep SW + affine kernels", rowsweep_variants)

@@ -41,6 +41,26 @@ def test_rowsweep_vs_oracle(mkd, rows):
     assert (got == want).all()
 
 
+@pytest.mark.parametrize("rows,groups", [(4, 2), (8, 2), (2, 4)])
+def test_rowsweep_groups_vs_oracle(rows, groups):
+    """G>1 vregs per vector op (block = G*1024 pairs) must be exact
+    for ragged batches smaller AND larger than one block's sublanes."""
+    rng = np.random.default_rng(13 * rows + groups)
+    ps = _pairs(rng, 21, 0, 30) + [
+        (b"", b""), (b"GCATGCU", b"GATTACA"), (b"A" * 29, b""),
+        (b"", b"T" * 17),
+    ]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    want = np.asarray(fill_scores_batch(tops, sides, 2, 1, 1, l1, l2))
+    got = np.asarray(
+        fill_scores_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, rows=rows, groups=groups,
+            interpret=True,
+        )
+    )
+    assert (got == want).all()
+
+
 def test_rowsweep_ragged_uniform_mix():
     """Mixed ragged lengths around pass boundaries (len1 % R edges)."""
     rng = np.random.default_rng(3)
