@@ -60,7 +60,10 @@ def _c32(v: int):
     return jnp.int32(((v + 2**31) % 2**32) - 2**31)
 
 
-def _make_kernel(L1b: int, L2p: int, W16: int, R: int, PCH: int, NCH: int):
+def _make_kernel(
+    L1b: int, L2p: int, W16: int, R: int, PCH: int, NCH: int,
+    SL: int = _SL,
+):
     C16 = (L2p + R + 15) // 16 + 1  # sweep + skew + flush tail
 
     def kernel(
@@ -78,16 +81,16 @@ def _make_kernel(L1b: int, L2p: int, W16: int, R: int, PCH: int, NCH: int):
         @pl.when(ic == 0)
         def _():
             jj = jax.lax.broadcasted_iota(
-                jnp.int32, (L2p + 1, _SL, _LN), 0
+                jnp.int32, (L2p + 1, SL, _LN), 0
             )
             row_ref[...] = jj * (-d)
             cap_ref[...] = jnp.where(
                 len1 == 0, -len2 * d, jnp.int32(NEG_INF)
             )
 
-        neg = jnp.full((_SL, _LN), NEG_INF, jnp.int32)
-        chz = jnp.full((_SL, _LN), -5, jnp.int32)
-        zero = jnp.zeros((_SL, _LN), jnp.int32)
+        neg = jnp.full((SL, _LN), NEG_INF, jnp.int32)
+        chz = jnp.full((SL, _LN), -5, jnp.int32)
+        zero = jnp.zeros((SL, _LN), jnp.int32)
 
         def one_pass(pc, cap):
             i0 = pc * R  # rows (local to this chunk) i0 .. i0+R-1
@@ -185,30 +188,36 @@ def _make_kernel(L1b: int, L2p: int, W16: int, R: int, PCH: int, NCH: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rows", "groups", "interpret")
+)
 def fill_greedy_rowsweep_batch(
     tops, sides, lens1, lens2, m, k, d, *, rows: int = 8,
-    interpret: bool = False,
+    groups: int = 1, interpret: bool = False,
 ):
     """Batched greedy 2-bit arrows + corner scores, row-sweep engine.
 
     Returns ``(words int32[L1w, W16, nbp], scores int32[nb])`` with
     ``words`` in the row-major layout consumed by
     :func:`nw_tpu.ops.traceback.traceback_greedy2_rowmajor` (slice
-    pairs off the last axis; nbp >= nb is the 1024 block quantum).
+    pairs off the last axis; nbp >= nb is the block quantum,
+    ``groups * 1024`` pairs).  ``rows``/``groups`` are the same ILP
+    knobs as ``fill_scores_rowsweep_batch``'s.
     """
     nb, L1 = tops.shape
     _, L2 = sides.shape
     R = rows
+    SL = _SL * groups
+    PB = SL * _LN
     L1p = max(L1, 1)
     L2p = max(L2, 1)
     W16 = (L2p + 1 + 15) // 16
-    nbp = _round_up(max(nb, 1), _PB)
-    nblk = nbp // _PB
+    nbp = _round_up(max(nb, 1), PB)
+    nblk = nbp // PB
 
     # rows per grid chunk: fit the words block (double-buffered) in
     # ~3 MB of VMEM, quantized to whole passes
-    budget_rows = max((3 << 20) // (W16 * _PB * 4), 1)
+    budget_rows = max((3 << 20) // (W16 * PB * 4), 1)
     npass_real = -(-L1p // R)
     PCH = min(max(budget_rows // R, 1), npass_real)
     NCH = -(-npass_real // PCH)
@@ -225,9 +234,9 @@ def fill_greedy_rowsweep_batch(
     l1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nbp - nb))
     l2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nbp - nb))
 
-    tops_r = tops.T.reshape(L1w, nblk * _SL, _LN)
-    sides_r = sides.T.reshape(L2p, nblk * _SL, _LN)
-    lens_r = jnp.stack([l1, l2]).reshape(2, nblk * _SL, _LN)
+    tops_r = tops.T.reshape(L1w, nblk * SL, _LN)
+    sides_r = sides.T.reshape(L2p, nblk * SL, _LN)
+    lens_r = jnp.stack([l1, l2]).reshape(2, nblk * SL, _LN)
 
     npass = NCH * PCH
     pid = np.arange(npass, dtype=np.int32) * R
@@ -239,29 +248,29 @@ def fill_greedy_rowsweep_batch(
     scalars = jnp.concatenate([jnp.asarray([m, k, d], jnp.int32), hit])
 
     words, scores = pl.pallas_call(
-        _make_kernel(L1b, L2p, W16, R, PCH, NCH),
+        _make_kernel(L1b, L2p, W16, R, PCH, NCH, SL),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblk, NCH),
             in_specs=[
-                pl.BlockSpec((L1b, _SL, _LN), lambda b, ic, s: (ic, b, 0)),
-                pl.BlockSpec((L2p, _SL, _LN), lambda b, ic, s: (0, b, 0)),
-                pl.BlockSpec((2, _SL, _LN), lambda b, ic, s: (0, b, 0)),
+                pl.BlockSpec((L1b, SL, _LN), lambda b, ic, s: (ic, b, 0)),
+                pl.BlockSpec((L2p, SL, _LN), lambda b, ic, s: (0, b, 0)),
+                pl.BlockSpec((2, SL, _LN), lambda b, ic, s: (0, b, 0)),
             ],
             out_specs=[
                 pl.BlockSpec(
-                    (L1b, W16, _SL, _LN), lambda b, ic, s: (ic, 0, b, 0)
+                    (L1b, W16, SL, _LN), lambda b, ic, s: (ic, 0, b, 0)
                 ),
-                pl.BlockSpec((_SL, _LN), lambda b, ic, s: (b, 0)),
+                pl.BlockSpec((SL, _LN), lambda b, ic, s: (b, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((L2p + 1, _SL, _LN), jnp.int32),
-                pltpu.VMEM((_SL, _LN), jnp.int32),
+                pltpu.VMEM((L2p + 1, SL, _LN), jnp.int32),
+                pltpu.VMEM((SL, _LN), jnp.int32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((L1w, W16, nblk * _SL, _LN), jnp.int32),
-            jax.ShapeDtypeStruct((nblk * _SL, _LN), jnp.int32),
+            jax.ShapeDtypeStruct((L1w, W16, nblk * SL, _LN), jnp.int32),
+            jax.ShapeDtypeStruct((nblk * SL, _LN), jnp.int32),
         ],
         interpret=interpret,
     )(scalars, tops_r, sides_r, lens_r)

@@ -103,8 +103,10 @@ def test_greedy_rowsweep_walk_first_emission(mkd):
     tops, sides, l1, l2 = enc.encode_batch(ps)
     L1, L2 = tops.shape[1], sides.shape[1]
     want_sc = np.asarray(fill_scores_batch(tops, sides, m, k, d, l1, l2))
+    groups = 2 if (m, k, d) == (1, 1, 1) else 1
     words, sc = fill_greedy_rowsweep_batch(
-        tops, sides, l1, l2, m, k, d, rows=4, interpret=True
+        tops, sides, l1, l2, m, k, d, rows=4, groups=groups,
+        interpret=True,
     )
     assert (np.asarray(sc) == want_sc).all()
     ops, n = traceback_greedy2_rowmajor_batch(
