@@ -1,0 +1,79 @@
+"""Hardware (rows, groups) sweep for the row-sweep engine family.
+
+Times the score kernel (fill_rowsweep) and the 2-bit greedy arrows
+kernel (arrows_rowsweep) at the config-2 shape over the ILP knob grid,
+with bench.py's methodology (sequentially-dependent scan + per-rep
+perturbation + RTT subtraction), and prints a GCUPS table plus the
+winning (rows, groups) per engine — the numbers that decide the
+production defaults in needleman_wunsch.align_batch's row-sweep routes.
+
+Run on the real chip: ``python scripts/rowsweep_tune.py``.
+NB = 12288 keeps every groups block quantum (1024/2048/4096) exact.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import numpy as np
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from bench import _rand_batch, _timed_scan
+    from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
+    from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch
+
+    platform = jax.devices()[0].platform
+    NB, L = 12288, 150
+    reps = 50 if platform == "tpu" else 2
+    rng = np.random.default_rng(5)
+    tops, sides, lens = _rand_batch(jnp, rng, NB, L)
+    cells = NB * L * L
+
+    grid = [(r, g) for r in (4, 8, 16) for g in (1, 2, 4)]
+    best = {}
+    for name, make in (
+        (
+            "score",
+            lambda r, g: lambda t: fill_scores_rowsweep_batch(
+                t, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+            ),
+        ),
+        (
+            "greedy",
+            lambda r, g: lambda t: (
+                lambda ws: ws[1] + ws[0][0, 0]
+            )(
+                fill_greedy_rowsweep_batch(
+                    t, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+                )
+            ),
+        ),
+    ):
+        print(f"== {name} kernel, {NB}x{L}bp ({platform}) ==", flush=True)
+        top = (0.0, None)
+        for r, g in grid:
+            try:
+                per_call = _timed_scan(make(r, g), tops, reps)
+            except Exception as e:  # infeasible geometry: report, move on
+                print(f"rows={r:2d} groups={g}  FAILED: {type(e).__name__}",
+                      flush=True)
+                continue
+            gcups = cells / per_call / 1e9
+            print(f"rows={r:2d} groups={g}  {gcups:8.1f} GCUPS", flush=True)
+            if gcups > top[0]:
+                top = (gcups, (r, g))
+        best[name] = top
+        print(f"best {name}: rows,groups={top[1]}  {top[0]:.1f} GCUPS",
+              flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
