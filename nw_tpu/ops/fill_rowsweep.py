@@ -135,7 +135,9 @@ def _make_rowsweep_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL)
     return kernel
 
 
-def _make_rowsweep_counts_kernel(L1p: int, L2p: int, R: int, npass: int):
+def _make_rowsweep_counts_kernel(
+    L1p: int, L2p: int, R: int, npass: int, SL: int = _SL
+):
     """Fused score+count row-sweep kernel (the -q -s path).
 
     Count DP rides the fill: count(i,j) = sum of counts over the
@@ -157,16 +159,16 @@ def _make_rowsweep_counts_kernel(L1p: int, L2p: int, R: int, npass: int):
         len1 = lens_ref[0]
         len2 = lens_ref[1]
 
-        jj = jax.lax.broadcasted_iota(jnp.int32, (L2p + 1, _SL, _LN), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (L2p + 1, SL, _LN), 0)
         row_ref[...] = jj * (-d)
-        crow_ref[...] = jnp.ones((L2p + 1, _SL, _LN), jnp.int32)
+        crow_ref[...] = jnp.ones((L2p + 1, SL, _LN), jnp.int32)
 
         cap0 = jnp.where(len1 == 0, -len2 * d, jnp.int32(NEG_INF))
         ccap0 = jnp.where(len1 == 0, jnp.int32(1), jnp.int32(0))
 
-        neg = jnp.full((_SL, _LN), NEG_INF, jnp.int32)
-        one = jnp.ones((_SL, _LN), jnp.int32)
-        chz = jnp.full((_SL, _LN), -5, jnp.int32)
+        neg = jnp.full((SL, _LN), NEG_INF, jnp.int32)
+        one = jnp.ones((SL, _LN), jnp.int32)
+        chz = jnp.full((SL, _LN), -5, jnp.int32)
 
         def one_pass(p, caps):
             i0 = p * R
@@ -240,19 +242,23 @@ def _make_rowsweep_counts_kernel(L1p: int, L2p: int, R: int, npass: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rows", "groups", "interpret")
+)
 def fill_scores_counts_rowsweep_batch(
     tops, sides, lens1, lens2, m, k, d, *, rows: int = 8,
-    interpret: bool = False,
+    groups: int = 1, interpret: bool = False,
 ):
     """Batched (scores int32[nb], counts uint32[nb]) — fused, no arrows."""
     nb, L1 = tops.shape
     _, L2 = sides.shape
     R = rows
+    SL = _SL * groups
+    PB = SL * _LN
     L1p = max(L1, 1)
     L2p = max(L2, 1)
-    nbp = _round_up(max(nb, 1), _PB)
-    nblk = nbp // _PB
+    nbp = _round_up(max(nb, 1), PB)
+    nblk = nbp // PB
     npass = -(-L1p // R)
 
     tops = jnp.pad(
@@ -264,9 +270,9 @@ def fill_scores_counts_rowsweep_batch(
     l1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nbp - nb))
     l2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nbp - nb))
 
-    tops_r = tops.T.reshape(L1p, nblk * _SL, _LN)
-    sides_r = sides.T.reshape(L2p, nblk * _SL, _LN)
-    lens_r = jnp.stack([l1, l2]).reshape(2, nblk * _SL, _LN)
+    tops_r = tops.T.reshape(L1p, nblk * SL, _LN)
+    sides_r = sides.T.reshape(L2p, nblk * SL, _LN)
+    lens_r = jnp.stack([l1, l2]).reshape(2, nblk * SL, _LN)
 
     pid = np.arange(npass, dtype=np.int32) * R
     hit = jnp.any(
@@ -277,27 +283,27 @@ def fill_scores_counts_rowsweep_batch(
     scalars = jnp.concatenate([jnp.asarray([m, k, d], jnp.int32), hit])
 
     sc, ct = pl.pallas_call(
-        _make_rowsweep_counts_kernel(L1p, L2p, R, npass),
+        _make_rowsweep_counts_kernel(L1p, L2p, R, npass, SL),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblk,),
             in_specs=[
-                pl.BlockSpec((L1p, _SL, _LN), lambda b, s: (0, b, 0)),
-                pl.BlockSpec((L2p, _SL, _LN), lambda b, s: (0, b, 0)),
-                pl.BlockSpec((2, _SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L1p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L2p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((2, SL, _LN), lambda b, s: (0, b, 0)),
             ],
             out_specs=[
-                pl.BlockSpec((_SL, _LN), lambda b, s: (b, 0)),
-                pl.BlockSpec((_SL, _LN), lambda b, s: (b, 0)),
+                pl.BlockSpec((SL, _LN), lambda b, s: (b, 0)),
+                pl.BlockSpec((SL, _LN), lambda b, s: (b, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((L2p + 1, _SL, _LN), jnp.int32),
-                pltpu.VMEM((L2p + 1, _SL, _LN), jnp.int32),
+                pltpu.VMEM((L2p + 1, SL, _LN), jnp.int32),
+                pltpu.VMEM((L2p + 1, SL, _LN), jnp.int32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((nblk * _SL, _LN), jnp.int32),
-            jax.ShapeDtypeStruct((nblk * _SL, _LN), jnp.int32),
+            jax.ShapeDtypeStruct((nblk * SL, _LN), jnp.int32),
+            jax.ShapeDtypeStruct((nblk * SL, _LN), jnp.int32),
         ],
         interpret=interpret,
     )(scalars, tops_r, sides_r, lens_r)

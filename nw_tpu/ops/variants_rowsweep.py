@@ -47,13 +47,14 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _prep(tops, sides, lens1, lens2, R):
+def _prep(tops, sides, lens1, lens2, R, SL=_SL):
     nb, L1 = tops.shape
     _, L2 = sides.shape
     L1p = max(L1, 1)
     L2p = max(L2, 1)
-    nbp = _round_up(max(nb, 1), _PB)
-    nblk = nbp // _PB
+    PB = SL * _LN
+    nbp = _round_up(max(nb, 1), PB)
+    nblk = nbp // PB
     npass = -(-L1p // R)
 
     tops = jnp.pad(
@@ -65,9 +66,9 @@ def _prep(tops, sides, lens1, lens2, R):
     l1 = jnp.pad(jnp.asarray(lens1, jnp.int32), (0, nbp - nb))
     l2 = jnp.pad(jnp.asarray(lens2, jnp.int32), (0, nbp - nb))
 
-    tops_r = tops.T.reshape(L1p, nblk * _SL, _LN)
-    sides_r = sides.T.reshape(L2p, nblk * _SL, _LN)
-    lens_r = jnp.stack([l1, l2]).reshape(2, nblk * _SL, _LN)
+    tops_r = tops.T.reshape(L1p, nblk * SL, _LN)
+    sides_r = sides.T.reshape(L2p, nblk * SL, _LN)
+    lens_r = jnp.stack([l1, l2]).reshape(2, nblk * SL, _LN)
     return tops_r, sides_r, lens_r, l1, nb, nbp, nblk, L1p, L2p, npass
 
 
@@ -80,7 +81,7 @@ def _corner_gates(l1, npass, R):
     ).astype(jnp.int32)
 
 
-def _make_sw_kernel(L1p: int, L2p: int, R: int, npass: int):
+def _make_sw_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL):
     def kernel(s_ref, tops_ref, sides_ref, lens_ref, out_ref, row_ref):
         m = s_ref[0]
         kmis = s_ref[1]
@@ -89,10 +90,10 @@ def _make_sw_kernel(L1p: int, L2p: int, R: int, npass: int):
         len2 = lens_ref[1]
 
         # SW row 0 boundary: all zeros (variants_pallas._sw_kernel)
-        row_ref[...] = jnp.zeros((L2p + 1, _SL, _LN), jnp.int32)
+        row_ref[...] = jnp.zeros((L2p + 1, SL, _LN), jnp.int32)
 
-        zero = jnp.zeros((_SL, _LN), jnp.int32)
-        chz = jnp.full((_SL, _LN), -5, jnp.int32)
+        zero = jnp.zeros((SL, _LN), jnp.int32)
+        chz = jnp.full((SL, _LN), -5, jnp.int32)
 
         def one_pass(p, best):
             i0 = p * R
@@ -146,36 +147,39 @@ def _make_sw_kernel(L1p: int, L2p: int, R: int, npass: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rows", "groups", "interpret")
+)
 def sw_scores_rowsweep_batch(
     tops, sides, lens1, lens2, m, k, d, *, rows: int = 8,
-    interpret: bool = False,
+    groups: int = 1, interpret: bool = False,
 ):
     """Best local-alignment score per pair (int32[nb], >= 0)."""
+    SL = _SL * groups
     (tops_r, sides_r, lens_r, _l1, nb, nbp, nblk, L1p, L2p,
-     npass) = _prep(tops, sides, lens1, lens2, rows)
+     npass) = _prep(tops, sides, lens1, lens2, rows, SL)
     scalars = jnp.asarray([m, k, d], jnp.int32)
 
     out = pl.pallas_call(
-        _make_sw_kernel(L1p, L2p, rows, npass),
+        _make_sw_kernel(L1p, L2p, rows, npass, SL),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblk,),
             in_specs=[
-                pl.BlockSpec((L1p, _SL, _LN), lambda b, s: (0, b, 0)),
-                pl.BlockSpec((L2p, _SL, _LN), lambda b, s: (0, b, 0)),
-                pl.BlockSpec((2, _SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L1p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L2p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((2, SL, _LN), lambda b, s: (0, b, 0)),
             ],
-            out_specs=pl.BlockSpec((_SL, _LN), lambda b, s: (b, 0)),
-            scratch_shapes=[pltpu.VMEM((L2p + 1, _SL, _LN), jnp.int32)],
+            out_specs=pl.BlockSpec((SL, _LN), lambda b, s: (b, 0)),
+            scratch_shapes=[pltpu.VMEM((L2p + 1, SL, _LN), jnp.int32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((nblk * _SL, _LN), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nblk * SL, _LN), jnp.int32),
         interpret=interpret,
     )(scalars, tops_r, sides_r, lens_r)
     return out.reshape(nbp)[:nb]
 
 
-def _make_affine_kernel(L1p: int, L2p: int, R: int, npass: int):
+def _make_affine_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL):
     def kernel(
         s_ref, tops_ref, sides_ref, lens_ref, out_ref,
         hrow_ref, mrow_ref, xrow_ref,
@@ -189,15 +193,15 @@ def _make_affine_kernel(L1p: int, L2p: int, R: int, npass: int):
 
         # DP row 0: H = the IY boundary -(op + (jj-1)ex) (jj >= 1),
         # H(0,0) = 0; M only exists at (0,0); IX is NEG everywhere
-        jj = jax.lax.broadcasted_iota(jnp.int32, (L2p + 1, _SL, _LN), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (L2p + 1, SL, _LN), 0)
         hrow_ref[...] = jnp.where(
             jj == 0, jnp.int32(0), -(op + (jj - 1) * ex)
         )
         mrow_ref[...] = jnp.where(jj == 0, jnp.int32(0), jnp.int32(NEG))
-        xrow_ref[...] = jnp.full((L2p + 1, _SL, _LN), NEG, jnp.int32)
+        xrow_ref[...] = jnp.full((L2p + 1, SL, _LN), NEG, jnp.int32)
 
-        neg = jnp.full((_SL, _LN), NEG, jnp.int32)
-        chz = jnp.full((_SL, _LN), -5, jnp.int32)
+        neg = jnp.full((SL, _LN), NEG, jnp.int32)
+        chz = jnp.full((SL, _LN), -5, jnp.int32)
         cap0 = jnp.where(
             len1 == 0,
             jnp.where(len2 == 0, jnp.int32(0), -(op + (len2 - 1) * ex)),
@@ -266,14 +270,17 @@ def _make_affine_kernel(L1p: int, L2p: int, R: int, npass: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("rows", "groups", "interpret")
+)
 def affine_scores_rowsweep_batch(
     tops, sides, lens1, lens2, m, k, open_, extend, *, rows: int = 8,
-    interpret: bool = False,
+    groups: int = 1, interpret: bool = False,
 ):
     """Gotoh affine-gap global score per pair (int32[nb])."""
+    SL = _SL * groups
     (tops_r, sides_r, lens_r, l1, nb, nbp, nblk, L1p, L2p,
-     npass) = _prep(tops, sides, lens1, lens2, rows)
+     npass) = _prep(tops, sides, lens1, lens2, rows, SL)
     scalars = jnp.concatenate(
         [
             jnp.asarray([m, k, open_, extend], jnp.int32),
@@ -282,21 +289,21 @@ def affine_scores_rowsweep_batch(
     )
 
     out = pl.pallas_call(
-        _make_affine_kernel(L1p, L2p, rows, npass),
+        _make_affine_kernel(L1p, L2p, rows, npass, SL),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nblk,),
             in_specs=[
-                pl.BlockSpec((L1p, _SL, _LN), lambda b, s: (0, b, 0)),
-                pl.BlockSpec((L2p, _SL, _LN), lambda b, s: (0, b, 0)),
-                pl.BlockSpec((2, _SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L1p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L2p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((2, SL, _LN), lambda b, s: (0, b, 0)),
             ],
-            out_specs=pl.BlockSpec((_SL, _LN), lambda b, s: (b, 0)),
+            out_specs=pl.BlockSpec((SL, _LN), lambda b, s: (b, 0)),
             scratch_shapes=[
-                pltpu.VMEM((L2p + 1, _SL, _LN), jnp.int32)
+                pltpu.VMEM((L2p + 1, SL, _LN), jnp.int32)
             ] * 3,
         ),
-        out_shape=jax.ShapeDtypeStruct((nblk * _SL, _LN), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((nblk * SL, _LN), jnp.int32),
         interpret=interpret,
     )(scalars, tops_r, sides_r, lens_r)
     return out.reshape(nbp)[:nb]

@@ -133,9 +133,11 @@ def test_sw_rowsweep_vs_oracle(mkd):
         (b"", b""), (b"AAAA", b"TTTT"), (b"A" * 19, b""), (b"", b"T" * 23),
     ]
     tops, sides, l1, l2 = enc.encode_batch(ps)
+    groups = 2 if (m, k, d) == (2, 1, 1) else 1
     got = np.asarray(
         sw_scores_rowsweep_batch(
-            tops, sides, l1, l2, m, k, d, rows=4, interpret=True
+            tops, sides, l1, l2, m, k, d, rows=4, groups=groups,
+            interpret=True,
         )
     )
     for b, (a, s2) in enumerate(ps):
@@ -157,10 +159,11 @@ def test_affine_rowsweep_vs_oracle():
         (b"", b"T" * 23),
     ]
     tops, sides, l1, l2 = enc.encode_batch(ps)
-    for (m, k, o, e) in [(2, 1, 3, 1), (2, 2, 5, 2)]:
+    for gi, (m, k, o, e) in enumerate([(2, 1, 3, 1), (2, 2, 5, 2)]):
         got = np.asarray(
             affine_scores_rowsweep_batch(
-                tops, sides, l1, l2, m, k, o, e, rows=8, interpret=True
+                tops, sides, l1, l2, m, k, o, e, rows=8,
+                groups=1 + gi, interpret=True,
             )
         )
         for b, (a, s2) in enumerate(ps):
@@ -195,7 +198,8 @@ def test_scores_counts_rowsweep_vs_oracle(mkd):
         jax.vmap(pathcount.count_paths)(ref["arrows"], l1j, l2j)
     )
     sc, ct = fill_scores_counts_rowsweep_batch(
-        tops, sides, l1, l2, m, k, d, rows=4, interpret=True
+        tops, sides, l1, l2, m, k, d, rows=4,
+        groups=2 if (m, k, d) == (1, 1, 1) else 1, interpret=True,
     )
     assert (np.asarray(sc) == np.asarray(ref["score"])).all()
     assert (np.asarray(ct) == want_ct).all()
