@@ -179,6 +179,114 @@ def sw_scores_rowsweep_batch(
     return out.reshape(nbp)[:nb]
 
 
+def _make_overlap_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL):
+    """Overlap (semi-global) score kernel: free end gaps.
+
+    The SW kernel's zero boundaries (row 0 / column 0 / warm-up pinned
+    to 0 — here they are TRUE free boundaries, not clamp artifacts)
+    with NW's unclamped interior recurrence; the running best is masked
+    to the END boundary (i == len1 or j == len2) inside the true
+    rectangle (models/overlap.py semantics; reference FUTURE WORK,
+    README:182-187).
+    """
+
+    def kernel(s_ref, tops_ref, sides_ref, lens_ref, out_ref, row_ref):
+        m = s_ref[0]
+        kmis = s_ref[1]
+        d = s_ref[2]
+        len1 = lens_ref[0]
+        len2 = lens_ref[1]
+
+        row_ref[...] = jnp.zeros((L2p + 1, SL, _LN), jnp.int32)
+
+        zero = jnp.zeros((SL, _LN), jnp.int32)
+        chz = jnp.full((SL, _LN), -5, jnp.int32)
+
+        def one_pass(p, best):
+            i0 = p * R
+            t_ch = [
+                tops_ref[pl.ds(jnp.minimum(i0 + r, L1p - 1), 1)][0]
+                for r in range(R)
+            ]
+            hit_i = [len1 == (i0 + r + 1) for r in range(R)]
+            in_i = [len1 >= (i0 + r + 1) for r in range(R)]
+
+            def step(s, carry):
+                scores, prevs, win, ld_prev, best = carry
+                ld = row_ref[pl.ds(jnp.minimum(s, L2p), 1)][0]
+                ch_new = sides_ref[pl.ds(jnp.clip(s - 1, 0, L2p - 1), 1)][0]
+                win = (ch_new,) + win[:-1]
+
+                new = []
+                for r in range(R):
+                    up = ld if r == 0 else scores[r - 1]
+                    diag = ld_prev if r == 0 else prevs[r - 1]
+                    sub = jnp.where(t_ch[r] == win[r], m, -kmis)
+                    h = jnp.maximum(
+                        diag + sub, jnp.maximum(up, scores[r]) - d
+                    )
+                    # column 0 is a true zero boundary (free leading
+                    # gaps); the warm-up (jj < 0) pins to 0 too and
+                    # only ever feeds column 0
+                    h = jnp.where(s - r <= 0, zero, h)
+                    new.append(h)
+                    # best over the end boundary of the true rectangle
+                    j = s - r
+                    on_end = (
+                        (hit_i[r] | (len2 == j))
+                        & in_i[r]
+                        & (len2 >= j)
+                    )
+                    best = jnp.maximum(best, jnp.where(on_end, h, 0))
+
+                @pl.when((s >= R - 1) & (s - (R - 1) <= L2p))
+                def _():
+                    row_ref[pl.ds(s - (R - 1), 1)] = new[R - 1][None]
+
+                return tuple(new), tuple(scores), win, ld, best
+
+            carry = (
+                (zero,) * R, (zero,) * R, (chz,) * R, zero, best,
+            )
+            return jax.lax.fori_loop(0, L2p + R, step, carry)[4]
+
+        out_ref[...] = jax.lax.fori_loop(0, npass, one_pass, zero)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("rows", "groups", "interpret")
+)
+def overlap_scores_rowsweep_batch(
+    tops, sides, lens1, lens2, m, k, d, *, rows: int = 8,
+    groups: int = 1, interpret: bool = False,
+):
+    """Best overlap (end-gap-free) score per pair (int32[nb], >= 0)."""
+    SL = _SL * groups
+    (tops_r, sides_r, lens_r, _l1, nb, nbp, nblk, L1p, L2p,
+     npass) = _prep(tops, sides, lens1, lens2, rows, SL)
+    scalars = jnp.asarray([m, k, d], jnp.int32)
+
+    out = pl.pallas_call(
+        _make_overlap_kernel(L1p, L2p, rows, npass, SL),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nblk,),
+            in_specs=[
+                pl.BlockSpec((L1p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((L2p, SL, _LN), lambda b, s: (0, b, 0)),
+                pl.BlockSpec((2, SL, _LN), lambda b, s: (0, b, 0)),
+            ],
+            out_specs=pl.BlockSpec((SL, _LN), lambda b, s: (b, 0)),
+            scratch_shapes=[pltpu.VMEM((L2p + 1, SL, _LN), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nblk * SL, _LN), jnp.int32),
+        interpret=interpret,
+    )(scalars, tops_r, sides_r, lens_r)
+    return out.reshape(nbp)[:nb]
+
+
 def _make_affine_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL):
     def kernel(
         s_ref, tops_ref, sides_ref, lens_ref, out_ref,

@@ -284,6 +284,24 @@ def main() -> int:
         assert (np.asarray(s) == ref_scores).all()
         assert (np.asarray(c) == ref_counts.astype(np.uint32)).all()
 
+    def rowsweep_overlap():
+        from nw_tpu.models.overlap import overlap_fill_diag
+        from nw_tpu.ops.variants_rowsweep import (
+            overlap_scores_rowsweep_batch,
+        )
+
+        got = np.asarray(
+            overlap_scores_rowsweep_batch(tops, sides, l1, l2, 2, 1, 1)
+        )
+        for b in range(0, len(ps), 23):
+            a, s2 = ps[b]
+            t = jnp.asarray(enc.encode(a.encode()))
+            si = jnp.asarray(enc.encode(s2.encode()))
+            want = int(
+                overlap_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+            )
+            assert got[b] == want, b
+
     def rowsweep_variants():
         from nw_tpu.models.affine import affine_score
         from nw_tpu.models.smith_waterman import sw_fill_diag
@@ -524,6 +542,7 @@ def main() -> int:
     check("row-sweep greedy arrows + row-major walk", rowsweep_greedy)
     check("row-sweep fused score+count", rowsweep_counts)
     check("row-sweep SW + affine kernels", rowsweep_variants)
+    check("row-sweep overlap (semi-global) kernel", rowsweep_overlap)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
     check("banded SW + affine FULL tracebacks", banded_variant_tracebacks)
     check("small-batch long-side SW/Gotoh alignments", small_batch_long_variants)

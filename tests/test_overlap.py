@@ -1,0 +1,129 @@
+"""Overlap (semi-global) alignment vs an independent numpy DP oracle.
+
+The reference names overlap as the third classic algorithm it wants a
+common tool for (FUTURE WORK, README:182-187) but ships none — these
+semantics are new surface, pinned by models/overlap.py's docstring and
+cross-checked here against a from-scratch numpy implementation.
+"""
+
+import numpy as np
+import pytest
+
+from nw_tpu.models.overlap import (
+    overlap_align,
+    overlap_fill_diag,
+    overlap_score_batch,
+)
+from nw_tpu.ops import encode as enc
+
+
+def np_overlap_score(a: bytes, b: bytes, m: int, k: int, d: int) -> int:
+    """Brute-force end-gap-free DP: free row 0 / col 0, best over the
+    last row and last column."""
+    M, N = len(a), len(b)
+    H = np.zeros((M + 1, N + 1), np.int64)
+    for i in range(1, M + 1):
+        for j in range(1, N + 1):
+            sub = m if a[i - 1] == b[j - 1] else -k
+            H[i, j] = max(
+                H[i - 1, j - 1] + sub, H[i - 1, j] - d, H[i, j - 1] - d
+            )
+    return int(max(H[M, :].max(), H[:, N].max()))
+
+
+def _pairs(rng, n, lo, hi):
+    out = []
+    for _ in range(n):
+        a = rng.integers(65, 69, rng.integers(lo, hi)).astype(np.uint8)
+        b = rng.integers(65, 69, rng.integers(lo, hi)).astype(np.uint8)
+        out.append((a.tobytes(), b.tobytes()))
+    return out
+
+
+EDGE = [(b"", b""), (b"GCATGCU", b"GATTACA"), (b"A" * 19, b""),
+        (b"", b"T" * 23), (b"AAAA", b"TTTT")]
+
+
+@pytest.mark.parametrize("mkd", [(2, 1, 1), (1, 1, 1), (0, 0, 0), (-2, 3, -1)])
+def test_overlap_oracle_vs_numpy(mkd):
+    import jax.numpy as jnp
+
+    m, k, d = mkd
+    rng = np.random.default_rng(61 + m + k + d)
+    for a, b in _pairs(rng, 12, 0, 24) + EDGE:
+        got = int(
+            overlap_fill_diag(
+                jnp.asarray(enc.encode(a)), jnp.asarray(enc.encode(b)),
+                m, k, d, with_arrows=False,
+            )["score"]
+        )
+        assert got == np_overlap_score(a, b, m, k, d), (a, b)
+
+
+def test_overlap_suffix_prefix():
+    """The textbook use: suffix of s1 overlapping a prefix of s2 scores
+    the full overlap length at match-heavy params."""
+    sc, X, Y, start, end = overlap_align(b"AAAATTTT", b"TTTTCCCC", 2, 3, 3)
+    assert sc == 8  # TTTT overlap, 4 matches x 2
+    assert X == b"TTTT" and Y == b"TTTT"
+    assert start == (0, 4) and end == (4, 8)  # (j, i) convention
+
+
+@pytest.mark.parametrize("mkd", [(2, 1, 1), (0, 0, 0)])
+def test_overlap_align_invariants(mkd):
+    m, k, d = mkd
+    rng = np.random.default_rng(67 + m + k + d)
+    for a, b in _pairs(rng, 12, 0, 24) + EDGE:
+        sc, X, Y, (js, is_), (je, ie) = overlap_align(a, b, m, k, d)
+        # strings re-score to the reported score
+        assert len(X) == len(Y)
+        tot = 0
+        for x, y in zip(X, Y):
+            if x == ord("-") or y == ord("-"):
+                tot -= d
+            elif x == y:
+                tot += m
+            else:
+                tot -= k
+        assert tot == sc, (a, b)
+        # gap-stripped strings are the substrings between start and end
+        assert bytes(c for c in X if c != ord("-")) == a[is_:ie]
+        assert bytes(c for c in Y if c != ord("-")) == b[js:je]
+        # start on a free boundary, end on the end boundary
+        assert is_ == 0 or js == 0
+        assert ie == len(a) or je == len(b)
+        assert sc >= 0
+
+
+@pytest.mark.parametrize("rows,groups", [(8, 1), (4, 2)])
+def test_overlap_rowsweep_vs_oracle(rows, groups):
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.variants_rowsweep import overlap_scores_rowsweep_batch
+
+    rng = np.random.default_rng(71 * rows + groups)
+    ps = _pairs(rng, 18, 0, 30) + EDGE
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    for m, k, d in [(2, 1, 1), (-2, 3, -1)]:
+        got = np.asarray(
+            overlap_scores_rowsweep_batch(
+                tops, sides, l1, l2, m, k, d, rows=rows, groups=groups,
+                interpret=True,
+            )
+        )
+        for b_i, (a, b) in enumerate(ps):
+            want = int(
+                overlap_fill_diag(
+                    jnp.asarray(enc.encode(a)), jnp.asarray(enc.encode(b)),
+                    m, k, d, with_arrows=False,
+                )["score"]
+            )
+            assert got[b_i] == want, (b_i, a, b)
+
+
+def test_overlap_score_batch_routes():
+    rng = np.random.default_rng(73)
+    ps = _pairs(rng, 10, 0, 20) + EDGE
+    got = overlap_score_batch(ps, 2, 1, 1)
+    for b_i, (a, b) in enumerate(ps):
+        assert got[b_i] == np_overlap_score(a, b, 2, 1, 1), b_i
