@@ -53,8 +53,11 @@ def main(argv=None) -> int:
     ap.add_argument("-m", type=int, default=1, help="match bonus")
     ap.add_argument("-k", type=int, default=1, help="mismatch penalty")
     ap.add_argument("-d", type=int, default=1, help="indel penalty")
-    ap.add_argument("--mode", choices=("nw", "sw", "affine"), default="nw",
-                    help="global (nw), local (sw), or affine-gap scoring")
+    ap.add_argument("--mode", choices=("nw", "sw", "overlap", "affine"),
+                    default="nw",
+                    help="global (nw), local (sw), semi-global (overlap), "
+                    "or affine-gap scoring — the reference FUTURE WORK's "
+                    "common 'align' tool (README:182-187)")
     ap.add_argument("--open", type=int, default=3, dest="gap_open",
                     help="affine gap-open cost (--mode affine)")
     ap.add_argument("--extend", type=int, default=1, dest="gap_extend",
@@ -106,6 +109,22 @@ def main(argv=None) -> int:
                     "Y": np.array([r[2] for r in res], dtype=np.bytes_),
                 }
             return {"scores": sw_score_batch(chunk, args.m, args.k, args.d)}
+        if args.mode == "overlap":
+            from nw_tpu.models.overlap import (
+                overlap_align_batch,
+                overlap_score_batch,
+            )
+
+            if args.alignments:
+                res = overlap_align_batch(chunk, args.m, args.k, args.d)
+                return {
+                    "scores": np.array([r[0] for r in res], np.int32),
+                    "X": np.array([r[1] for r in res], dtype=np.bytes_),
+                    "Y": np.array([r[2] for r in res], dtype=np.bytes_),
+                }
+            return {
+                "scores": overlap_score_batch(chunk, args.m, args.k, args.d)
+            }
         if args.mode == "affine":
             from nw_tpu.models.affine import affine_align_batch, affine_score_pairs
 
@@ -186,12 +205,23 @@ def main(argv=None) -> int:
 
 
 def console_main() -> None:
+    import os
+
     from nw_tpu.cli import _quiet_library_logging, enable_default_compile_cache
 
     _quiet_library_logging()
+    platform = os.environ.get("NW_TPU_PLATFORM")
+    if platform:
+        # jax may already be imported (e.g. by a sitecustomize that
+        # registers a TPU plugin), freezing JAX_PLATFORMS — override at
+        # the config level (same rule as cli.console_main).
+        os.environ["JAX_PLATFORMS"] = platform
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     enable_default_compile_cache()
     sys.exit(main())
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    console_main()

@@ -234,6 +234,18 @@ def test_batch_cli_modes(tmp_path):
         score, X, Y = affine_align(a, b, 2, 1, 3, 1)
         assert int(rows[i][1]) == score and rows[i][2] == X.decode()
 
+    from nw_tpu.models.overlap import overlap_align
+
+    out = tmp_path / "ov.tsv"
+    assert batch_main([
+        "--pairs", str(src), "--out", str(out), "--mode", "overlap",
+        "--alignments", "-m", "2", "-k", "1", "-d", "1",
+    ]) == 0
+    rows = [l.split("\t") for l in out.read_text().splitlines()]
+    for i, (a, b) in enumerate(pairs):
+        score, X, Y, _, _ = overlap_align(a, b, 2, 1, 1)
+        assert int(rows[i][1]) == score and rows[i][2] == X.decode()
+
 
 def test_checkpoint_retry(tmp_path):
     """Transient chunk failures are retried; persistent ones propagate."""
