@@ -38,8 +38,13 @@ from nw_tpu.ops.fill_scan import NEG_INF
 
 
 @functools.partial(jax.jit, static_argnames=("with_arrows",))
-def overlap_fill_diag(top, side, m, k, d, with_arrows: bool = True):
-    """Overlap-alignment fill along anti-diagonals (one exact-length pair).
+def overlap_fill_diag(
+    top, side, m, k, d, len1=None, len2=None, with_arrows: bool = True
+):
+    """Overlap-alignment fill along anti-diagonals (one pair, possibly
+    padded — ``len1``/``len2`` are the true lengths; padding cannot
+    contaminate the true rectangle because the recurrence only reads
+    smaller indices, and the end-boundary argmax is masked to it).
 
     Returns dict with ``score`` (best end-gap-free score, >= 0),
     ``argmax`` (int32[2]: (j, i) boundary cell of the maximum) and
@@ -50,6 +55,13 @@ def overlap_fill_diag(top, side, m, k, d, with_arrows: bool = True):
     B = side.shape[0]
     N = B + 1
     K = A + B + 1
+
+    if len1 is None:
+        len1 = A
+    if len2 is None:
+        len2 = B
+    len1 = jnp.asarray(len1, jnp.int32)
+    len2 = jnp.asarray(len2, jnp.int32)
 
     m = jnp.asarray(m, jnp.int32)
     k = jnp.asarray(k, jnp.int32)
@@ -63,16 +75,17 @@ def overlap_fill_diag(top, side, m, k, d, with_arrows: bool = True):
     top_ext = jnp.concatenate([pad, top_rev, pad])
 
     j_idx = jnp.arange(N, dtype=jnp.int32)
-    vary0 = (top.sum() + side.sum()).astype(jnp.int32) * 0
+    vary0 = (top.sum() + side.sum() + len1 + len2).astype(jnp.int32) * 0
 
     # diagonal 0 = cell (0, 0) = 0; every other slot does not exist
     prev0 = jnp.where(j_idx == 0, 0, NEG_INF).astype(jnp.int32) + vary0
     neg = jnp.full((N,), NEG_INF, jnp.int32) + vary0
-    # (M, 0) and (0, N) are always reachable at zero cost
+    # (len1, 0) and (0, len2) are always reachable at zero cost
     best0 = jnp.int32(0) + vary0
     arg0 = jnp.where(
-        A == 0, jnp.stack([jnp.int32(B), jnp.int32(0)]),
-        jnp.stack([jnp.int32(0), jnp.asarray(A, jnp.int32)]),
+        len1 == 0,
+        jnp.stack([len2, jnp.int32(0)]),
+        jnp.stack([jnp.int32(0), len1]),
     ) + vary0
 
     def step(carry, kk):
@@ -104,8 +117,13 @@ def overlap_fill_diag(top, side, m, k, d, with_arrows: bool = True):
         score = jnp.where(interior, score, jnp.where(valid, 0, NEG_INF))
         arrows = jnp.where(interior, arrows, jnp.uint8(0))
 
-        # running max over the END boundary (last row or last column)
-        on_end = interior & ((i_idx == A) | (j_idx == B))
+        # running max over the END boundary (last TRUE row or column)
+        on_end = (
+            interior
+            & ((i_idx == len1) | (j_idx == len2))
+            & (i_idx <= len1)
+            & (j_idx <= len2)
+        )
         masked = jnp.where(on_end, score, NEG_INF)
         diag_best = jnp.max(masked)
         diag_row = jnp.argmax(masked).astype(jnp.int32)
@@ -136,6 +154,73 @@ overlap_score_array_batch = jax.jit(
         in_axes=(0, 0, None, None, None),
     )
 )
+
+# ragged batched fills (padded to a bucket; lens mask the argmax) —
+# any side length, pure XLA scan, no per-shape recompiles
+overlap_scores_scan_batch = jax.jit(
+    jax.vmap(
+        lambda t, s, m, k, d, l1, l2: overlap_fill_diag(
+            t, s, m, k, d, l1, l2, with_arrows=False
+        )["score"],
+        in_axes=(0, 0, None, None, None, 0, 0),
+    )
+)
+
+_overlap_fill_batch = jax.jit(
+    jax.vmap(
+        lambda t, s, m, k, d, l1, l2: overlap_fill_diag(
+            t, s, m, k, d, l1, l2, with_arrows=True
+        ),
+        in_axes=(0, 0, None, None, None, 0, 0),
+    )
+)
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def _overlap_walk_diag(arrows, j0, i0, max_steps: int):
+    """Greedy overlap walk over diagonal-major uint8 arrows (one pair):
+    diag > left > up from (j0, i0) until row 0 or column 0.  Returns
+    (ops, n) in ops_to_strings' end->origin convention (OP_LEFT
+    consumes s1, OP_UP consumes s2)."""
+    from nw_tpu.ops.traceback import OP_DIAG, OP_LEFT, OP_NONE, OP_UP
+
+    def step(t, st):
+        i, j, n, ops, done = st
+        a = arrows[i + j, j]
+        active = ~done & (i > 0) & (j > 0) & (a != 0)
+        take_diag = active & ((a & 1) != 0)
+        take_left = active & ~take_diag & ((a & 2) != 0)
+        op = jnp.where(
+            take_diag, OP_DIAG,
+            jnp.where(take_left, OP_LEFT, OP_UP),
+        ).astype(jnp.int8)
+        ops = ops.at[t].set(jnp.where(active, op, jnp.int8(OP_NONE)))
+        i = i - jnp.where(take_diag | take_left, 1, 0)
+        j = j - jnp.where(active & ~take_left, 1, 0)
+        n = n + active.astype(jnp.int32)
+        return (i, j, n, ops, ~active | done)
+
+    ops0 = jnp.full((max_steps,), int(3), jnp.int8)  # OP_NONE
+    i, j, n, ops, _ = jax.lax.fori_loop(
+        0, max_steps, step,
+        (jnp.asarray(i0, jnp.int32), jnp.asarray(j0, jnp.int32),
+         jnp.int32(0), ops0, jnp.asarray(False)),
+    )
+    return ops, n, i, j
+
+
+@functools.lru_cache(maxsize=None)
+def _overlap_walk_vmapped(max_steps: int):
+    """Cached jitted batched walk (a fresh jax.jit per call recompiles
+    every invocation)."""
+    return jax.jit(
+        jax.vmap(
+            lambda a, jj, ii: _overlap_walk_diag(
+                a, jj, ii, max_steps=max_steps
+            ),
+            in_axes=(0, 0, 0),
+        )
+    )
 
 
 def overlap_traceback(
@@ -193,13 +278,13 @@ def overlap_align(
 def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     """Best overlap score per pair (int32[B]).
 
-    Batched production path: the row-sweep kernel
-    (:func:`nw_tpu.ops.variants_rowsweep.overlap_scores_rowsweep_batch`)
-    — compiled on TPU, interpreted elsewhere; sides beyond its ~512
-    service range take the per-pair scan oracle.
+    Batched production path: the row-sweep Pallas kernel on TPU
+    (:func:`nw_tpu.ops.variants_rowsweep.overlap_scores_rowsweep_batch`,
+    sides <= 512); elsewhere — and beyond the kernel's service range —
+    the vmapped ragged scan fill (any side length, one compile per
+    padded bucket, no per-pair cliff).
     """
-    from nw_tpu.ops.encode import encode, encode_batch
-    from nw_tpu.ops.variants_rowsweep import overlap_scores_rowsweep_batch
+    from nw_tpu.ops.encode import encode_batch
 
     norm = [
         (a.encode() if isinstance(a, str) else bytes(a),
@@ -207,23 +292,18 @@ def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
         for a, b in pairs
     ]
     tops, sides, l1, l2 = encode_batch(norm)
-    interpret = jax.devices()[0].platform != "tpu"
-    if sides.shape[1] > 512:
-        return np.array(
-            [
-                int(
-                    overlap_fill_diag(
-                        jnp.asarray(encode(a)), jnp.asarray(encode(b)),
-                        m, k, d, with_arrows=False,
-                    )["score"]
-                )
-                for a, b in norm
-            ],
-            np.int32,
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if on_tpu and sides.shape[1] <= 512:
+        from nw_tpu.ops.variants_rowsweep import (
+            overlap_scores_rowsweep_batch,
+        )
+
+        return np.asarray(
+            overlap_scores_rowsweep_batch(tops, sides, l1, l2, m, k, d)
         )
     return np.asarray(
-        overlap_scores_rowsweep_batch(
-            tops, sides, l1, l2, m, k, d, interpret=interpret
+        overlap_scores_scan_batch(
+            tops, sides, m, k, d, jnp.asarray(l1), jnp.asarray(l2)
         )
     )
 
@@ -231,5 +311,43 @@ def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
 def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     """Batched overlap alignment with strings: one
     (score, X, Y, start, end) per pair, identical to
-    :func:`overlap_align` (scan tie rules)."""
-    return [overlap_align(a, b, m, k, d) for a, b in pairs]
+    :func:`overlap_align` (scan tie rules).
+
+    Batched fill + vmapped device walk (one compile per padded bucket);
+    host only renders the byte strings through the native batch
+    builder."""
+    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.traceback import ops_to_strings_batch
+
+    norm = [
+        (a.encode() if isinstance(a, str) else bytes(a),
+         b.encode() if isinstance(b, str) else bytes(b))
+        for a, b in pairs
+    ]
+    if not norm:
+        return []
+    tops, sides, l1, l2 = encode_batch(norm)
+    out = _overlap_fill_batch(
+        tops, sides, m, k, d, jnp.asarray(l1), jnp.asarray(l2)
+    )
+    arg = np.asarray(out["argmax"])
+    j_end, i_end = arg[:, 0], arg[:, 1]
+    max_steps = int(tops.shape[1] + sides.shape[1])
+    if max_steps == 0:
+        return [(0, b"", b"", (0, 0), (0, 0)) for _ in norm]
+    ops, n, i_st, j_st = _overlap_walk_vmapped(max_steps)(
+        out["arrows"], jnp.asarray(j_end), jnp.asarray(i_end)
+    )
+    ops, n = np.asarray(ops), np.asarray(n)
+    i_st, j_st = np.asarray(i_st), np.asarray(j_st)
+    trunc = [
+        (s1[: int(i_end[b])], s2[: int(j_end[b])])
+        for b, (s1, s2) in enumerate(norm)
+    ]
+    strs = ops_to_strings_batch(ops, n, trunc)
+    best = np.asarray(out["score"])
+    return [
+        (int(best[b]), X, Y, (int(j_st[b]), int(i_st[b])),
+         (int(j_end[b]), int(i_end[b])))
+        for b, (X, Y) in enumerate(strs)
+    ]

@@ -121,6 +121,32 @@ def test_overlap_rowsweep_vs_oracle(rows, groups):
             assert got[b_i] == want, (b_i, a, b)
 
 
+def test_overlap_align_batch_matches_single():
+    """Batched fill + vmapped walk == the per-pair scan walk (same tie
+    rules), including ragged lengths and degenerate pairs."""
+    from nw_tpu.models.overlap import overlap_align_batch
+
+    rng = np.random.default_rng(79)
+    ps = _pairs(rng, 14, 0, 28) + EDGE
+    got = overlap_align_batch(ps, 2, 1, 1)
+    for b_i, (a, b) in enumerate(ps):
+        assert got[b_i] == overlap_align(a, b, 2, 1, 1), (b_i, a, b)
+
+
+def test_overlap_score_batch_long_sides_no_cliff():
+    """>512-side batches route to the vmapped scan fill (one compile,
+    no per-pair recompiles) and still match the numpy DP."""
+    rng = np.random.default_rng(83)
+    ps = [
+        (rng.integers(65, 69, 600).astype(np.uint8).tobytes(),
+         rng.integers(65, 69, rng.integers(500, 700)).astype(np.uint8).tobytes())
+        for _ in range(3)
+    ]
+    got = overlap_score_batch(ps, 2, 1, 1)
+    a, b = ps[0]
+    assert got[0] == np_overlap_score(a, b, 2, 1, 1)
+
+
 def test_overlap_score_batch_routes():
     rng = np.random.default_rng(73)
     ps = _pairs(rng, 10, 0, 20) + EDGE
