@@ -103,3 +103,34 @@ def test_combined_mesh_dp_and_sp(mesh2x4):
     assert int(stats["cells"]) == int(
         (l1.astype(np.int64) * l2.astype(np.int64)).sum()
     )
+
+
+def test_overlap_scores_shard_over_data_mesh(mesh8):
+    """The overlap (semi-global) batch fill shards over the data axis
+    like any pair batch: shard_map over the mesh == single device."""
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from nw_tpu.models.overlap import overlap_scores_scan_batch
+
+    rng = np.random.default_rng(5)
+    pairs = _pairs(rng, 32, 0, 16)
+    tops, sides, l1, l2 = encode_batch(pairs, 16, 16)
+    l1j, l2j = jnp.asarray(l1), jnp.asarray(l2)
+    ref = np.asarray(overlap_scores_scan_batch(tops, sides, 2, 1, 1, l1j, l2j))
+
+    try:
+        shard_map = jax.shard_map
+    except AttributeError:
+        from jax.experimental.shard_map import shard_map
+
+    fn = shard_map(
+        lambda t, s, a, b: overlap_scores_scan_batch(t, s, 2, 1, 1, a, b),
+        mesh=mesh8,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=P("data"),
+    )
+    sh = NamedSharding(mesh8, P("data"))
+    args = [jax.device_put(x, sh) for x in (tops, sides, l1j, l2j)]
+    got = np.asarray(jax.jit(fn)(*args))
+    np.testing.assert_array_equal(got, ref)
