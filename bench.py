@@ -415,6 +415,17 @@ def bench_variants(NB=10240, L=150, reps=20):
         round(NB * L * L / per / 1e9, 2), "GCUPS",
     )
 
+    from nw_tpu.ops.variants_rowsweep import overlap_scores_rowsweep_batch
+
+    per = _timed_scan(
+        lambda t: overlap_scores_rowsweep_batch(t, sides, lens, lens, 2, 1, 1),
+        tops, reps,
+    )
+    _emit(
+        f"Overlap (semi-global) score fill, {NB}x{L}bp",
+        round(NB * L * L / per / 1e9, 2), "GCUPS",
+    )
+
 
 def main() -> None:
     # persistent compile cache: a fresh bench process otherwise pays
