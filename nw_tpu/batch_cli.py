@@ -205,20 +205,14 @@ def main(argv=None) -> int:
 
 
 def console_main() -> None:
-    import os
-
-    from nw_tpu.cli import _quiet_library_logging, enable_default_compile_cache
+    from nw_tpu.cli import (
+        _quiet_library_logging,
+        apply_platform_override,
+        enable_default_compile_cache,
+    )
 
     _quiet_library_logging()
-    platform = os.environ.get("NW_TPU_PLATFORM")
-    if platform:
-        # jax may already be imported (e.g. by a sitecustomize that
-        # registers a TPU plugin), freezing JAX_PLATFORMS — override at
-        # the config level (same rule as cli.console_main).
-        os.environ["JAX_PLATFORMS"] = platform
-        import jax
-
-        jax.config.update("jax_platforms", platform)
+    apply_platform_override()
     enable_default_compile_cache()
     sys.exit(main())
 

@@ -401,18 +401,25 @@ def _needleman_wunsch(
         )
 
 
-def console_main() -> None:
-    _quiet_library_logging()
-    stderr_io = _isolate_stderr_fd()
+def apply_platform_override() -> None:
+    """Honor NW_TPU_PLATFORM in a console entry point.
+
+    jax may already be imported (e.g. by a sitecustomize that registers
+    a TPU plugin), freezing JAX_PLATFORMS — so also override at the
+    config level.  Shared by every console script (nw-tpu,
+    nw-tpu-batch)."""
     platform = os.environ.get("NW_TPU_PLATFORM")
     if platform:
-        # jax may already be imported (e.g. by a sitecustomize that
-        # registers a TPU plugin), freezing JAX_PLATFORMS — override at
-        # the config level.
         os.environ["JAX_PLATFORMS"] = platform
         import jax
 
         jax.config.update("jax_platforms", platform)
+
+
+def console_main() -> None:
+    _quiet_library_logging()
+    stderr_io = _isolate_stderr_fd()
+    apply_platform_override()
     enable_default_compile_cache()
     try:
         code = main(sys.argv, stderr=stderr_io)

@@ -311,15 +311,15 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
         )
     interpret = jax.devices()[0].platform != "tpu"
     from nw_tpu.ops.fill_auto import (
-        ROWSWEEP_MAX_SIDE,
         ROWSWEEP_MIN_BATCH,
         _rowsweep_enabled,
+        rowsweep_scores_fit,
     )
 
     if (
         not interpret
         and _rowsweep_enabled()
-        and sides.shape[1] <= ROWSWEEP_MAX_SIDE
+        and rowsweep_scores_fit(tops, sides)
         and len(norm) >= ROWSWEEP_MIN_BATCH
     ):
         from nw_tpu.ops.variants_rowsweep import (

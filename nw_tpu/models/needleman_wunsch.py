@@ -436,14 +436,14 @@ class NWAligner:
             # (row-sweep at short sides when enabled, else banded —
             # any side length)
             from nw_tpu.ops.fill_auto import (
-                ROWSWEEP_MAX_SIDE,
                 ROWSWEEP_MIN_BATCH,
                 _rowsweep_enabled,
+                rowsweep_scores_fit,
             )
 
             if (
                 _rowsweep_enabled()
-                and len2 <= ROWSWEEP_MAX_SIDE
+                and rowsweep_scores_fit(tops, sides)
                 and len(norm) >= ROWSWEEP_MIN_BATCH
             ):
                 from nw_tpu.ops.fill_rowsweep import (

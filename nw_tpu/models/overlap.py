@@ -15,10 +15,14 @@ score is always >= 0: the last row/column contain the zero-cost cells
 (M, 0) and (0, N).
 
 Tie rules (new surface — no reference semantics to match; fixed here
-so every engine agrees): the boundary argmax takes the FIRST maximum
-in anti-diagonal order, lowest row index within a diagonal (the
-Smith-Waterman rule, smith_waterman.sw_fill_diag); the walk descends
-diag > left > up (the DFS order of needleman-wunsch.c:305-324).
+so every engine agrees): the trivial zero-cost corner — (len1, 0), or
+(0, len2) when len1 == 0 — seeds the argmax, and an end-boundary cell
+replaces it only with a STRICTLY greater score; so a best score of 0
+always reports the empty overlap at that corner.  Among positive
+maxima the argmax takes the FIRST in anti-diagonal order, lowest row
+index within a diagonal (the Smith-Waterman rule,
+smith_waterman.sw_fill_diag); the walk descends diag > left > up (the
+DFS order of needleman-wunsch.c:305-324).
 
 Arrow bits reuse the global encoding (DIAG=1, LEFT=2, UP=4,
 needleman-wunsch.c:485-503); boundary cells get no arrows (they are
@@ -145,16 +149,6 @@ def overlap_fill_diag(
     return out
 
 
-# vmapped uniform-length array oracle (exact lengths only)
-overlap_score_array_batch = jax.jit(
-    jax.vmap(
-        lambda t, s, m, k, d: overlap_fill_diag(
-            t, s, m, k, d, with_arrows=False
-        )["score"],
-        in_axes=(0, 0, None, None, None),
-    )
-)
-
 # ragged batched fills (padded to a bucket; lens mask the argmax) —
 # any side length, pure XLA scan, no per-shape recompiles
 overlap_scores_scan_batch = jax.jit(
@@ -230,7 +224,8 @@ def overlap_traceback(
     from the boundary argmax until row 0 or column 0.
 
     Returns (X, Y, (j_start, i_start)) — the aligned overlap segment
-    and the (col, row) cell where it begins.
+    and the (row, col) cell where it begins (j indexes ``side`` = s2,
+    the table's row axis; same layout as sw_traceback's).
     """
     arrows_diag = np.asarray(arrows_diag)
     j, i = (int(x) for x in np.asarray(argmax))
@@ -261,9 +256,10 @@ def overlap_align(
 ):
     """One-shot overlap alignment: (score, X, Y, start_cell, end_cell).
 
-    ``start_cell``/``end_cell`` are (col, row) = (j, i) table
-    coordinates: the walk runs end -> start; s1[start_i:end_i] and
-    s2[start_j:end_j] are the overlapped substrings.
+    ``start_cell``/``end_cell`` are (j, i) table coordinates — j
+    indexes s2 (the row axis), i indexes s1 — the walk runs
+    end -> start; s1[start_i:end_i] and s2[start_j:end_j] are the
+    overlapped substrings.
     """
     from nw_tpu.ops.encode import encode
 
@@ -279,10 +275,11 @@ def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     """Best overlap score per pair (int32[B]).
 
     Batched production path: the row-sweep Pallas kernel on TPU
-    (:func:`nw_tpu.ops.variants_rowsweep.overlap_scores_rowsweep_batch`,
-    sides <= 512); elsewhere — and beyond the kernel's service range —
-    the vmapped ragged scan fill (any side length, one compile per
-    padded bucket, no per-pair cliff).
+    (:func:`nw_tpu.ops.variants_rowsweep.overlap_scores_rowsweep_batch`)
+    when the bucket fits its VMEM plan (fill_auto.rowsweep_scores_fit —
+    BOTH sides capped, the kernel holds the whole tops bucket in VMEM);
+    elsewhere the vmapped ragged scan fill (any lengths, one compile
+    per padded bucket, no per-pair cliff).
     """
     from nw_tpu.ops.encode import encode_batch
 
@@ -293,7 +290,9 @@ def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     ]
     tops, sides, l1, l2 = encode_batch(norm)
     on_tpu = jax.devices()[0].platform == "tpu"
-    if on_tpu and sides.shape[1] <= 512:
+    from nw_tpu.ops.fill_auto import rowsweep_scores_fit
+
+    if on_tpu and rowsweep_scores_fit(tops, sides):
         from nw_tpu.ops.variants_rowsweep import (
             overlap_scores_rowsweep_batch,
         )

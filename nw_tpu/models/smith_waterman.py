@@ -196,15 +196,15 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
         )
     interpret = jax.devices()[0].platform != "tpu"
     from nw_tpu.ops.fill_auto import (
-        ROWSWEEP_MAX_SIDE,
         ROWSWEEP_MIN_BATCH,
         _rowsweep_enabled,
+        rowsweep_scores_fit,
     )
 
     if (
         not interpret
         and _rowsweep_enabled()
-        and sides.shape[1] <= ROWSWEEP_MAX_SIDE
+        and rowsweep_scores_fit(tops, sides)
         and len(norm) >= ROWSWEEP_MIN_BATCH
     ):
         from nw_tpu.ops.variants_rowsweep import sw_scores_rowsweep_batch

@@ -47,9 +47,23 @@ FLAT_SCORES_MAX_SIDE = 256
 # faster one-pair-at-a-time in the fold layout than padded to 128 lanes
 BANDED_MIN_BATCH = 24
 # row-sweep engine bounds: sides short enough that 3 (L+1, 8, 128) VMEM
-# row/sequence buffers fit, batches big enough to fill 1024-pair blocks
+# row/sequence buffers fit, batches big enough to fill 1024-pair blocks.
+# The SCORE-family kernels (fill_rowsweep, variants_rowsweep) hold the
+# whole tops bucket in VMEM too (no L1 grid chunking — only the greedy
+# arrows kernel chunks L1), so their routes must also cap the TOP side
+# or a (long s1, short s2) bucket blows the 16 MB VMEM budget.
 ROWSWEEP_MAX_SIDE = 512
+ROWSWEEP_MAX_TOP = 512  # affine's 3 row buffers are the binding case
 ROWSWEEP_MIN_BATCH = 1024
+
+
+def rowsweep_scores_fit(tops, sides) -> bool:
+    """True when a bucket's geometry fits the score-family row-sweep
+    kernels' VMEM plan (both sequence buffers + the row buffer)."""
+    return (
+        sides.shape[1] <= ROWSWEEP_MAX_SIDE
+        and tops.shape[1] <= ROWSWEEP_MAX_TOP
+    )
 
 
 def _rowsweep_enabled() -> bool:
@@ -75,7 +89,7 @@ def fill_scores_auto(
         nb = tops.shape[0]
         if (
             _rowsweep_enabled()
-            and sides.shape[1] <= ROWSWEEP_MAX_SIDE
+            and rowsweep_scores_fit(tops, sides)
             and nb >= ROWSWEEP_MIN_BATCH
         ):
             from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch

@@ -259,6 +259,56 @@ def main() -> int:
         )
         assert (got == ref_scores).all()
 
+    def rowsweep_groups_family():
+        """groups=2 geometry (SL=16 blocks) for every other compiled
+        row-sweep engine — rowsweep_tune.py's sweep configs must have a
+        correctness cross-check (CLAUDE.md: anything compiled is
+        covered here)."""
+        from nw_tpu.models.affine import affine_score
+        from nw_tpu.models.smith_waterman import sw_fill_diag
+        from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
+        from nw_tpu.ops.fill_rowsweep import (
+            fill_scores_counts_rowsweep_batch,
+        )
+        from nw_tpu.ops.variants_rowsweep import (
+            affine_scores_rowsweep_batch,
+            sw_scores_rowsweep_batch,
+        )
+
+        w, s = fill_greedy_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, groups=2
+        )
+        assert (np.asarray(s) == ref_scores).all()
+        o2, n2 = traceback.traceback_greedy2_rowmajor_batch(
+            w[:, :, : len(ps)], l1j, l2j, max_steps=240
+        )
+        tb = lambda a, a1, a2: traceback.traceback_greedy(
+            a, a1, a2, max_steps=240
+        )
+        o1, n1 = jax.vmap(tb)(ref["arrows"], l1j, l2j)
+        assert (np.asarray(n1) == np.asarray(n2)).all()
+        sc, ct = fill_scores_counts_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, groups=2
+        )
+        assert (np.asarray(sc) == ref_scores).all()
+        assert (np.asarray(ct) == ref_counts.astype(np.uint32)).all()
+        sw = np.asarray(
+            sw_scores_rowsweep_batch(tops, sides, l1, l2, 2, 1, 1, groups=2)
+        )
+        af = np.asarray(
+            affine_scores_rowsweep_batch(
+                tops, sides, l1, l2, 2, 1, 3, 1, groups=2
+            )
+        )
+        for b in range(0, len(ps), 37):
+            a, s2 = ps[b]
+            t = jnp.asarray(enc.encode(a.encode()))
+            si = jnp.asarray(enc.encode(s2.encode()))
+            assert sw[b] == int(
+                sw_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+            )
+            assert af[b] == int(affine_score(t, si, 2, 1, 3, 1))
+
     def rowsweep_greedy():
         from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
         from nw_tpu.ops.traceback import traceback_greedy2_rowmajor_batch
@@ -539,6 +589,8 @@ def main() -> int:
     check("2-bit greedy arrows + walk", greedy2_arrows)
     check("row-sweep score kernel", rowsweep_scores)
     check("row-sweep score kernel groups=2", rowsweep_groups)
+    check("row-sweep groups=2 family (greedy/counts/SW/affine)",
+          rowsweep_groups_family)
     check("row-sweep greedy arrows + row-major walk", rowsweep_greedy)
     check("row-sweep fused score+count", rowsweep_counts)
     check("row-sweep SW + affine kernels", rowsweep_variants)
