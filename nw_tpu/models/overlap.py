@@ -314,7 +314,10 @@ def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
 
     Batched fill + vmapped device walk (one compile per padded bucket);
     host only renders the byte strings through the native batch
-    builder."""
+    builder.  Long-side batches (> 2048) run one pair at a time — the
+    batched fill materializes diagonal-major uint8 arrows (B, K, N),
+    ~200 MB per 10 kb pair, so a whole long bucket cannot sit in HBM at
+    once."""
     from nw_tpu.ops.encode import encode_batch
     from nw_tpu.ops.traceback import ops_to_strings_batch
 
@@ -325,6 +328,8 @@ def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     ]
     if not norm:
         return []
+    if max(len(b) for _, b in norm) > 2048:
+        return [overlap_align(a, b, m, k, d) for a, b in norm]
     tops, sides, l1, l2 = encode_batch(norm)
     out = _overlap_fill_batch(
         tops, sides, m, k, d, jnp.asarray(l1), jnp.asarray(l2)
