@@ -326,9 +326,13 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
             affine_scores_rowsweep_batch,
         )
 
+        from nw_tpu.ops.fill_auto import rowsweep_knobs
+
+        rows, groups = rowsweep_knobs()
         return np.asarray(
             affine_scores_rowsweep_batch(
-                tops, sides, l1, l2, m, k, open_, extend
+                tops, sides, l1, l2, m, k, open_, extend,
+                rows=rows, groups=groups,
             )
         )
     return np.asarray(

@@ -450,8 +450,12 @@ class NWAligner:
                     fill_scores_counts_rowsweep_batch,
                 )
 
+                from nw_tpu.ops.fill_auto import rowsweep_knobs
+
+                rows, groups = rowsweep_knobs()
                 scores, counts = fill_scores_counts_rowsweep_batch(
-                    tops, sides, lens1, lens2, m, k, d
+                    tops, sides, lens1, lens2, m, k, d,
+                    rows=rows, groups=groups,
                 )
             else:
                 from nw_tpu.ops.fill_pallas_banded import (
@@ -491,8 +495,12 @@ class NWAligner:
                     fill_greedy_rowsweep_batch,
                 )
 
+                from nw_tpu.ops.fill_auto import rowsweep_knobs
+
+                rows, groups = rowsweep_knobs()
                 words2, scores = fill_greedy_rowsweep_batch(
-                    tops, sides, lens1, lens2, m, k, d
+                    tops, sides, lens1, lens2, m, k, d,
+                    rows=rows, groups=groups,
                 )
                 ops, n = traceback.traceback_greedy2_rowmajor_batch(
                     words2[:, :, : len(norm)], l1j, l2j,

@@ -297,8 +297,13 @@ def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
             overlap_scores_rowsweep_batch,
         )
 
+        from nw_tpu.ops.fill_auto import rowsweep_knobs
+
+        rows, groups = rowsweep_knobs()
         return np.asarray(
-            overlap_scores_rowsweep_batch(tops, sides, l1, l2, m, k, d)
+            overlap_scores_rowsweep_batch(
+                tops, sides, l1, l2, m, k, d, rows=rows, groups=groups
+            )
         )
     return np.asarray(
         overlap_scores_scan_batch(

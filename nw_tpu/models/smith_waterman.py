@@ -209,8 +209,13 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     ):
         from nw_tpu.ops.variants_rowsweep import sw_scores_rowsweep_batch
 
+        from nw_tpu.ops.fill_auto import rowsweep_knobs
+
+        rows, groups = rowsweep_knobs()
         return np.asarray(
-            sw_scores_rowsweep_batch(tops, sides, l1, l2, m, k, d)
+            sw_scores_rowsweep_batch(
+                tops, sides, l1, l2, m, k, d, rows=rows, groups=groups
+            )
         )
     return np.asarray(
         sw_scores_pallas_batch(tops, sides, l1, l2, m, k, d, interpret=interpret)

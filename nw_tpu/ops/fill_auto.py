@@ -72,6 +72,18 @@ def _rowsweep_enabled() -> bool:
     return os.environ.get("NW_TPU_ROWSWEEP", "0") == "1"
 
 
+def rowsweep_knobs() -> "tuple[int, int]":
+    """(rows, groups) ILP knobs for the row-sweep routes.
+
+    Defaults 8/1; overridable via NW_TPU_ROWSWEEP_ROWS /
+    NW_TPU_ROWSWEEP_GROUPS so `scripts/rowsweep_tune.py`'s hardware
+    winners apply to every production route without code changes."""
+    return (
+        int(os.environ.get("NW_TPU_ROWSWEEP_ROWS", "8")),
+        int(os.environ.get("NW_TPU_ROWSWEEP_GROUPS", "1")),
+    )
+
+
 def default_platform() -> str:
     try:
         return jax.devices()[0].platform
@@ -94,8 +106,10 @@ def fill_scores_auto(
         ):
             from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch
 
+            rows, groups = rowsweep_knobs()
             return fill_scores_rowsweep_batch(
-                tops, sides, lens1, lens2, m, k, d
+                tops, sides, lens1, lens2, m, k, d,
+                rows=rows, groups=groups,
             )
         if sides.shape[1] <= FLAT_SCORES_MAX_SIDE:
             from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
