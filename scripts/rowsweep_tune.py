@@ -29,20 +29,31 @@ def main() -> int:
     from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
     from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch
 
+    from nw_tpu.ops.fill_scan import fill_scores_batch
+
     platform = jax.devices()[0].platform
     NB, L = 12288, 150
     reps = 50 if platform == "tpu" else 2
     rng = np.random.default_rng(5)
     tops, sides, lens = _rand_batch(jnp, rng, NB, L)
     cells = NB * L * L
+    # every timed config is also bit-checked against the scan oracle on
+    # the SAME batch — a wrong-but-fast geometry must not win the sweep
+    want = np.asarray(
+        fill_scores_batch(tops, sides, 2, 1, 1,
+                          jnp.asarray(lens), jnp.asarray(lens))
+    )
 
     grid = [(r, g) for r in (4, 8, 16) for g in (1, 2, 4)]
     best = {}
-    for name, make in (
+    for name, make, scores_of in (
         (
             "score",
             lambda r, g: lambda t: fill_scores_rowsweep_batch(
                 t, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+            ),
+            lambda r, g: fill_scores_rowsweep_batch(
+                tops, sides, lens, lens, 2, 1, 1, rows=r, groups=g
             ),
         ),
         (
@@ -54,12 +65,20 @@ def main() -> int:
                     t, sides, lens, lens, 2, 1, 1, rows=r, groups=g
                 )
             ),
+            lambda r, g: fill_greedy_rowsweep_batch(
+                tops, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+            )[1],
         ),
     ):
         print(f"== {name} kernel, {NB}x{L}bp ({platform}) ==", flush=True)
         top = (0.0, None)
         for r, g in grid:
             try:
+                got = np.asarray(scores_of(r, g))
+                if not (got == want).all():
+                    print(f"rows={r:2d} groups={g}  WRONG OUTPUT — skipped",
+                          flush=True)
+                    continue
                 per_call = _timed_scan(make(r, g), tops, reps)
             except Exception as e:  # infeasible geometry: report, move on
                 print(f"rows={r:2d} groups={g}  FAILED: {type(e).__name__}",
