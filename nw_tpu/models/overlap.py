@@ -274,12 +274,13 @@ def overlap_align(
 def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     """Best overlap score per pair (int32[B]).
 
-    Batched production path: the row-sweep Pallas kernel on TPU
+    Batched production path on TPU: the row-sweep Pallas kernel
     (:func:`nw_tpu.ops.variants_rowsweep.overlap_scores_rowsweep_batch`)
-    when the bucket fits its VMEM plan (fill_auto.rowsweep_scores_fit —
-    BOTH sides capped, the kernel holds the whole tops bucket in VMEM);
-    elsewhere the vmapped ragged scan fill (any lengths, one compile
-    per padded bucket, no per-pair cliff).
+    when the bucket fits its VMEM plan (fill_auto.rowsweep_scores_fit);
+    the banded kernel
+    (:func:`nw_tpu.ops.variants_banded.overlap_scores_banded_batch`)
+    at ANY side length beyond.  Elsewhere the vmapped ragged scan fill
+    (one compile per padded bucket, no per-pair cliff).
     """
     from nw_tpu.ops.encode import encode_batch
 
@@ -304,6 +305,12 @@ def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
             overlap_scores_rowsweep_batch(
                 tops, sides, l1, l2, m, k, d, rows=rows, groups=groups
             )
+        )
+    if on_tpu:
+        from nw_tpu.ops.variants_banded import overlap_scores_banded_batch
+
+        return np.asarray(
+            overlap_scores_banded_batch(tops, sides, l1, l2, m, k, d)
         )
     return np.asarray(
         overlap_scores_scan_batch(

@@ -395,6 +395,185 @@ def sw_scores_banded_batch(
     return best[0, :nb]
 
 
+def _make_banded_overlap_kernel(RB: int, C: int, off: int, unroll: int):
+    """Overlap (semi-global) banded score kernel; grid
+    (batch_blocks, T_pad // C).
+
+    The SW kernel's band machinery with models/overlap.py's recurrence:
+    NO zero clamp — instead the FREE boundaries are pinned (column 0 +
+    the skew warm-up i <= 0, and the table's row 0 jg == 0, are
+    literal zeros; free leading gaps), and the running best is masked
+    to the END boundary (i == len1 or jg == len2) of each pair's true
+    rectangle (free trailing gaps).  One boundary stream (last-row
+    scores), exactly as SW's.  Band 0's injected parent stream is
+    irrelevant: its physical row 0 is jg == 0, pinned.
+    """
+
+    def kernel(*refs):
+        (
+            s_ref, tops_ref, sides_ref, lens_ref, bnda_ref, bndb_ref,
+            best_ref, bndout_ref, prev_ref, prev2sh_ref, ch_ref,
+            bscr_ref, stage_ref, brow_ref,
+        ) = refs
+        BT = lens_ref.shape[1]
+        c = pl.program_id(1)
+        m = s_ref[0]
+        kmis = s_ref[1]
+        d = s_ref[2]
+        j0 = s_ref[5]
+
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (RB, BT), 0)
+        jg = j_iota + j0
+        len1 = lens_ref[0:1, :]
+        len2 = lens_ref[1:2, :]
+
+        @pl.when(c == 0)
+        def _init():
+            prev_ref[...] = jnp.full((RB, BT), NEG, jnp.int32)
+            prev2sh_ref[...] = jnp.full((RB, BT), NEG, jnp.int32)
+            ch_ref[...] = jnp.full((RB, BT), -4, jnp.int32)
+            brow_ref[...] = jnp.zeros((RB, BT), jnp.int32)
+            best_ref[...] = jnp.zeros((1, BT), jnp.int32)
+
+        bscr_ref[0 : C - off, :] = bnda_ref[off:C, :]
+        if off:
+            bscr_ref[C - off : C, :] = bndb_ref[0:off, :]
+
+        side_ch = sides_ref[...]
+        zero = jnp.zeros((RB, BT), jnp.int32)
+
+        def substep(t, tl, prev, prev2sh, ch):
+            new_top = tops_ref[pl.ds(tl, 1), :]
+            ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
+            sub = jnp.where(ch == side_ch, m, -kmis)
+
+            inj = bscr_ref[pl.ds(tl, 1), :]
+            prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
+            cand_d = prev2sh + sub
+            score = jnp.maximum(
+                cand_d, jnp.maximum(prev_sh, prev) - d
+            )
+            i_val = t - j_iota  # column index (local diag t = i + jj)
+            # free boundaries: column 0 (+ warm-up, which only ever
+            # feeds it) and the table's row 0 are literal zeros
+            score = jnp.where((i_val <= 0) | (jg == 0), zero, score)
+
+            r8 = jnp.bitwise_and(tl, 7)
+            stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
+
+            @pl.when(r8 == 7)
+            def _():
+                bndout_ref[pl.ds(tl - 7, 8), :] = stage_ref[...]
+
+            on_end = (
+                (jg >= 1) & (jg <= len2) & (i_val >= 1) & (i_val <= len1)
+                & ((i_val == len1) | (jg == len2))
+            )
+            brow_ref[...] = jnp.maximum(
+                brow_ref[...], jnp.where(on_end, score, zero)
+            )
+            return score, prev_sh, ch
+
+        def step(i, _):
+            tl0 = i * unroll
+            prev = prev_ref[...]
+            prev2sh = prev2sh_ref[...]
+            ch = ch_ref[...]
+            for u in range(unroll):
+                tl = tl0 + u
+                prev, prev2sh, ch = substep(c * C + tl, tl, prev, prev2sh, ch)
+            prev_ref[...] = prev
+            prev2sh_ref[...] = prev2sh
+            ch_ref[...] = ch
+            return 0
+
+        jax.lax.fori_loop(0, C // unroll, step, 0)
+
+        @pl.when(c == pl.num_programs(1) - 1)
+        def _finish():
+            best_ref[...] = jnp.max(brow_ref[...], axis=0, keepdims=True)
+
+    return kernel
+
+
+def build_overlap_call(RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT,
+                       interpret):
+    """The compiled overlap band sweep.  Outs: best, bndout."""
+    in_specs, out_specs = _banded_specs(RB, C, lag0, BT, 1)
+    return pl.pallas_call(
+        _make_banded_overlap_kernel(RB, C, off, unroll),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+            jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(nb_pad // BT, T_pad // C),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            scratch_shapes=[
+                pltpu.VMEM((RB, BT), jnp.int32),  # prev
+                pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2)
+                pltpu.VMEM((RB, BT), jnp.int32),  # rolling top chars
+                pltpu.VMEM((C, BT), jnp.int32),   # boundary window
+                pltpu.VMEM((8, BT), jnp.int32),   # boundary staging
+                pltpu.VMEM((RB, BT), jnp.int32),  # per-row masked best
+            ],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("interpret", "block_pairs", "band_rows", "chunk", "unroll"),
+)
+def overlap_scores_banded_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    chunk: int = DEFAULT_CHUNK,
+    unroll: int = DEFAULT_UNROLL,
+):
+    """Best overlap (end-gap-free) score per pair at ANY side length
+    (models/overlap.py semantics; >= 0)."""
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    if nb == 0:
+        return jnp.zeros((0,), jnp.int32)
+    BT = block_pairs
+    N = Bs + 1
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+    call = build_overlap_call(
+        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret
+    )
+
+    # band 0's parent stream is unused (row 0 is pinned); dummy NEG
+    bnd0 = jnp.full((U_pad, nb_pad), NEG, jnp.int32)
+    best0 = jnp.zeros((1, nb_pad), jnp.int32)
+
+    def band_body(carry, r):
+        best, bnd = carry
+        s = _variant_scalars(m, k, d, 0, r, RB, lens, nb)
+        part, bnd = call(s, tops_sh, sides_sh, lens, bnd, bnd)
+        return (jnp.maximum(best, part), bnd), None
+
+    (best, _), _ = jax.lax.scan(
+        band_body, (best0, bnd0), jnp.arange(nbands, dtype=jnp.int32)
+    )
+    return best[0, :nb]
+
+
 def _make_banded_affine_kernel(RB: int, C: int, off: int, unroll: int):
     """Gotoh banded kernel; two boundary streams (iy-chain, best).
 

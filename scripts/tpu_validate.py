@@ -352,6 +352,40 @@ def main() -> int:
             )
             assert got[b] == want, b
 
+    def banded_overlap():
+        from nw_tpu.models.overlap import overlap_fill_diag
+        from nw_tpu.ops.variants_banded import overlap_scores_banded_batch
+
+        got = np.asarray(
+            overlap_scores_banded_batch(tops, sides, l1, l2, 2, 1, 1)
+        )
+        for b in range(0, len(ps), 23):
+            a, s2 = ps[b]
+            t = jnp.asarray(enc.encode(a.encode()))
+            si = jnp.asarray(enc.encode(s2.encode()))
+            want = int(
+                overlap_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+            )
+            assert got[b] == want, b
+        # long-side production geometry
+        rngl = np.random.default_rng(97)
+        L = 4000
+        psl = [
+            (rngl.integers(65, 69, L).astype(np.uint8).tobytes(),
+             rngl.integers(65, 69, L - 63).astype(np.uint8).tobytes())
+            for _ in range(3)
+        ]
+        tl, sl, a1, a2 = enc.encode_batch(psl)
+        gl = np.asarray(
+            overlap_scores_banded_batch(tl, sl, a1, a2, 2, 1, 1)
+        )
+        a, s2 = psl[0]
+        t = jnp.asarray(enc.encode(a))
+        si = jnp.asarray(enc.encode(s2))
+        assert gl[0] == int(
+            overlap_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+        )
+
     def rowsweep_variants():
         from nw_tpu.models.affine import affine_score
         from nw_tpu.models.smith_waterman import sw_fill_diag
@@ -595,6 +629,7 @@ def main() -> int:
     check("row-sweep fused score+count", rowsweep_counts)
     check("row-sweep SW + affine kernels", rowsweep_variants)
     check("row-sweep overlap (semi-global) kernel", rowsweep_overlap)
+    check("banded overlap kernel (incl. 4kb long-side)", banded_overlap)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
     check("banded SW + affine FULL tracebacks", banded_variant_tracebacks)
     check("small-batch long-side SW/Gotoh alignments", small_batch_long_variants)

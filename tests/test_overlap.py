@@ -147,6 +147,40 @@ def test_overlap_score_batch_long_sides_no_cliff():
     assert got[0] == np_overlap_score(a, b, 2, 1, 1)
 
 
+@pytest.mark.parametrize("mkd", [(2, 1, 1), (-2, 3, -1)])
+def test_overlap_banded_vs_oracle(mkd):
+    """Banded overlap score kernel (any side length) vs the scan
+    oracle — ragged lengths crossing band boundaries, both parameter
+    signs (the free-boundary pins must hold for negative d too)."""
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.variants_banded import overlap_scores_banded_batch
+
+    m, k, d = mkd
+    rng = np.random.default_rng(89 + m + k + d)
+    ps = []
+    for L1, L2 in [(300, 290), (127, 260), (5, 300), (300, 5), (0, 80),
+                   (80, 0), (257, 257), (33, 190)]:
+        a = rng.integers(65, 69, L1).astype(np.uint8).tobytes()
+        b = rng.integers(65, 69, L2).astype(np.uint8).tobytes()
+        ps.append((a, b))
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    got = np.asarray(
+        overlap_scores_banded_batch(
+            tops, sides, l1, l2, m, k, d, interpret=True,
+            band_rows=32, chunk=64, unroll=8,
+        )
+    )
+    for b_i, (a, b) in enumerate(ps):
+        want = int(
+            overlap_fill_diag(
+                jnp.asarray(enc.encode(a)), jnp.asarray(enc.encode(b)),
+                m, k, d, with_arrows=False,
+            )["score"]
+        )
+        assert got[b_i] == want, (b_i, len(a), len(b))
+
+
 def test_overlap_score_batch_routes():
     rng = np.random.default_rng(73)
     ps = _pairs(rng, 10, 0, 20) + EDGE
