@@ -427,6 +427,35 @@ def bench_variants(NB=10240, L=150, reps=20):
     )
 
 
+def bench_variants_banded(NB=128, L=10240, reps=5):
+    """Banded variant score kernels at the 10 kb regime (the PERF.md
+    SW/Gotoh banded rows, regenerated rather than hand-run; overlap
+    rides the same machinery)."""
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.variants_banded import (
+        affine_scores_banded_batch,
+        overlap_scores_banded_batch,
+        sw_scores_banded_batch,
+    )
+
+    rng = np.random.default_rng(9)
+    tops, sides, lens = _rand_batch(jnp, rng, NB, L)
+    for name, fn in (
+        ("Smith-Waterman", lambda t: sw_scores_banded_batch(
+            t, sides, lens, lens, 2, 1, 1)),
+        ("Gotoh affine", lambda t: affine_scores_banded_batch(
+            t, sides, lens, lens, 2, 1, 3, 1)),
+        ("Overlap (semi-global)", lambda t: overlap_scores_banded_batch(
+            t, sides, lens, lens, 2, 1, 1)),
+    ):
+        per = _timed_scan(fn, tops, reps)
+        _emit(
+            f"{name} score fill (banded), {NB}x{L//1024}kb",
+            round(NB * L * L / per / 1e9, 2), "GCUPS",
+        )
+
+
 def main() -> None:
     # persistent compile cache: a fresh bench process otherwise pays
     # ~4-5 min of XLA compiles before the first row (the config-2 scan
@@ -483,6 +512,7 @@ def main() -> None:
     bench_e2e_150()
     bench_sharded(mesh_n)
     bench_variants()
+    bench_variants_banded()
     bench_variant_tracebacks()
     bench_huge_pair()
     bench_huge_sharded(mesh_devices=mesh_n)
