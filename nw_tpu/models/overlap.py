@@ -40,6 +40,10 @@ import numpy as np
 
 from nw_tpu.ops.fill_scan import NEG_INF
 
+# overlap_align_batch sub-batch sizing: the fill's diagonal-major uint8
+# arrows (B, K, N) held at once are capped to this many bytes
+ALIGN_ARROWS_HBM_BUDGET = 1_000_000_000
+
 
 @functools.partial(jax.jit, static_argnames=("with_arrows",))
 def overlap_fill_diag(
@@ -326,12 +330,11 @@ def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
 
     Batched fill + vmapped device walk (one compile per padded bucket);
     host only renders the byte strings through the native batch
-    builder.  Long-side batches (> 2048) run one pair at a time — the
-    batched fill materializes diagonal-major uint8 arrows (B, K, N),
-    ~200 MB per 10 kb pair, so a whole long bucket cannot sit in HBM at
-    once."""
+    builder.  The batched fill materializes diagonal-major uint8 arrows
+    (B, K, N) — ~200 MB per 10 kb pair — so long-side batches are
+    auto-split into sub-batches whose arrows fit ~1 GB of HBM at a
+    time (one compile per sub-batch shape, not per pair)."""
     from nw_tpu.ops.encode import encode_batch
-    from nw_tpu.ops.traceback import ops_to_strings_batch
 
     norm = [
         (a.encode() if isinstance(a, str) else bytes(a),
@@ -340,8 +343,24 @@ def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     ]
     if not norm:
         return []
-    if max(len(b) for _, b in norm) > 2048:
-        return [overlap_align(a, b, m, k, d) for a, b in norm]
+    A = max((len(a) for a, _ in norm), default=0)
+    Bs = max((len(b) for _, b in norm), default=0)
+    per_pair = (A + Bs + 1) * (Bs + 1)  # arrows bytes (uint8)
+    chunk = max(1, int(ALIGN_ARROWS_HBM_BUDGET // max(per_pair, 1)))
+    if chunk < len(norm):
+        out = []
+        for i in range(0, len(norm), chunk):
+            out.extend(_overlap_align_bucket(norm[i : i + chunk], m, k, d))
+        return out
+    return _overlap_align_bucket(norm, m, k, d)
+
+
+def _overlap_align_bucket(norm, m, k, d):
+    """One HBM-sized sub-batch of overlap alignments (see
+    overlap_align_batch)."""
+    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.traceback import ops_to_strings_batch
+
     tops, sides, l1, l2 = encode_batch(norm)
     out = _overlap_fill_batch(
         tops, sides, m, k, d, jnp.asarray(l1), jnp.asarray(l2)

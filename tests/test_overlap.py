@@ -181,6 +181,19 @@ def test_overlap_banded_vs_oracle(mkd):
         assert got[b_i] == want, (b_i, len(a), len(b))
 
 
+def test_overlap_align_batch_chunked(monkeypatch):
+    """The HBM-budget auto-split produces identical results to one
+    bucket (sub-batch boundaries must not change any alignment)."""
+    import nw_tpu.models.overlap as ov
+
+    rng = np.random.default_rng(101)
+    ps = _pairs(rng, 11, 0, 24) + EDGE
+    whole = ov.overlap_align_batch(ps, 2, 1, 1)
+    monkeypatch.setattr(ov, "ALIGN_ARROWS_HBM_BUDGET", 2000)
+    chunked = ov.overlap_align_batch(ps, 2, 1, 1)
+    assert chunked == whole
+
+
 def test_overlap_score_batch_routes():
     rng = np.random.default_rng(73)
     ps = _pairs(rng, 10, 0, 20) + EDGE
