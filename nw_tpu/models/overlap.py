@@ -345,6 +345,30 @@ def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
         return []
     A = max((len(a) for a, _ in norm), default=0)
     Bs = max((len(b) for _, b in norm), default=0)
+    if Bs > 2048 and jax.devices()[0].platform == "tpu":
+        # long sides on TPU: the banded checkpointed walk engine — the
+        # full arrows are never materialized (group re-fills), so no
+        # HBM sub-batching is needed at any length
+        from nw_tpu.ops.encode import encode_batch
+        from nw_tpu.ops.traceback import ops_to_strings_batch
+        from nw_tpu.ops.variants_banded import (
+            overlap_traceback_banded_batch,
+        )
+
+        tops, sides, l1, l2 = encode_batch(norm)
+        best, jst, ist, j_end, i_end, ops, n = (
+            overlap_traceback_banded_batch(tops, sides, l1, l2, m, k, d)
+        )
+        trunc = [
+            (s1[: int(ist[b])], s2[: int(jst[b])])
+            for b, (s1, s2) in enumerate(norm)
+        ]
+        strs = ops_to_strings_batch(ops, n, trunc)
+        return [
+            (int(best[b]), X, Y, (int(j_end[b]), int(i_end[b])),
+             (int(jst[b]), int(ist[b])))
+            for b, (X, Y) in enumerate(strs)
+        ]
     per_pair = (A + Bs + 1) * (Bs + 1)  # arrows bytes (uint8)
     chunk = max(1, int(ALIGN_ARROWS_HBM_BUDGET // max(per_pair, 1)))
     if chunk < len(norm):

@@ -395,8 +395,11 @@ def sw_scores_banded_batch(
     return best[0, :nb]
 
 
-def _make_banded_overlap_kernel(RB: int, C: int, off: int, unroll: int):
-    """Overlap (semi-global) banded score kernel; grid
+def _make_banded_overlap_kernel(
+    RB: int, C: int, off: int, unroll: int,
+    with_words: bool = False, with_argmax: bool = False,
+):
+    """Overlap (semi-global) banded kernel; grid
     (batch_blocks, T_pad // C).
 
     The SW kernel's band machinery with models/overlap.py's recurrence:
@@ -407,14 +410,37 @@ def _make_banded_overlap_kernel(RB: int, C: int, off: int, unroll: int):
     rectangle (free trailing gaps).  One boundary stream (last-row
     scores), exactly as SW's.  Band 0's injected parent stream is
     irrelevant: its physical row 0 is jg == 0, pinned.
+
+    ``with_words``: 2-bit greedy codes, 16 cells/word — 0 diag /
+    1 left / 2 up / 3 STOP.  STOP marks exactly the pinned free
+    boundaries, so the SW group-walk machinery stops there unchanged
+    (the scan walker's i==0/j==0 rule).  ``with_argmax``: per-band
+    (kk*, j*) of the end-boundary max, scan tie rules.
     """
+    P = 16
 
     def kernel(*refs):
-        (
-            s_ref, tops_ref, sides_ref, lens_ref, bnda_ref, bndb_ref,
-            best_ref, bndout_ref, prev_ref, prev2sh_ref, ch_ref,
-            bscr_ref, stage_ref, brow_ref,
-        ) = refs
+        it = iter(refs)
+        s_ref = next(it)
+        tops_ref = next(it)
+        sides_ref = next(it)
+        lens_ref = next(it)
+        bnda_ref = next(it)
+        bndb_ref = next(it)
+        words_ref = next(it) if with_words else None
+        best_ref = next(it)
+        if with_argmax:
+            kstar_ref = next(it)
+            jstar_ref = next(it)
+        bndout_ref = next(it)
+        prev_ref = next(it)
+        prev2sh_ref = next(it)
+        ch_ref = next(it)
+        bscr_ref = next(it)
+        stage_ref = next(it)
+        brow_ref = next(it)
+        if with_argmax:
+            bk_ref = next(it)
         BT = lens_ref.shape[1]
         c = pl.program_id(1)
         m = s_ref[0]
@@ -434,6 +460,10 @@ def _make_banded_overlap_kernel(RB: int, C: int, off: int, unroll: int):
             ch_ref[...] = jnp.full((RB, BT), -4, jnp.int32)
             brow_ref[...] = jnp.zeros((RB, BT), jnp.int32)
             best_ref[...] = jnp.zeros((1, BT), jnp.int32)
+            if with_argmax:
+                bk_ref[...] = jnp.zeros((RB, BT), jnp.int32)
+                kstar_ref[...] = jnp.full((1, BT), BIG, jnp.int32)
+                jstar_ref[...] = jnp.full((1, BT), BIG, jnp.int32)
 
         bscr_ref[0 : C - off, :] = bnda_ref[off:C, :]
         if off:
@@ -442,7 +472,7 @@ def _make_banded_overlap_kernel(RB: int, C: int, off: int, unroll: int):
         side_ch = sides_ref[...]
         zero = jnp.zeros((RB, BT), jnp.int32)
 
-        def substep(t, tl, prev, prev2sh, ch):
+        def substep(t, tl, r16, prev, prev2sh, ch, pack):
             new_top = tops_ref[pl.ds(tl, 1), :]
             ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
             sub = jnp.where(ch == side_ch, m, -kmis)
@@ -450,13 +480,32 @@ def _make_banded_overlap_kernel(RB: int, C: int, off: int, unroll: int):
             inj = bscr_ref[pl.ds(tl, 1), :]
             prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
             cand_d = prev2sh + sub
-            score = jnp.maximum(
+            raw = jnp.maximum(
                 cand_d, jnp.maximum(prev_sh, prev) - d
             )
             i_val = t - j_iota  # column index (local diag t = i + jj)
+            pin = (i_val <= 0) | (jg == 0)
             # free boundaries: column 0 (+ warm-up, which only ever
             # feeds it) and the table's row 0 are literal zeros
-            score = jnp.where((i_val <= 0) | (jg == 0), zero, score)
+            score = jnp.where(pin, zero, raw)
+
+            if with_words:
+                raw_d = raw + d
+                arrows = jnp.where(
+                    pin,
+                    jnp.int32(3),  # STOP: free boundary, walk ends
+                    jnp.where(
+                        cand_d == raw,
+                        jnp.int32(0),
+                        jnp.where(
+                            prev == raw_d, jnp.int32(1), jnp.int32(2)
+                        ),
+                    ),
+                )
+                word = arrows << (r16 * 2)
+                pack = word if r16 == 0 else pack | word
+                if r16 == P - 1:
+                    words_ref[pl.ds(tl // P, 1), :, :] = pack[None]
 
             r8 = jnp.bitwise_and(tl, 7)
             stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
@@ -469,19 +518,26 @@ def _make_banded_overlap_kernel(RB: int, C: int, off: int, unroll: int):
                 (jg >= 1) & (jg <= len2) & (i_val >= 1) & (i_val <= len1)
                 & ((i_val == len1) | (jg == len2))
             )
-            brow_ref[...] = jnp.maximum(
-                brow_ref[...], jnp.where(on_end, score, zero)
-            )
-            return score, prev_sh, ch
+            sc = jnp.where(on_end, score, zero)
+            if with_argmax:
+                u = sc > brow_ref[...]
+                brow_ref[...] = jnp.where(u, sc, brow_ref[...])
+                bk_ref[...] = jnp.where(u, t + j0, bk_ref[...])
+            else:
+                brow_ref[...] = jnp.maximum(brow_ref[...], sc)
+            return score, prev_sh, ch, pack
 
         def step(i, _):
             tl0 = i * unroll
             prev = prev_ref[...]
             prev2sh = prev2sh_ref[...]
             ch = ch_ref[...]
+            pack = None
             for u in range(unroll):
                 tl = tl0 + u
-                prev, prev2sh, ch = substep(c * C + tl, tl, prev, prev2sh, ch)
+                prev, prev2sh, ch, pack = substep(
+                    c * C + tl, tl, u % P, prev, prev2sh, ch, pack
+                )
             prev_ref[...] = prev
             prev2sh_ref[...] = prev2sh
             ch_ref[...] = ch
@@ -491,34 +547,82 @@ def _make_banded_overlap_kernel(RB: int, C: int, off: int, unroll: int):
 
         @pl.when(c == pl.num_programs(1) - 1)
         def _finish():
-            best_ref[...] = jnp.max(brow_ref[...], axis=0, keepdims=True)
+            best = jnp.max(brow_ref[...], axis=0, keepdims=True)
+            best_ref[...] = best
+            if with_argmax:
+                # scan tie rule within the band: first diagonal kk
+                # achieving the max, then lowest (global) row; pairs
+                # whose band max is 0 keep the BIG sentinel so the
+                # zero-score corner default wins the global merge
+                hit = (brow_ref[...] == best) & (best > 0)
+                big = jnp.int32(BIG)
+                kst = jnp.min(
+                    jnp.where(hit, bk_ref[...], big), axis=0, keepdims=True
+                )
+                kstar_ref[...] = kst
+                jstar_ref[...] = jnp.min(
+                    jnp.where(hit & (bk_ref[...] == kst), jg, big),
+                    axis=0, keepdims=True,
+                )
 
     return kernel
 
 
 def build_overlap_call(RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT,
-                       interpret):
-    """The compiled overlap band sweep.  Outs: best, bndout."""
+                       interpret, with_words=False, with_argmax=False):
+    """The compiled overlap band sweep.  Outs: [words], best,
+    [kk*, j*], bndout."""
+    P = 16
+    if with_words and unroll % P:
+        raise ValueError(f"unroll must be a multiple of {P} for 2-bit packing")
+    if with_words and C % P:
+        raise ValueError(f"chunk must be a multiple of {P}, got {C}")
     in_specs, out_specs = _banded_specs(RB, C, lag0, BT, 1)
-    return pl.pallas_call(
-        _make_banded_overlap_kernel(RB, C, off, unroll),
-        out_shape=(
+    out_shapes = [
+        jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
+    ]
+    if with_argmax:
+        out_shapes[1:1] = [
             jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
-            jax.ShapeDtypeStruct((U_pad, nb_pad), jnp.int32),
-        ),
+            jax.ShapeDtypeStruct((1, nb_pad), jnp.int32),
+        ]
+        out_specs[1:1] = [
+            pl.BlockSpec(
+                (1, BT), lambda b, c, s: (0, b), memory_space=pltpu.VMEM
+            )
+        ] * 2
+    if with_words:
+        out_shapes.insert(
+            0, jax.ShapeDtypeStruct((1, T_pad // P, RB, nb_pad), jnp.int32)
+        )
+        out_specs.insert(
+            0,
+            pl.BlockSpec(
+                (None, C // P, RB, BT), lambda b, c, s: (0, c, 0, b),
+                memory_space=pltpu.VMEM,
+            ),
+        )
+    scratch = [
+        pltpu.VMEM((RB, BT), jnp.int32),  # prev
+        pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2)
+        pltpu.VMEM((RB, BT), jnp.int32),  # rolling top chars
+        pltpu.VMEM((C, BT), jnp.int32),   # boundary window
+        pltpu.VMEM((8, BT), jnp.int32),   # boundary staging
+        pltpu.VMEM((RB, BT), jnp.int32),  # per-row masked best
+    ]
+    if with_argmax:
+        scratch.append(pltpu.VMEM((RB, BT), jnp.int32))  # first-kk per row
+    return pl.pallas_call(
+        _make_banded_overlap_kernel(RB, C, off, unroll, with_words,
+                                    with_argmax),
+        out_shape=tuple(out_shapes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(nb_pad // BT, T_pad // C),
             in_specs=in_specs,
             out_specs=tuple(out_specs),
-            scratch_shapes=[
-                pltpu.VMEM((RB, BT), jnp.int32),  # prev
-                pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2)
-                pltpu.VMEM((RB, BT), jnp.int32),  # rolling top chars
-                pltpu.VMEM((C, BT), jnp.int32),   # boundary window
-                pltpu.VMEM((8, BT), jnp.int32),   # boundary staging
-                pltpu.VMEM((RB, BT), jnp.int32),  # per-row masked best
-            ],
+            scratch_shapes=scratch,
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -572,6 +676,208 @@ def overlap_scores_banded_batch(
         band_body, (best0, bnd0), jnp.arange(nbands, dtype=jnp.int32)
     )
     return best[0, :nb]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "block_pairs", "band_rows", "chunk", "unroll",
+        "group_bands",
+    ),
+)
+def _overlap_walk_device(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool,
+    block_pairs: int,
+    band_rows: int,
+    chunk: int,
+    unroll: int,
+    group_bands: int,
+):
+    """Device part of the banded overlap traceback (see
+    :func:`overlap_traceback_banded_batch`): returns (best, j*, i*,
+    j_end, i_end, ops4, total) — (j*, i*) the END-boundary argmax the
+    walk starts from, (j_end, i_end) the free-boundary cell it stops
+    at."""
+    import math
+
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    BT = block_pairs
+    N = Bs + 1
+    S = group_bands
+    q = unroll * 16 // math.gcd(unroll, 16)
+    chunk = -(-chunk // q) * q
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    ngroups = -(-nbands // S)
+    nbands = ngroups * S
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+    score_call = build_overlap_call(
+        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+        with_argmax=True,
+    )
+    WALK_UNROLL = 16
+    words_call = build_overlap_call(
+        RB, C, off, lag0, WALK_UNROLL, T_pad, U_pad, nb_pad, BT, interpret,
+        with_words=True,
+    )
+
+    # ---- pass 1: score sweep with per-group checkpoints + global argmax
+    bnd0 = jnp.full((U_pad, nb_pad), NEG, jnp.int32)
+    best0 = jnp.zeros((1, nb_pad), jnp.int32)
+    k0 = jnp.full((1, nb_pad), BIG, jnp.int32)
+    j0v = jnp.full((1, nb_pad), BIG, jnp.int32)
+
+    def group_fwd(carry, g):
+        best, kst, jst, bnd = carry
+        cp = bnd
+
+        def band_fwd(c2, rr):
+            best2, kst2, jst2, bnd2 = c2
+            s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
+            pb, pk, pj, bnd2 = score_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
+            better = pb > best2
+            upd = better | (
+                (pb == best2)
+                & ((pk < kst2) | ((pk == kst2) & (pj < jst2)))
+            )
+            return (
+                jnp.maximum(best2, pb),
+                jnp.where(upd, pk, kst2),
+                jnp.where(upd, pj, jst2),
+                bnd2,
+            ), None
+
+        (best, kst, jst, bnd), _ = jax.lax.scan(
+            band_fwd, (best, kst, jst, bnd), jnp.arange(S, dtype=jnp.int32)
+        )
+        return (best, kst, jst, bnd), cp
+
+    (best, kst, jst, _), cps = jax.lax.scan(
+        group_fwd, (best0, k0, j0v, bnd0),
+        jnp.arange(ngroups, dtype=jnp.int32),
+    )
+    best = best[0, :nb]
+    kst = kst[0, :nb]
+    jst = jst[0, :nb]
+    l1 = jnp.asarray(lens1, jnp.int32)
+    l2 = jnp.asarray(lens2, jnp.int32)
+    # best == 0: the trivial zero-cost corner (models/overlap.py rule)
+    kst = jnp.where(best > 0, kst, jnp.where(l1 > 0, l1, l2))
+    jst = jnp.where(best > 0, jst, jnp.where(l1 > 0, 0, l2))
+    ist = kst - jst
+
+    # ---- pass 2: per group (descending): words re-fill + local walk
+    T16 = T_pad // 16
+    WU = 16
+    cap = -(-(A + S * RB + 1) // WU) * WU
+    b_ar = jnp.arange(nb, dtype=jnp.int32)
+
+    def group_walk(carry, idx):
+        i, j, done = carry
+        g = ngroups - 1 - idx
+
+        def band_refill(bnd2, rr):
+            s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
+            words, _, bnd2 = words_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
+            return bnd2, words[0]
+
+        _, words = jax.lax.scan(
+            band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
+        )
+        words_flat = words.reshape(-1)
+        g0 = g * S * RB
+
+        def cond(st):
+            i2, j2, done2, tl, _, _ = st
+            return jnp.any(~done2 & (j2 >= g0)) & (tl < cap)
+
+        def body(st):
+            i2, j2, done2, tl, ops_g, ng = st
+            op_rows = []
+            for _ in range(WU):
+                inside = (~done2) & (j2 >= g0)
+                jl = jnp.clip(j2 - g0, 0, S * RB - 1)
+                rr = jl // RB
+                jj = jl - rr * RB
+                t = jnp.clip(i2 + jj, 0, T_pad - 1)
+                lin = ((rr * T16 + (t >> 4)) * RB + jj) * nb_pad + b_ar
+                w = words_flat[lin]
+                # 2-bit code: 0 diag / 1 left / 2 up / 3 STOP — STOP
+                # is a pinned free-boundary cell (i == 0 or j == 0)
+                a = (w >> ((t & 15) * 2)) & 3
+                active = inside & (a != 3)
+                done2 = done2 | (inside & (a == 3))
+                op = a.astype(jnp.int8)
+                op_rows.append(jnp.where(active, op, OP_NONE))
+                di = jnp.where(active & (a != OP_UP), 1, 0)
+                dj = jnp.where(active & (a != OP_LEFT), 1, 0)
+                i2 = i2 - di
+                j2 = j2 - dj
+                ng = ng + active
+            ops_g = jax.lax.dynamic_update_slice(
+                ops_g, jnp.stack(op_rows), (tl, 0)
+            )
+            return (i2, j2, done2, tl + WU, ops_g, ng)
+
+        ops_g0 = jnp.full((cap, nb), OP_NONE, jnp.int8)
+        ng0 = jnp.zeros((nb,), jnp.int32)
+        i, j, done, _, ops_g, ng = jax.lax.while_loop(
+            cond, body, (i, j, done, jnp.int32(0), ops_g0, ng0)
+        )
+        return (i, j, done), (ops_g, ng)
+
+    done0 = jnp.zeros((nb,), bool)
+    (i_end, j_end, _), (ops_stack, ng_stack) = jax.lax.scan(
+        group_walk, (ist, jst, done0), jnp.arange(ngroups, dtype=jnp.int32)
+    )
+    from nw_tpu.ops.banded_traceback import device_stitch_pack
+
+    ops4, total = device_stitch_pack(ops_stack, ng_stack, A + Bs, cap, nb)
+    return best, jst, ist, j_end, i_end, ops4, total
+
+
+def overlap_traceback_banded_batch(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool = False,
+    block_pairs: int = LANES,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    chunk: int = 192,
+    unroll: int = DEFAULT_UNROLL,
+    group_bands: int = 8,
+):
+    """Batched overlap full alignments at ANY side length.
+
+    The overlap counterpart of :func:`sw_traceback_banded_batch`: a
+    checkpoint pass with the END-boundary global argmax (scan tie
+    rules: zero-score corner default, else first diagonal then lowest
+    row), then descending group re-fills with the batched walk stopping
+    at the pinned free-boundary STOP codes.  Returns (best int32[B],
+    j* int32[B], i* int32[B] — the alignment END cell, j_end, i_end —
+    the alignment START cell, ops int8[B, S], n int32[B])."""
+    import numpy as np
+
+    from nw_tpu.ops.banded_traceback import unpack_ops4
+
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    out = _overlap_walk_device(
+        tops, sides, lens1, lens2, m, k, d,
+        interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
+        chunk=chunk, unroll=unroll, group_bands=group_bands,
+    )
+    best, jst, ist, j_end, i_end, ops4, n = jax.device_get(out)
+    ops = unpack_ops4(ops4, A + Bs)
+    return (
+        np.asarray(best), np.asarray(jst), np.asarray(ist),
+        np.asarray(j_end), np.asarray(i_end), ops,
+        np.asarray(n, np.int32),
+    )
 
 
 def _make_banded_affine_kernel(RB: int, C: int, off: int, unroll: int):

@@ -386,6 +386,33 @@ def main() -> int:
             overlap_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
         )
 
+    def banded_overlap_traceback():
+        from nw_tpu.models.overlap import overlap_align
+        from nw_tpu.ops.traceback import ops_to_strings
+        from nw_tpu.ops.variants_banded import (
+            overlap_traceback_banded_batch,
+        )
+
+        rngo = np.random.default_rng(113)
+        pso = [
+            (rngo.integers(65, 69, 2500).astype(np.uint8).tobytes(),
+             rngo.integers(65, 69, 2400 + 61 * b).astype(np.uint8).tobytes())
+            for b in range(3)
+        ]
+        t2, s2_, a1, a2 = enc.encode_batch(pso)
+        best, jst, ist, j_end, i_end, ops_o, n_o = (
+            overlap_traceback_banded_batch(t2, s2_, a1, a2, 2, 1, 1)
+        )
+        a, s2 = pso[0]
+        sc, X, Y, start, end = overlap_align(a, s2, 2, 1, 1)
+        assert best[0] == sc
+        assert (int(jst[0]), int(ist[0])) == end
+        assert (int(j_end[0]), int(i_end[0])) == start
+        gX, gY = ops_to_strings(
+            ops_o[0], int(n_o[0]), a[: int(ist[0])], s2[: int(jst[0])]
+        )
+        assert (gX, gY) == (X, Y)
+
     def rowsweep_variants():
         from nw_tpu.models.affine import affine_score
         from nw_tpu.models.smith_waterman import sw_fill_diag
@@ -630,6 +657,7 @@ def main() -> int:
     check("row-sweep SW + affine kernels", rowsweep_variants)
     check("row-sweep overlap (semi-global) kernel", rowsweep_overlap)
     check("banded overlap kernel (incl. 4kb long-side)", banded_overlap)
+    check("banded overlap FULL tracebacks", banded_overlap_traceback)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)
     check("banded SW + affine FULL tracebacks", banded_variant_tracebacks)
     check("small-batch long-side SW/Gotoh alignments", small_batch_long_variants)

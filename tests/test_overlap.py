@@ -194,6 +194,40 @@ def test_overlap_align_batch_chunked(monkeypatch):
     assert chunked == whole
 
 
+@pytest.mark.parametrize("mkd", [(2, 1, 1), (0, 0, 0)])
+def test_overlap_banded_traceback_vs_scan(mkd):
+    """Banded overlap FULL tracebacks == the scan walker (scores,
+    strings, start AND end cells) on ragged pairs crossing band/group
+    boundaries, incl. all-tie and degenerate pairs."""
+    from nw_tpu.models.overlap import overlap_align
+    from nw_tpu.ops.traceback import ops_to_strings
+    from nw_tpu.ops.variants_banded import overlap_traceback_banded_batch
+
+    m, k, d = mkd
+    rng = np.random.default_rng(103 + m + k + d)
+    ps = []
+    for L1, L2 in [(90, 85), (40, 100), (100, 40), (0, 30), (30, 0),
+                   (65, 65), (1, 99), (99, 1)]:
+        a = rng.integers(65, 69, L1).astype(np.uint8).tobytes()
+        b = rng.integers(65, 69, L2).astype(np.uint8).tobytes()
+        ps.append((a, b))
+    ps += [(b"AAAATTTT", b"TTTTCCCC")]
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    best, jst, ist, j_end, i_end, ops, n = overlap_traceback_banded_batch(
+        tops, sides, l1, l2, m, k, d, interpret=True,
+        band_rows=16, chunk=32, unroll=8, group_bands=2,
+    )
+    for b_i, (a, b) in enumerate(ps):
+        sc, X, Y, start, end = overlap_align(a, b, m, k, d)
+        assert best[b_i] == sc, (b_i, best[b_i], sc)
+        assert (int(jst[b_i]), int(ist[b_i])) == end, (b_i, "end")
+        assert (int(j_end[b_i]), int(i_end[b_i])) == start, (b_i, "start")
+        gX, gY = ops_to_strings(
+            ops[b_i], int(n[b_i]), a[: int(ist[b_i])], b[: int(jst[b_i])]
+        )
+        assert (gX, gY) == (X, Y), (b_i, gX, X)
+
+
 def test_overlap_score_batch_routes():
     rng = np.random.default_rng(73)
     ps = _pairs(rng, 10, 0, 20) + EDGE
