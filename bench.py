@@ -359,6 +359,15 @@ def bench_variant_tracebacks(NB=128, L=3072):
         f"Gotoh full alignments, {NB}x{L//1024}kb (banded traceback)",
         round(NB / (time.time() - t0), 1), "pairs/s",
     )
+    from nw_tpu.models.overlap import overlap_align_batch
+
+    overlap_align_batch(pairs, 2, 1, 1)
+    t0 = time.time()
+    overlap_align_batch(pairs, 2, 1, 1)
+    _emit(
+        f"Overlap full alignments, {NB}x{L//1024}kb (banded traceback)",
+        round(NB / (time.time() - t0), 1), "pairs/s",
+    )
 
 
 def bench_huge_sharded(L=100_000, mesh_devices=None):
