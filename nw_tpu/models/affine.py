@@ -424,7 +424,19 @@ def affine_align_batch(pairs, m: int, k: int, open_: int, extend: int):
             # engine (checkpointed group re-fill; variants_banded.py).
             # Small batches pad to the engine's 128-lane quantum —
             # wasted lanes beat the per-pair scan's ~100x cliff
-            # (VERDICT r2 item 5)
+            # (VERDICT r2 item 5).  Huge batches sub-split on the walk
+            # engine's batch*length word-slab budget
+            per_pair = 400 * (tops.shape[1] + sides.shape[1])
+            chunk = max(128, int(2e9 // per_pair) // 128 * 128)
+            if chunk < len(norm):
+                out = []
+                for i in range(0, len(norm), chunk):
+                    out.extend(
+                        affine_align_batch(
+                            norm[i : i + chunk], m, k, open_, extend
+                        )
+                    )
+                return out
             from nw_tpu.ops.variants_banded import (
                 affine_traceback_banded_batch,
             )

@@ -334,8 +334,6 @@ def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     (B, K, N) — ~200 MB per 10 kb pair — so long-side batches are
     auto-split into sub-batches whose arrows fit ~1 GB of HBM at a
     time (one compile per sub-batch shape, not per pair)."""
-    from nw_tpu.ops.encode import encode_batch
-
     norm = [
         (a.encode() if isinstance(a, str) else bytes(a),
          b.encode() if isinstance(b, str) else bytes(b))
@@ -347,28 +345,22 @@ def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     Bs = max((len(b) for _, b in norm), default=0)
     if Bs > 2048 and jax.devices()[0].platform == "tpu":
         # long sides on TPU: the banded checkpointed walk engine — the
-        # full arrows are never materialized (group re-fills), so no
-        # HBM sub-batching is needed at any length
-        from nw_tpu.ops.encode import encode_batch
-        from nw_tpu.ops.traceback import ops_to_strings_batch
-        from nw_tpu.ops.variants_banded import (
-            overlap_traceback_banded_batch,
-        )
-
-        tops, sides, l1, l2 = encode_batch(norm)
-        best, jst, ist, j_end, i_end, ops, n = (
-            overlap_traceback_banded_batch(tops, sides, l1, l2, m, k, d)
-        )
-        trunc = [
-            (s1[: int(ist[b])], s2[: int(jst[b])])
-            for b, (s1, s2) in enumerate(norm)
-        ]
-        strs = ops_to_strings_batch(ops, n, trunc)
-        return [
-            (int(best[b]), X, Y, (int(j_end[b]), int(i_end[b])),
-             (int(jst[b]), int(ist[b])))
-            for b, (X, Y) in enumerate(strs)
-        ]
+        # full arrows are never materialized (group re-fills), so the
+        # LENGTH axis is unbounded; the BATCH axis still is not (the
+        # pass-2 word slab and checkpoint stack scale as batch*length),
+        # so big batches sub-split on the walk engine's budget
+        per_pair = 200 * (A + Bs)  # word slab + checkpoints, ~bytes
+        chunk = max(128, int(2e9 // max(per_pair, 1)) // 128 * 128)
+        if chunk < len(norm):
+            out = []
+            for i in range(0, len(norm), chunk):
+                out.extend(
+                    _overlap_align_banded_bucket(
+                        norm[i : i + chunk], m, k, d
+                    )
+                )
+            return out
+        return _overlap_align_banded_bucket(norm, m, k, d)
     per_pair = (A + Bs + 1) * (Bs + 1)  # arrows bytes (uint8)
     chunk = max(1, int(ALIGN_ARROWS_HBM_BUDGET // max(per_pair, 1)))
     if chunk < len(norm):
@@ -377,6 +369,29 @@ def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
             out.extend(_overlap_align_bucket(norm[i : i + chunk], m, k, d))
         return out
     return _overlap_align_bucket(norm, m, k, d)
+
+
+def _overlap_align_banded_bucket(norm, m, k, d):
+    """One walk-engine-sized sub-batch of long-side overlap alignments
+    (see overlap_align_batch)."""
+    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.traceback import ops_to_strings_batch
+    from nw_tpu.ops.variants_banded import overlap_traceback_banded_batch
+
+    tops, sides, l1, l2 = encode_batch(norm)
+    best, jst, ist, j_end, i_end, ops, n = (
+        overlap_traceback_banded_batch(tops, sides, l1, l2, m, k, d)
+    )
+    trunc = [
+        (s1[: int(ist[b])], s2[: int(jst[b])])
+        for b, (s1, s2) in enumerate(norm)
+    ]
+    strs = ops_to_strings_batch(ops, n, trunc)
+    return [
+        (int(best[b]), X, Y, (int(j_end[b]), int(i_end[b])),
+         (int(jst[b]), int(ist[b])))
+        for b, (X, Y) in enumerate(strs)
+    ]
 
 
 def _overlap_align_bucket(norm, m, k, d):

@@ -297,7 +297,18 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
             # Small batches pad to the engine's 128-lane quantum —
             # wasted lanes beat the per-pair scan's ~100x cliff
             # (VERDICT r2 item 5; 32 x 3kb measured 380 s on the scan
-            # path vs ~3 s banded)
+            # path vs ~3 s banded).  The LENGTH axis is unbounded but
+            # the walk engine's word slab + checkpoint stack scale as
+            # batch*length — huge batches sub-split on its budget
+            per_pair = 200 * (tops.shape[1] + sides.shape[1])
+            chunk = max(128, int(2e9 // per_pair) // 128 * 128)
+            if chunk < len(norm):
+                out = []
+                for i in range(0, len(norm), chunk):
+                    out.extend(
+                        sw_align_batch(norm[i : i + chunk], m, k, d)
+                    )
+                return out
             from nw_tpu.ops.variants_banded import sw_traceback_banded_batch
 
             best, jst, ist, j_end, i_end, ops, n = sw_traceback_banded_batch(

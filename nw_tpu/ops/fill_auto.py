@@ -57,12 +57,18 @@ ROWSWEEP_MAX_TOP = 512  # affine's 3 row buffers are the binding case
 ROWSWEEP_MIN_BATCH = 1024
 
 
-def rowsweep_scores_fit(tops, sides) -> bool:
+def rowsweep_scores_fit(tops, sides, groups: int = None) -> bool:
     """True when a bucket's geometry fits the score-family row-sweep
-    kernels' VMEM plan (both sequence buffers + the row buffer)."""
+    kernels' VMEM plan (both sequence buffers + the row buffer).
+
+    The caps are calibrated for groups=1 blocks; every VMEM buffer
+    scales with SL = 8*groups, so the caps shrink proportionally when
+    the NW_TPU_ROWSWEEP_GROUPS knob widens the block."""
+    if groups is None:
+        groups = rowsweep_knobs()[1]
     return (
-        sides.shape[1] <= ROWSWEEP_MAX_SIDE
-        and tops.shape[1] <= ROWSWEEP_MAX_TOP
+        sides.shape[1] <= ROWSWEEP_MAX_SIDE // groups
+        and tops.shape[1] <= ROWSWEEP_MAX_TOP // groups
     )
 
 
