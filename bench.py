@@ -177,9 +177,14 @@ def bench_greedy2_150(NB=10240, L=150, reps=50):
 
     if _rowsweep_enabled():
         from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
+        from nw_tpu.ops.fill_auto import rowsweep_pick
+
+        rows, groups = rowsweep_pick("greedy", L, L, NB)
 
         def fill_call(t):
-            w, s = fill_greedy_rowsweep_batch(t, sides, lens, lens, 2, 1, 1)
+            w, s = fill_greedy_rowsweep_batch(
+                t, sides, lens, lens, 2, 1, 1, rows=rows, groups=groups
+            )
             return s + w[0, 0]
     else:
         from nw_tpu.ops.fill_pallas_banded import fill_greedy_banded_single
@@ -397,28 +402,51 @@ def bench_huge_sharded(L=100_000, mesh_devices=None):
 
 
 def bench_variants(NB=10240, L=150, reps=20):
+    """Variant score kernels at 150 bp, tracking the production route
+    (row-sweep engines at tuned knobs when enabled, else the flat
+    wavefront kernels)."""
     import jax.numpy as jnp
 
-    from nw_tpu.ops.variants_pallas import (
-        affine_scores_pallas_batch,
-        sw_scores_pallas_batch,
-    )
+    from nw_tpu.ops.fill_auto import rowsweep_pick
 
     rng = np.random.default_rng(8)
     tops, sides, lens = _rand_batch(jnp, rng, NB, L)
 
-    per = _timed_scan(
-        lambda t: sw_scores_pallas_batch(t, sides, lens, lens, 2, 1, 1),
-        tops, reps,
-    )
+    rs = rowsweep_pick("sw", L, L, NB)
+    if rs is not None:
+        from nw_tpu.ops.variants_rowsweep import sw_scores_rowsweep_batch
+
+        sw_call = lambda t: sw_scores_rowsweep_batch(
+            t, sides, lens, lens, 2, 1, 1, rows=rs[0], groups=rs[1]
+        )
+    else:
+        from nw_tpu.ops.variants_pallas import sw_scores_pallas_batch
+
+        sw_call = lambda t: sw_scores_pallas_batch(
+            t, sides, lens, lens, 2, 1, 1
+        )
+    per = _timed_scan(sw_call, tops, reps)
     _emit(
         f"Smith-Waterman score fill, {NB}x{L}bp",
         round(NB * L * L / per / 1e9, 2), "GCUPS",
     )
-    per = _timed_scan(
-        lambda t: affine_scores_pallas_batch(t, sides, lens, lens, 2, 1, 3, 1),
-        tops, reps,
-    )
+
+    ra = rowsweep_pick("affine", L, L, NB)
+    if ra is not None:
+        from nw_tpu.ops.variants_rowsweep import (
+            affine_scores_rowsweep_batch,
+        )
+
+        af_call = lambda t: affine_scores_rowsweep_batch(
+            t, sides, lens, lens, 2, 1, 3, 1, rows=ra[0], groups=ra[1]
+        )
+    else:
+        from nw_tpu.ops.variants_pallas import affine_scores_pallas_batch
+
+        af_call = lambda t: affine_scores_pallas_batch(
+            t, sides, lens, lens, 2, 1, 3, 1
+        )
+    per = _timed_scan(af_call, tops, reps)
     _emit(
         f"Gotoh affine score fill, {NB}x{L}bp",
         round(NB * L * L / per / 1e9, 2), "GCUPS",
@@ -426,8 +454,11 @@ def bench_variants(NB=10240, L=150, reps=20):
 
     from nw_tpu.ops.variants_rowsweep import overlap_scores_rowsweep_batch
 
+    ro = rowsweep_pick("overlap", L, L, NB) or (8, 1)
     per = _timed_scan(
-        lambda t: overlap_scores_rowsweep_batch(t, sides, lens, lens, 2, 1, 1),
+        lambda t: overlap_scores_rowsweep_batch(
+            t, sides, lens, lens, 2, 1, 1, rows=ro[0], groups=ro[1]
+        ),
         tops, reps,
     )
     _emit(

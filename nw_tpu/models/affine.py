@@ -310,29 +310,21 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
             np.int32,
         )
     interpret = jax.devices()[0].platform != "tpu"
-    from nw_tpu.ops.fill_auto import (
-        ROWSWEEP_MIN_BATCH,
-        _rowsweep_enabled,
-        rowsweep_scores_fit,
-    )
+    from nw_tpu.ops.fill_auto import rowsweep_pick
 
-    if (
-        not interpret
-        and _rowsweep_enabled()
-        and rowsweep_scores_fit(tops, sides)
-        and len(norm) >= ROWSWEEP_MIN_BATCH
-    ):
+    rs = (
+        None if interpret else
+        rowsweep_pick("affine", tops.shape[1], sides.shape[1], len(norm))
+    )
+    if rs is not None:
         from nw_tpu.ops.variants_rowsweep import (
             affine_scores_rowsweep_batch,
         )
 
-        from nw_tpu.ops.fill_auto import rowsweep_knobs
-
-        rows, groups = rowsweep_knobs()
         return np.asarray(
             affine_scores_rowsweep_batch(
                 tops, sides, l1, l2, m, k, open_, extend,
-                rows=rows, groups=groups,
+                rows=rs[0], groups=rs[1],
             )
         )
     return np.asarray(

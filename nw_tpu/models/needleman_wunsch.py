@@ -435,27 +435,19 @@ class NWAligner:
             # fused score+count wavefront: no arrows materialized at all
             # (row-sweep at short sides when enabled, else banded —
             # any side length)
-            from nw_tpu.ops.fill_auto import (
-                ROWSWEEP_MIN_BATCH,
-                _rowsweep_enabled,
-                rowsweep_scores_fit,
-            )
+            from nw_tpu.ops.fill_auto import rowsweep_pick
 
-            if (
-                _rowsweep_enabled()
-                and rowsweep_scores_fit(tops, sides)
-                and len(norm) >= ROWSWEEP_MIN_BATCH
-            ):
+            rs = rowsweep_pick(
+                "counts", tops.shape[1], sides.shape[1], len(norm)
+            )
+            if rs is not None:
                 from nw_tpu.ops.fill_rowsweep import (
                     fill_scores_counts_rowsweep_batch,
                 )
 
-                from nw_tpu.ops.fill_auto import rowsweep_knobs
-
-                rows, groups = rowsweep_knobs()
                 scores, counts = fill_scores_counts_rowsweep_batch(
                     tops, sides, lens1, lens2, m, k, d,
-                    rows=rows, groups=groups,
+                    rows=rs[0], groups=rs[1],
                 )
             else:
                 from nw_tpu.ops.fill_pallas_banded import (
@@ -480,27 +472,17 @@ class NWAligner:
             # greedy-strings-only: the walk never reads tie masks, so
             # fill 2-bit greedy-direction words (16 cells/word — 1/4 the
             # slab and store traffic of the 3-bit arrows) and walk them
-            from nw_tpu.ops.fill_auto import (
-                ROWSWEEP_MAX_SIDE,
-                ROWSWEEP_MIN_BATCH,
-                _rowsweep_enabled,
-            )
+            from nw_tpu.ops.fill_auto import rowsweep_pick
 
-            if (
-                _rowsweep_enabled()
-                and len2 <= ROWSWEEP_MAX_SIDE
-                and len(norm) >= ROWSWEEP_MIN_BATCH
-            ):
+            rs = rowsweep_pick("greedy", len1, len2, len(norm))
+            if rs is not None:
                 from nw_tpu.ops.arrows_rowsweep import (
                     fill_greedy_rowsweep_batch,
                 )
 
-                from nw_tpu.ops.fill_auto import rowsweep_knobs
-
-                rows, groups = rowsweep_knobs()
                 words2, scores = fill_greedy_rowsweep_batch(
                     tops, sides, lens1, lens2, m, k, d,
-                    rows=rows, groups=groups,
+                    rows=rs[0], groups=rs[1],
                 )
                 ops, n = traceback.traceback_greedy2_rowmajor_batch(
                     words2[:, :, : len(norm)], l1j, l2j,

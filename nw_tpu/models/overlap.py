@@ -280,7 +280,7 @@ def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
 
     Batched production path on TPU: the row-sweep Pallas kernel
     (:func:`nw_tpu.ops.variants_rowsweep.overlap_scores_rowsweep_batch`)
-    when the bucket fits its VMEM plan (fill_auto.rowsweep_scores_fit);
+    when the bucket fits its VMEM plan (fill_auto.rowsweep_pick);
     the banded kernel
     (:func:`nw_tpu.ops.variants_banded.overlap_scores_banded_batch`)
     at ANY side length beyond.  Elsewhere the vmapped ragged scan fill
@@ -295,19 +295,20 @@ def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     ]
     tops, sides, l1, l2 = encode_batch(norm)
     on_tpu = jax.devices()[0].platform == "tpu"
-    from nw_tpu.ops.fill_auto import rowsweep_scores_fit
+    from nw_tpu.ops.fill_auto import rowsweep_pick
 
-    if on_tpu and rowsweep_scores_fit(tops, sides):
+    rs = (
+        rowsweep_pick("overlap", tops.shape[1], sides.shape[1], len(norm))
+        if on_tpu else None
+    )
+    if rs is not None:
         from nw_tpu.ops.variants_rowsweep import (
             overlap_scores_rowsweep_batch,
         )
 
-        from nw_tpu.ops.fill_auto import rowsweep_knobs
-
-        rows, groups = rowsweep_knobs()
         return np.asarray(
             overlap_scores_rowsweep_batch(
-                tops, sides, l1, l2, m, k, d, rows=rows, groups=groups
+                tops, sides, l1, l2, m, k, d, rows=rs[0], groups=rs[1]
             )
         )
     if on_tpu:

@@ -195,26 +195,18 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
             np.int32,
         )
     interpret = jax.devices()[0].platform != "tpu"
-    from nw_tpu.ops.fill_auto import (
-        ROWSWEEP_MIN_BATCH,
-        _rowsweep_enabled,
-        rowsweep_scores_fit,
-    )
+    from nw_tpu.ops.fill_auto import rowsweep_pick
 
-    if (
-        not interpret
-        and _rowsweep_enabled()
-        and rowsweep_scores_fit(tops, sides)
-        and len(norm) >= ROWSWEEP_MIN_BATCH
-    ):
+    rs = (
+        None if interpret else
+        rowsweep_pick("sw", tops.shape[1], sides.shape[1], len(norm))
+    )
+    if rs is not None:
         from nw_tpu.ops.variants_rowsweep import sw_scores_rowsweep_batch
 
-        from nw_tpu.ops.fill_auto import rowsweep_knobs
-
-        rows, groups = rowsweep_knobs()
         return np.asarray(
             sw_scores_rowsweep_batch(
-                tops, sides, l1, l2, m, k, d, rows=rows, groups=groups
+                tops, sides, l1, l2, m, k, d, rows=rs[0], groups=rs[1]
             )
         )
     return np.asarray(

@@ -73,21 +73,87 @@ def rowsweep_scores_fit(tops, sides, groups: int = None) -> bool:
 
 
 def _rowsweep_enabled() -> bool:
-    # default off until the engine is hardware-validated on this jaxlib;
-    # flipped by NW_TPU_ROWSWEEP=1 (see PERF.md row-sweep rows)
-    return os.environ.get("NW_TPU_ROWSWEEP", "0") == "1"
+    # hardware-validated (scripts/tpu_validate.py 31x PASS + the tuned
+    # sweep below): ON by default; NW_TPU_ROWSWEEP=0 opts out
+    return os.environ.get("NW_TPU_ROWSWEEP", "1") == "1"
 
 
-def rowsweep_knobs() -> "tuple[int, int]":
-    """(rows, groups) ILP knobs for the row-sweep routes.
+# per-engine (rows, groups) hardware winners from
+# `scripts/rowsweep_tune.py` on v5e at 12288x150bp — every timed config
+# is bit-checked against the scan oracles before it may win
+ROWSWEEP_TUNED = {
+    "score": (8, 2),    # 289 GCUPS (flat wavefront kernel: 160)
+    "greedy": (16, 4),  # 205 GCUPS (banded 2-bit arrows: 105)
+    "counts": (4, 2),   # 155 GCUPS (fused score+count)
+    "sw": (8, 2),       # 226 GCUPS (flat wavefront: 121)
+    "affine": (4, 2),   # 188 GCUPS (flat wavefront: 89; g=4 blows VMEM)
+    "overlap": (8, 2),  # 221 GCUPS
+}
+# greedy arrows chunk the top sequence through the grid, so only the
+# side length scales their VMEM (sides x2 + row buffer ~ 12 KB * side *
+# groups + ~6 MB of word slabs); 600 keeps the total under ~14 MB
+GREEDY_MAX_SIDE_X_GROUPS = 600
 
-    Defaults 8/1; overridable via NW_TPU_ROWSWEEP_ROWS /
-    NW_TPU_ROWSWEEP_GROUPS so `scripts/rowsweep_tune.py`'s hardware
-    winners apply to every production route without code changes."""
+
+def rowsweep_knobs(engine: str = "score") -> "tuple[int, int]":
+    """(rows, groups) ILP knobs for a row-sweep engine's route.
+
+    Per-engine hardware winners (ROWSWEEP_TUNED); NW_TPU_ROWSWEEP_ROWS /
+    NW_TPU_ROWSWEEP_GROUPS pin every engine at once so
+    `scripts/rowsweep_tune.py` sweeps apply without code changes."""
+    rows, groups = ROWSWEEP_TUNED.get(engine, (8, 1))
+    env_r = os.environ.get("NW_TPU_ROWSWEEP_ROWS")
+    env_g = os.environ.get("NW_TPU_ROWSWEEP_GROUPS")
     return (
-        int(os.environ.get("NW_TPU_ROWSWEEP_ROWS", "8")),
-        int(os.environ.get("NW_TPU_ROWSWEEP_GROUPS", "1")),
+        int(env_r) if env_r else rows,
+        int(env_g) if env_g else groups,
     )
+
+
+def rowsweep_pick(
+    engine: str, top_len: int, side_len: int, nb: int
+) -> "Optional[Tuple[int, int]]":
+    """(rows, groups) for a row-sweep route, or None to fall through.
+
+    Applies the engine's tuned knobs, then shrinks ``groups`` (halving)
+    until the geometry fits the VMEM plan and the batch fills at least
+    one ``groups * 1024``-pair block — padding a 1024-pair batch to a
+    4096-pair block would waste 4x the lanes.  When
+    NW_TPU_ROWSWEEP_GROUPS pins groups explicitly there is no shrink:
+    an unfit pinned geometry falls through (tuning runs must measure
+    exactly what they asked for).
+    """
+    if not _rowsweep_enabled() or nb < ROWSWEEP_MIN_BATCH:
+        return None
+    rows, groups = rowsweep_knobs(engine)
+    pinned = os.environ.get("NW_TPU_ROWSWEEP_GROUPS") is not None
+
+    def fits(g: int) -> bool:
+        if g > 1 and nb < ROWSWEEP_MIN_BATCH * g:
+            return False
+        if engine == "greedy":
+            return side_len * g <= GREEDY_MAX_SIDE_X_GROUPS
+        return (
+            side_len * g <= ROWSWEEP_MAX_SIDE
+            and top_len * g <= ROWSWEEP_MAX_TOP
+        )
+
+    if pinned:
+        return (rows, groups) if fits(groups) else None
+    # among the feasible block widths, minimize the padded batch (a
+    # 10240-pair batch at groups=4 pads to 12288 — 20% wasted slots,
+    # more than the ~5-10% the wider block wins); ties go to the wider
+    # block (closer to the tuned winner)
+    best = None
+    g = groups
+    while g >= 1:
+        if fits(g):
+            pb = 1024 * g
+            padded = -(-nb // pb) * pb
+            if best is None or padded < best[0]:
+                best = (padded, g)
+        g //= 2
+    return (rows, best[1]) if best else None
 
 
 def default_platform() -> str:
@@ -105,17 +171,13 @@ def fill_scores_auto(
 
     if (platform or default_platform()) == "tpu":
         nb = tops.shape[0]
-        if (
-            _rowsweep_enabled()
-            and rowsweep_scores_fit(tops, sides)
-            and nb >= ROWSWEEP_MIN_BATCH
-        ):
+        rs = rowsweep_pick("score", tops.shape[1], sides.shape[1], nb)
+        if rs is not None:
             from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch
 
-            rows, groups = rowsweep_knobs()
             return fill_scores_rowsweep_batch(
                 tops, sides, lens1, lens2, m, k, d,
-                rows=rows, groups=groups,
+                rows=rs[0], groups=rs[1],
             )
         if sides.shape[1] <= FLAT_SCORES_MAX_SIDE:
             from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch

@@ -63,6 +63,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _natc(anchor, val):
+    """Constant vreg with the anchor's natural vector layout.
+
+    A plain ``jnp.full`` carries a *replicated* Mosaic layout; using it
+    as a ``fori_loop`` carry init makes the back-edge join relayout
+    natural->replicated, which v5e Mosaic rejects ("Non-singleton
+    logical dimension is replicated in destination but not in
+    source").  ``anchor`` is any loaded vector that is always >= 0
+    (the length vectors), so the where never picks the false branch.
+    The two branches MUST differ: MLIR's canonicalizer folds
+    ``select(p, splat(v), splat(v))`` back into the replicated splat
+    (observed: ``_natc(len1, 0)`` re-broke the SW/overlap kernels).
+    """
+    return jnp.where(anchor < 0, jnp.int32(val) - 1, jnp.int32(val))
+
+
 def _make_rowsweep_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL):
     def kernel(s_ref, tops_ref, sides_ref, lens_ref, out_ref, row_ref):
         m = s_ref[0]
@@ -80,8 +96,8 @@ def _make_rowsweep_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL)
         # row-0 cell (0, len2) = -len2*d
         cap0 = jnp.where(len1 == 0, -len2 * d, jnp.int32(NEG_INF))
 
-        neg = jnp.full((SL, _LN), NEG_INF, jnp.int32)
-        chz = jnp.full((SL, _LN), -5, jnp.int32)
+        neg = _natc(len1, NEG_INF)
+        chz = _natc(len1, -5)
 
         def one_pass(p, cap):
             i0 = p * R  # DP rows i0+1 .. i0+R this pass
@@ -166,9 +182,9 @@ def _make_rowsweep_counts_kernel(
         cap0 = jnp.where(len1 == 0, -len2 * d, jnp.int32(NEG_INF))
         ccap0 = jnp.where(len1 == 0, jnp.int32(1), jnp.int32(0))
 
-        neg = jnp.full((SL, _LN), NEG_INF, jnp.int32)
-        one = jnp.ones((SL, _LN), jnp.int32)
-        chz = jnp.full((SL, _LN), -5, jnp.int32)
+        neg = _natc(len1, NEG_INF)
+        one = _natc(len1, 1)
+        chz = _natc(len1, -5)
 
         def one_pass(p, caps):
             i0 = p * R

@@ -37,6 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nw_tpu.ops.encode import PAD_SIDE, PAD_TOP
+from nw_tpu.ops.fill_rowsweep import _natc
 
 NEG = -(2**29)  # headroom: NEG - open - extend must not wrap
 _SL, _LN = 8, 128
@@ -92,8 +93,8 @@ def _make_sw_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL):
         # SW row 0 boundary: all zeros (variants_pallas._sw_kernel)
         row_ref[...] = jnp.zeros((L2p + 1, SL, _LN), jnp.int32)
 
-        zero = jnp.zeros((SL, _LN), jnp.int32)
-        chz = jnp.full((SL, _LN), -5, jnp.int32)
+        zero = _natc(len1, 0)
+        chz = _natc(len1, -5)
 
         def one_pass(p, best):
             i0 = p * R
@@ -199,8 +200,8 @@ def _make_overlap_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL):
 
         row_ref[...] = jnp.zeros((L2p + 1, SL, _LN), jnp.int32)
 
-        zero = jnp.zeros((SL, _LN), jnp.int32)
-        chz = jnp.full((SL, _LN), -5, jnp.int32)
+        zero = _natc(len1, 0)
+        chz = _natc(len1, -5)
 
         def one_pass(p, best):
             i0 = p * R
@@ -308,8 +309,8 @@ def _make_affine_kernel(L1p: int, L2p: int, R: int, npass: int, SL: int = _SL):
         mrow_ref[...] = jnp.where(jj == 0, jnp.int32(0), jnp.int32(NEG))
         xrow_ref[...] = jnp.full((L2p + 1, SL, _LN), NEG, jnp.int32)
 
-        neg = jnp.full((SL, _LN), NEG, jnp.int32)
-        chz = jnp.full((SL, _LN), -5, jnp.int32)
+        neg = _natc(len1, NEG)
+        chz = _natc(len1, -5)
         cap0 = jnp.where(
             len1 == 0,
             jnp.where(len2 == 0, jnp.int32(0), -(op + (len2 - 1) * ex)),

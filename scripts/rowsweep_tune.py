@@ -27,26 +27,48 @@ def main() -> int:
 
     from bench import _rand_batch, _timed_scan
     from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
-    from nw_tpu.ops.fill_rowsweep import fill_scores_rowsweep_batch
+    from nw_tpu.ops.fill_rowsweep import (
+        fill_scores_counts_rowsweep_batch,
+        fill_scores_rowsweep_batch,
+    )
+    from nw_tpu.ops.variants_rowsweep import (
+        affine_scores_rowsweep_batch,
+        overlap_scores_rowsweep_batch,
+        sw_scores_rowsweep_batch,
+    )
 
     from nw_tpu.ops.fill_scan import fill_scores_batch
+    from nw_tpu.models.overlap import overlap_scores_scan_batch
+    from nw_tpu.ops.variants_pallas import (
+        affine_scores_pallas_batch,
+        sw_scores_pallas_batch,
+    )
 
     platform = jax.devices()[0].platform
     NB, L = 12288, 150
     reps = 50 if platform == "tpu" else 2
     rng = np.random.default_rng(5)
     tops, sides, lens = _rand_batch(jnp, rng, NB, L)
+    lj = jnp.asarray(lens)
     cells = NB * L * L
     # every timed config is also bit-checked against the scan oracle on
     # the SAME batch — a wrong-but-fast geometry must not win the sweep
-    want = np.asarray(
-        fill_scores_batch(tops, sides, 2, 1, 1,
-                          jnp.asarray(lens), jnp.asarray(lens))
+    want = np.asarray(fill_scores_batch(tops, sides, 2, 1, 1, lj, lj))
+    want_sw = np.asarray(
+        sw_scores_pallas_batch(tops, sides, lens, lens, 2, 1, 1,
+                               interpret=platform != "tpu")
+    )
+    want_af = np.asarray(
+        affine_scores_pallas_batch(tops, sides, lens, lens, 2, 1, 3, 1,
+                                   interpret=platform != "tpu")
+    )
+    want_ov = np.asarray(
+        overlap_scores_scan_batch(tops, sides, 2, 1, 1, lj, lj)
     )
 
     grid = [(r, g) for r in (4, 8, 16) for g in (1, 2, 4)]
     best = {}
-    for name, make, scores_of in (
+    for name, make, scores_of, ref in (
         (
             "score",
             lambda r, g: lambda t: fill_scores_rowsweep_batch(
@@ -55,6 +77,7 @@ def main() -> int:
             lambda r, g: fill_scores_rowsweep_batch(
                 tops, sides, lens, lens, 2, 1, 1, rows=r, groups=g
             ),
+            want,
         ),
         (
             "greedy",
@@ -68,6 +91,51 @@ def main() -> int:
             lambda r, g: fill_greedy_rowsweep_batch(
                 tops, sides, lens, lens, 2, 1, 1, rows=r, groups=g
             )[1],
+            want,
+        ),
+        (
+            "counts",
+            lambda r, g: lambda t: (
+                lambda sc: sc[0] + sc[1].astype(jnp.int32)
+            )(
+                fill_scores_counts_rowsweep_batch(
+                    t, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+                )
+            ),
+            lambda r, g: fill_scores_counts_rowsweep_batch(
+                tops, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+            )[0],
+            want,
+        ),
+        (
+            "sw",
+            lambda r, g: lambda t: sw_scores_rowsweep_batch(
+                t, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+            ),
+            lambda r, g: sw_scores_rowsweep_batch(
+                tops, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+            ),
+            want_sw,
+        ),
+        (
+            "affine",
+            lambda r, g: lambda t: affine_scores_rowsweep_batch(
+                t, sides, lens, lens, 2, 1, 3, 1, rows=r, groups=g
+            ),
+            lambda r, g: affine_scores_rowsweep_batch(
+                tops, sides, lens, lens, 2, 1, 3, 1, rows=r, groups=g
+            ),
+            want_af,
+        ),
+        (
+            "overlap",
+            lambda r, g: lambda t: overlap_scores_rowsweep_batch(
+                t, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+            ),
+            lambda r, g: overlap_scores_rowsweep_batch(
+                tops, sides, lens, lens, 2, 1, 1, rows=r, groups=g
+            ),
+            want_ov,
         ),
     ):
         print(f"== {name} kernel, {NB}x{L}bp ({platform}) ==", flush=True)
@@ -75,7 +143,7 @@ def main() -> int:
         for r, g in grid:
             try:
                 got = np.asarray(scores_of(r, g))
-                if not (got == want).all():
+                if not (got == ref).all():
                     print(f"rows={r:2d} groups={g}  WRONG OUTPUT — skipped",
                           flush=True)
                     continue
