@@ -85,7 +85,9 @@ def _emit(metric, value, unit, vs_baseline=None):
 
 
 def bench_config2(on_tpu, emit=True):
-    """BASELINE config 2: 10240 x 150 bp score-only (flat kernel)."""
+    """BASELINE config 2: 10240 x 150 bp score-only, through the
+    production score router (fill_auto: row-sweep at tuned knobs when
+    it fits, else flat/banded)."""
     import jax
     import jax.numpy as jnp
 
@@ -526,7 +528,7 @@ def main() -> None:
         rows["config5_tiled_fill_100kb_GCUPS_per_dev"] = round(
             bench_huge_sharded(), 1
         )
-        rows["config2_flat_150bp_GCUPS"] = round(bench_config2(on_tpu), 2)
+        rows["config2_score_150bp_GCUPS"] = round(bench_config2(on_tpu), 2)
         head = rows["banded_score_128x10kb_GCUPS"]
         line = {
             "metric": "DP fill throughput, 128x10kb pairs, score-only, "

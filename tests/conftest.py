@@ -22,6 +22,7 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 
+import gc
 import subprocess
 from pathlib import Path
 
@@ -30,6 +31,43 @@ import pytest
 REPO = Path(__file__).resolve().parent.parent
 REFERENCE_SRC = Path("/root/reference")
 REF_BUILD = Path("/root/build-ref/needleman-wunsch")
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_mappings():
+    """Drop compiled XLA executables between test modules.
+
+    XLA:CPU JIT leaves ~3 anonymous mappings per compiled executable
+    and the full suite compiles enough distinct programs to exhaust
+    the kernel's vm.max_map_count (65530) — the process then SEGVs
+    inside an unrelated later compile (observed twice at ~97% of the
+    suite; /proc/<pid>/maps hits ~65k right before death).  Clearing
+    caches at module boundaries bounds the growth; cross-module
+    recompiles hit the persistent disk cache, so the cost is load
+    time, not re-optimization."""
+    yield
+    jax.clear_caches()
+    gc.collect()
+
+
+# safety valve: if a single module's compiles approach the kernel map
+# limit anyway, drop caches mid-module (threshold leaves headroom for
+# one more large compile + the XLA compiler's own transient mappings)
+_MAPS_LIMIT = 45_000
+
+
+@pytest.fixture(autouse=True)
+def _map_count_guard():
+    yield
+    try:
+        import os as _os
+
+        n = sum(1 for _ in open(f"/proc/{_os.getpid()}/maps"))
+    except OSError:  # non-Linux: the module-scope clear still bounds us
+        return
+    if n > _MAPS_LIMIT:
+        jax.clear_caches()
+        gc.collect()
 
 
 @pytest.fixture(scope="session")
