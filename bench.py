@@ -225,7 +225,7 @@ def bench_scores_counts_banded(L=10240, NB=128, reps=5):
     return gcups
 
 
-def bench_config3(NB=256, L=10240, trials=5):
+def bench_config3(NB=256, L=10240, trials=9):
     """BASELINE config 3: long pairs, arrows + traceback + strings +
     counts, end-to-end wall clock (banded checkpointed engine).
 
