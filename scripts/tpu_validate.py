@@ -334,6 +334,67 @@ def main() -> int:
         assert (np.asarray(s) == ref_scores).all()
         assert (np.asarray(c) == ref_counts.astype(np.uint32)).all()
 
+    def rowsweep_tuned():
+        """Every row-sweep engine at its ROWSWEEP_TUNED production
+        knobs — the exact (rows, groups) geometries align_batch and
+        the variant models dispatch (fill_auto.rowsweep_pick)."""
+        from nw_tpu.models.affine import affine_score
+        from nw_tpu.models.overlap import overlap_fill_diag
+        from nw_tpu.models.smith_waterman import sw_fill_diag
+        from nw_tpu.ops.arrows_rowsweep import fill_greedy_rowsweep_batch
+        from nw_tpu.ops.fill_auto import rowsweep_knobs
+        from nw_tpu.ops.fill_rowsweep import (
+            fill_scores_counts_rowsweep_batch,
+            fill_scores_rowsweep_batch,
+        )
+        from nw_tpu.ops.variants_rowsweep import (
+            affine_scores_rowsweep_batch,
+            overlap_scores_rowsweep_batch,
+            sw_scores_rowsweep_batch,
+        )
+
+        r, g = rowsweep_knobs("score")
+        got = np.asarray(fill_scores_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, rows=r, groups=g))
+        assert (got == ref_scores).all(), ("score", r, g)
+
+        r, g = rowsweep_knobs("greedy")
+        w, s = fill_greedy_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, rows=r, groups=g)
+        assert (np.asarray(s) == ref_scores).all(), ("greedy", r, g)
+        # the (16, 2) padding-free geometry rowsweep_pick takes at
+        # NB % 4096 != 0 (e.g. the 10240-pair bench batch)
+        w, s = fill_greedy_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, rows=r, groups=max(g // 2, 1))
+        assert (np.asarray(s) == ref_scores).all(), ("greedy", r, g // 2)
+
+        r, g = rowsweep_knobs("counts")
+        sc, ct = fill_scores_counts_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, rows=r, groups=g)
+        assert (np.asarray(sc) == ref_scores).all(), ("counts", r, g)
+        assert (np.asarray(ct) == ref_counts.astype(np.uint32)).all()
+
+        r, g = rowsweep_knobs("sw")
+        sw = np.asarray(sw_scores_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, rows=r, groups=g))
+        r, g = rowsweep_knobs("affine")
+        af = np.asarray(affine_scores_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 3, 1, rows=r, groups=g))
+        r, g = rowsweep_knobs("overlap")
+        ov = np.asarray(overlap_scores_rowsweep_batch(
+            tops, sides, l1, l2, 2, 1, 1, rows=r, groups=g))
+        for b in range(0, len(ps), 29):
+            a, s2 = ps[b]
+            t = jnp.asarray(enc.encode(a.encode()))
+            si = jnp.asarray(enc.encode(s2.encode()))
+            assert sw[b] == int(
+                sw_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+            ), ("sw", b)
+            assert af[b] == int(affine_score(t, si, 2, 1, 3, 1)), ("af", b)
+            assert ov[b] == int(
+                overlap_fill_diag(t, si, 2, 1, 1, with_arrows=False)["score"]
+            ), ("ov", b)
+
     def rowsweep_overlap():
         from nw_tpu.models.overlap import overlap_fill_diag
         from nw_tpu.ops.variants_rowsweep import (
@@ -658,6 +719,7 @@ def main() -> int:
     check("row-sweep fused score+count", rowsweep_counts)
     check("row-sweep SW + affine kernels", rowsweep_variants)
     check("row-sweep overlap (semi-global) kernel", rowsweep_overlap)
+    check("row-sweep tuned production knobs (all engines)", rowsweep_tuned)
     check("banded overlap kernel (incl. 4kb long-side)", banded_overlap)
     check("banded overlap FULL tracebacks", banded_overlap_traceback)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)

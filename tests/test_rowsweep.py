@@ -203,3 +203,55 @@ def test_scores_counts_rowsweep_vs_oracle(mkd):
     )
     assert (np.asarray(sc) == np.asarray(ref["score"])).all()
     assert (np.asarray(ct) == want_ct).all()
+
+
+def test_rowsweep_pick_routing():
+    """fill_auto.rowsweep_pick: tuned knobs, VMEM-fit group shrinking,
+    block-padding-aware group choice, pinned-env no-shrink rule."""
+    import os
+
+    from nw_tpu.ops.fill_auto import (
+        GREEDY_MAX_SIDE_X_GROUPS,
+        ROWSWEEP_MAX_SIDE,
+        ROWSWEEP_TUNED,
+        rowsweep_pick,
+    )
+
+    assert os.environ.get("NW_TPU_ROWSWEEP", "1") == "1"
+    assert "NW_TPU_ROWSWEEP_GROUPS" not in os.environ
+
+    # tuned winners at block-aligned batches
+    assert rowsweep_pick("score", 150, 150, 12288) == ROWSWEEP_TUNED["score"]
+    assert rowsweep_pick("greedy", 150, 150, 12288) == ROWSWEEP_TUNED["greedy"]
+
+    # padding-aware: 10240 % 4096 != 0 -> greedy halves groups to the
+    # padding-free block; 10240 % 2048 == 0 keeps the score winner
+    rows_g, _ = ROWSWEEP_TUNED["greedy"]
+    assert rowsweep_pick("greedy", 150, 150, 10240) == (rows_g, 2)
+    assert rowsweep_pick("score", 150, 150, 10240) == ROWSWEEP_TUNED["score"]
+
+    # VMEM fit: the greedy engine only caps the side; score-family caps
+    # both sequences (whole tops bucket resident)
+    assert rowsweep_pick("greedy", 9999, 512, 4096) == (rows_g, 1)
+    assert rowsweep_pick("greedy", 150, GREEDY_MAX_SIDE_X_GROUPS + 1, 4096) is None
+    assert rowsweep_pick("score", 300, 300, 4096) == (
+        ROWSWEEP_TUNED["score"][0], 1)
+    assert rowsweep_pick("score", ROWSWEEP_MAX_SIDE + 1, 100, 4096) is None
+
+    # batch floor and opt-out
+    assert rowsweep_pick("score", 150, 150, 512) is None
+    os.environ["NW_TPU_ROWSWEEP"] = "0"
+    try:
+        assert rowsweep_pick("score", 150, 150, 12288) is None
+    finally:
+        del os.environ["NW_TPU_ROWSWEEP"]
+
+    # pinned groups never shrink: a fit pinned geometry is honored
+    # verbatim, an unfit one falls through (no silent halving)
+    os.environ["NW_TPU_ROWSWEEP_GROUPS"] = "2"
+    try:
+        assert rowsweep_pick("score", 150, 150, 12288) == (
+            ROWSWEEP_TUNED["score"][0], 2)
+        assert rowsweep_pick("score", 300, 300, 12288) is None
+    finally:
+        del os.environ["NW_TPU_ROWSWEEP_GROUPS"]
