@@ -452,6 +452,15 @@ def _onepass_word_bytes(A, Bs, band_rows, group_bands):
     return nbands * T16 * RB * 4 * 128  # nb_pad >= 128 lanes
 
 
+def _auto_group_bands(A: int, band_rows: int) -> int:
+    """Walk-group height: 16 bands per group measured ~3% faster than 8
+    at 10 kb (fewer sequential walk stages), but the band count pads to
+    whole groups — at ~2 kb (22 bands) 16 would pad 45%.  Use 16 only
+    when the pad cost is negligible."""
+    nbands = -(-(A + 1) // band_rows)
+    return 16 if nbands >= 48 else 8
+
+
 def traceback_banded_dispatch(
     tops, sides, lens1, lens2, m, k, d,
     interpret: bool = False,
@@ -459,7 +468,7 @@ def traceback_banded_dispatch(
     band_rows: int = 96,
     chunk: int = 192,
     unroll: int = DEFAULT_UNROLL,
-    group_bands: int = 8,
+    group_bands: int = None,
     with_counts: bool = False,
 ):
     """Enqueue one sub-batch's walk on device WITHOUT fetching.
@@ -482,6 +491,8 @@ def traceback_banded_dispatch(
 
     budget = int(os.environ.get("NW_TPU_ONEPASS_HBM", "0"))
     nb, A = tops.shape
+    if group_bands is None:
+        group_bands = _auto_group_bands(A, band_rows)
     _, Bs = sides.shape
     if (
         nb <= 128
@@ -518,7 +529,7 @@ def traceback_banded_batch(
     band_rows: int = 96,
     chunk: int = 192,
     unroll: int = DEFAULT_UNROLL,
-    group_bands: int = 8,
+    group_bands: int = None,
     with_counts: bool = False,
 ):
     """Exact greedy traceback of a batch at any side length.
