@@ -718,8 +718,74 @@ def main() -> int:
     check("row-sweep greedy arrows + row-major walk", rowsweep_greedy)
     check("row-sweep fused score+count", rowsweep_counts)
     check("row-sweep SW + affine kernels", rowsweep_variants)
+    def batch_vs_reference():
+        """align_batch through the COMPILED production routes (row-sweep
+        greedy strings + fused counts) vs per-pair reference runs:
+        score, uint32-wrapped solution count, first-emitted alignment.
+        The CPU twin lives in tests/test_differential.py
+        (test_differential_batch_api); this one covers the TPU routes."""
+        import re
+        import subprocess
+        from pathlib import Path
+
+        ref = Path("/root/build-ref/needleman-wunsch")
+        if not ref.exists():
+            print("  (reference binary missing; building)", flush=True)
+            import shutil
+
+            bld = Path("/tmp/nw-ref-build-validate")
+            bld.mkdir(exist_ok=True)
+            for f in Path("/root/reference").iterdir():
+                if f.suffix in (".c", ".h") or f.name == "Makefile":
+                    shutil.copy(f, bld / f.name)
+            subprocess.run(
+                ["make", "CFLAGS=-std=gnu99 -O2 -fcommon -DNDEBUG"],
+                cwd=bld, capture_output=True, check=True,
+            )
+            ref = bld / "needleman-wunsch"
+
+        from nw_tpu.models.needleman_wunsch import align_batch
+
+        def ref_run(args, stdin):
+            r = subprocess.run(
+                [str(ref)] + args, input=stdin, capture_output=True,
+                timeout=30,
+            )
+            assert r.returncode == 0, r.stderr
+            return r.stdout, r.stderr
+
+        prng = np.random.default_rng(17)
+        # >= 1024 pairs so the row-sweep routes engage; reference-check
+        # a stratified sample of them
+        bps = []
+        # min length 1: the reference's whitespace-delimited stdin
+        # cannot express an empty sequence (it reads the next token)
+        for _ in range(1100):
+            la, lb = int(prng.integers(1, 61)), int(prng.integers(1, 61))
+            bps.append((
+                "".join(prng.choice(list("ACGT"), la)),
+                "".join(prng.choice(list("ACGT"), lb)),
+            ))
+        res = align_batch(bps, 2, 1, 1, traceback_strings=True, count=True)
+        strs = res.alignment_strings()
+        for b in range(0, len(bps), 13):
+            s1, s2 = bps[b]
+            out, err = ref_run(
+                ["-q", "-s", "2", "1", "1"], f"{s1} {s2}".encode()
+            )
+            count = int(re.search(rb"(\d+) optimal alignment", err).group(1))
+            score = int(re.search(rb"Optimal score is (-?\d+)", err).group(1))
+            assert res.scores[b] == score, (b, s1, s2)
+            assert int(res.counts[b]) == count % 2**32, (b, s1, s2)
+            if 1 <= count <= 32:
+                out, _ = ref_run(["2", "1", "1"], f"{s1} {s2}".encode())
+                lines = out.split(b"\n")
+                assert strs[b] == (lines[0], lines[1]), (b, s1, s2)
+
     check("row-sweep overlap (semi-global) kernel", rowsweep_overlap)
     check("row-sweep tuned production knobs (all engines)", rowsweep_tuned)
+    check("align_batch vs reference binary (compiled routes)",
+          batch_vs_reference)
     check("banded overlap kernel (incl. 4kb long-side)", banded_overlap)
     check("banded overlap FULL tracebacks", banded_overlap_traceback)
     check("banded SW + affine kernels (incl. 6kb long-side)", banded_variants)

@@ -344,3 +344,66 @@ def test_debug_build_parity(reference_debug_binary, monkeypatch):
         assert out == out_ref, (args, out, out_ref)
         assert norm(err) == norm(err_ref), (args, err, err_ref)
         assert rc == rc_ref
+
+
+# ---- batch-API differential: align_batch vs the reference binary ----
+# The CLI differentials above exercise the single-pair engines; the
+# BATCH engines (the production route for real workloads — row-sweep /
+# flat / banded kernels on TPU, the scan oracles here on CPU) were only
+# transitively covered.  This drives nw_tpu.models.align_batch directly
+# against per-pair reference runs: score + solution count (-q -s) and
+# the first-emitted alignment (the reference DFS's first block).
+
+def _ref_summary(reference_binary, s1, s2, m, k, d):
+    """(score, count) from the reference's -q -s stderr summary."""
+    import re
+
+    rc, out, err = run_ref(
+        reference_binary, ["-q", "-s", str(m), str(k), str(d)],
+        f"{s1} {s2}".encode(),
+    )
+    assert rc == 0, err
+    cm = re.search(rb"(\d+) optimal alignment", err)
+    sm = re.search(rb"Optimal score is (-?\d+)", err)
+    return int(sm.group(1)), int(cm.group(1))
+
+
+def _ref_first_alignment(reference_binary, s1, s2, m, k, d):
+    rc, out, err = run_ref(
+        reference_binary, [str(m), str(k), str(d)], f"{s1} {s2}".encode()
+    )
+    assert rc == 0, err
+    lines = out.split(b"\n")
+    return lines[0], lines[1]
+
+
+def batch_vs_reference(reference_binary, pairs, m, k, d, first_cap=32):
+    """Shared driver (also used by scripts/tpu_validate.py on the real
+    chip, where align_batch takes the compiled row-sweep routes)."""
+    from nw_tpu.models.needleman_wunsch import align_batch
+
+    res = align_batch(pairs, m, k, d, traceback_strings=True, count=True)
+    strs = res.alignment_strings()
+    for b, (s1, s2) in enumerate(pairs):
+        score, count = _ref_summary(reference_binary, s1, s2, m, k, d)
+        assert res.scores[b] == score, (b, s1, s2, res.scores[b], score)
+        assert int(res.counts[b]) == count % 2**32, (
+            b, s1, s2, int(res.counts[b]), count)
+        if 1 <= count <= first_cap:
+            x, y = _ref_first_alignment(reference_binary, s1, s2, m, k, d)
+            assert strs[b] == (x, y), (b, s1, s2, strs[b], (x, y))
+
+
+def test_differential_batch_api(reference_binary):
+    rng = np.random.default_rng(91)
+    for m, k, d in [(1, 1, 1), (2, 1, 1), (3, 2, 2)]:
+        pairs = []
+        # min length 1: an empty sequence cannot round-trip through the
+        # reference's whitespace-delimited stdin
+        for _ in range(14):
+            l1, l2 = int(rng.integers(1, 27)), int(rng.integers(1, 27))
+            pairs.append((
+                "".join(rng.choice(list("ACGT"), l1)),
+                "".join(rng.choice(list("ACGT"), l2)),
+            ))
+        batch_vs_reference(reference_binary, pairs, m, k, d)
