@@ -95,13 +95,51 @@ ROWSWEEP_TUNED = {
 GREEDY_MAX_SIDE_X_GROUPS = 600
 
 
+def tuned_file_path() -> str:
+    """Where `scripts/rowsweep_tune.py` persists its sweep winners.
+
+    The reference wishlists profile-driven auto-tuning
+    (/root/reference/README:209-214); here the tuner measures the real
+    chip, bit-checks every timed config, and saves the winners so
+    every later process routes with them — no code change, no env."""
+    return os.environ.get(
+        "NW_TPU_TUNED_FILE",
+        os.path.join(
+            os.path.expanduser("~"), ".cache", "nw_tpu", "tuned.json"
+        ),
+    )
+
+
+_TUNED_CACHE: "dict | None" = None
+
+
+def _tuned_from_file() -> dict:
+    global _TUNED_CACHE
+    if _TUNED_CACHE is None:
+        import json
+
+        try:
+            with open(tuned_file_path()) as f:
+                data = json.load(f)
+            _TUNED_CACHE = {
+                k: (int(v[0]), int(v[1]))
+                for k, v in data.get("engines", {}).items()
+            }
+        except (OSError, ValueError, KeyError, TypeError):
+            _TUNED_CACHE = {}
+    return _TUNED_CACHE
+
+
 def rowsweep_knobs(engine: str = "score") -> "tuple[int, int]":
     """(rows, groups) ILP knobs for a row-sweep engine's route.
 
-    Per-engine hardware winners (ROWSWEEP_TUNED); NW_TPU_ROWSWEEP_ROWS /
-    NW_TPU_ROWSWEEP_GROUPS pin every engine at once so
-    `scripts/rowsweep_tune.py` sweeps apply without code changes."""
-    rows, groups = ROWSWEEP_TUNED.get(engine, (8, 1))
+    Resolution order: NW_TPU_ROWSWEEP_ROWS / NW_TPU_ROWSWEEP_GROUPS
+    pins (for sweeps), then this machine's persisted tuner winners
+    (:func:`tuned_file_path`), then the checked-in v5e winners
+    (ROWSWEEP_TUNED)."""
+    rows, groups = _tuned_from_file().get(
+        engine, ROWSWEEP_TUNED.get(engine, (8, 1))
+    )
     env_r = os.environ.get("NW_TPU_ROWSWEEP_ROWS")
     env_g = os.environ.get("NW_TPU_ROWSWEEP_GROUPS")
     return (

@@ -13,6 +13,7 @@ NB = 12288 keeps every groups block quantum (1024/2048/4096) exact.
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -159,6 +160,34 @@ def main() -> int:
         best[name] = top
         print(f"best {name}: rows,groups={top[1]}  {top[0]:.1f} GCUPS",
               flush=True)
+
+    # persist the winners: every later process's rowsweep_knobs() reads
+    # them (the reference's wished-for profile-driven auto-tuning,
+    # README:209-214, done by measuring the actual chip)
+    if platform == "tpu":
+        import json
+
+        from nw_tpu.ops.fill_auto import tuned_file_path
+
+        path = tuned_file_path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        payload = {
+            "platform": platform,
+            "sweep_shape": f"{NB}x{L}bp",
+            "engines": {
+                name: list(top[1])
+                for name, top in best.items()
+                if top[1] is not None
+            },
+            "gcups": {
+                name: round(top[0], 1)
+                for name, top in best.items()
+                if top[1] is not None
+            },
+        }
+        with open(path, "w") as f:
+            json.dump(payload, f, indent=1)
+        print(f"winners saved to {path}", flush=True)
     return 0
 
 

@@ -255,3 +255,37 @@ def test_rowsweep_pick_routing():
         assert rowsweep_pick("score", 300, 300, 12288) is None
     finally:
         del os.environ["NW_TPU_ROWSWEEP_GROUPS"]
+
+
+def test_rowsweep_tuned_file(tmp_path, monkeypatch):
+    """rowsweep_knobs reads the tuner's persisted winners; env pins
+    still override; a missing/corrupt file falls back to defaults."""
+    import json
+
+    import nw_tpu.ops.fill_auto as fa
+
+    path = tmp_path / "tuned.json"
+    monkeypatch.setenv("NW_TPU_TUNED_FILE", str(path))
+    monkeypatch.delenv("NW_TPU_ROWSWEEP_ROWS", raising=False)
+    monkeypatch.delenv("NW_TPU_ROWSWEEP_GROUPS", raising=False)
+
+    fa._TUNED_CACHE = None  # drop the per-process cache
+    assert fa.rowsweep_knobs("score") == fa.ROWSWEEP_TUNED["score"]
+
+    path.write_text(json.dumps(
+        {"platform": "tpu", "engines": {"score": [4, 1], "greedy": [8, 2]}}
+    ))
+    fa._TUNED_CACHE = None
+    assert fa.rowsweep_knobs("score") == (4, 1)
+    assert fa.rowsweep_knobs("greedy") == (8, 2)
+    # engines absent from the file keep the checked-in defaults
+    assert fa.rowsweep_knobs("affine") == fa.ROWSWEEP_TUNED["affine"]
+    # env pins beat the file
+    monkeypatch.setenv("NW_TPU_ROWSWEEP_ROWS", "16")
+    assert fa.rowsweep_knobs("score") == (16, 1)
+    monkeypatch.delenv("NW_TPU_ROWSWEEP_ROWS")
+
+    path.write_text("{not json")
+    fa._TUNED_CACHE = None
+    assert fa.rowsweep_knobs("score") == fa.ROWSWEEP_TUNED["score"]
+    fa._TUNED_CACHE = None  # leave no test state behind
