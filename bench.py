@@ -285,6 +285,39 @@ def bench_e2e_150(NB=4096, L=150):
     return NB / dt
 
 
+def bench_variant_e2e_150(NB=4096, L=150, trials=3):
+    """Variant FULL alignments at short reads, end-to-end (strings,
+    start positions): the sw/affine/overlap align_batch paths."""
+    from nw_tpu.models.affine import affine_align_batch
+    from nw_tpu.models.overlap import overlap_align_batch
+    from nw_tpu.models.smith_waterman import sw_align_batch
+
+    rng = np.random.default_rng(6)
+    pairs = [
+        (
+            rng.integers(65, 69, L).astype(np.uint8).tobytes(),
+            rng.integers(65, 69, L).astype(np.uint8).tobytes(),
+        )
+        for _ in range(NB)
+    ]
+    for name, call in (
+        ("SW", lambda: sw_align_batch(pairs, 2, 1, 1)),
+        ("Gotoh", lambda: affine_align_batch(pairs, 2, 1, 3, 1)),
+        ("Overlap", lambda: overlap_align_batch(pairs, 2, 1, 1)),
+    ):
+        call()
+        rates = []
+        for _ in range(trials):
+            t0 = time.time()
+            call()
+            rates.append(NB / (time.time() - t0))
+        rates.sort()
+        _emit(
+            f"{name} full alignments, {NB}x{L}bp (e2e)",
+            round(rates[len(rates) // 2], 0), "pairs/s",
+        )
+
+
 def bench_sharded(mesh_devices=None, NB=10240, L=150, reps=20):
     """Data-parallel mesh path (config 4 analogue; 1 chip here, the
     same code drives N-chip meshes)."""
@@ -552,6 +585,7 @@ def main() -> None:
     bench_scores_counts_banded()
     bench_config3()
     bench_e2e_150()
+    bench_variant_e2e_150()
     bench_sharded(mesh_n)
     bench_variants()
     bench_variants_banded()
