@@ -368,6 +368,32 @@ def bench_huge_pair(L=100_000):
     return dt
 
 
+def bench_strips(L=100_000, reps=3):
+    """Single-pair score fill via the strips-in-slots pipeline (1024
+    column strips of ONE pair across the vector slots; fill_strips)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nw_tpu.ops.encode import encode
+    from nw_tpu.ops.fill_strips import strips_score
+
+    rng = np.random.default_rng(9)
+    t = jnp.asarray(encode(rng.integers(65, 69, L).astype(np.uint8).tobytes()))
+    s = jnp.asarray(encode(rng.integers(65, 69, L).astype(np.uint8).tobytes()))
+    int(strips_score(t, s, 2, 1, 1))  # warm
+    ts = []
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(strips_score(t, s, 2, 1, 1))
+        ts.append(time.time() - t0)
+    gcups = L * L / min(ts) / 1e9
+    _emit(
+        f"single-pair score fill (strips pipeline), 1x{L//1000}kb",
+        round(gcups, 1), "GCUPS", round(gcups / BASELINE_GCUPS, 1),
+    )
+    return gcups
+
+
 def bench_variant_tracebacks(NB=128, L=3072):
     """Full SW / Gotoh alignments on long pairs (banded traceback)."""
     from nw_tpu.models.affine import affine_align_batch
@@ -591,6 +617,7 @@ def main() -> None:
     bench_variants_banded()
     bench_variant_tracebacks()
     bench_huge_pair()
+    bench_strips()
     bench_huge_sharded(mesh_devices=mesh_n)
 
 

@@ -93,6 +93,9 @@ ROWSWEEP_TUNED = {
 # side length scales their VMEM (sides x2 + row buffer ~ 12 KB * side *
 # groups + ~6 MB of word slabs); 600 keeps the total under ~14 MB
 GREEDY_MAX_SIDE_X_GROUPS = 600
+# single-pair strips-in-slots engine break-even vs the fold kernel
+# (measured: fold ~61 GCUPS flat; strips 69 at 50kb, 148 at 100kb)
+STRIPS_MIN_SIDE = 49152
 
 
 def tuned_file_path() -> str:
@@ -229,9 +232,28 @@ def fill_scores_auto(
             from nw_tpu.ops.fill_pallas import fill_scores_pallas_batch
 
             return fill_scores_pallas_batch(tops, sides, lens1, lens2, m, k, d)
-        # small batch of long pairs: lanes can't be filled; run the
-        # fold-layout single-pair kernel over the batch inside one
-        # dispatch (~60 GCUPS/pair)
+        # small batch of long pairs: lanes can't be filled by the
+        # batch; per pair, the strips-in-slots pipeline (fill_strips)
+        # wins beyond ~45 kb (148 GCUPS at 100 kb, 224 at 200 kb vs the
+        # fold kernel's ~61 — the 1023-phase fill/drain bubble eats the
+        # gain below that)
+        if sides.shape[1] >= STRIPS_MIN_SIDE:
+            from nw_tpu.ops.fill_strips import strips_score
+
+            def one_strips(args):
+                top, side, l1, l2 = args
+                return strips_score(top, side, m, k, d, l1, l2)
+
+            return jax.lax.map(
+                one_strips,
+                (
+                    jnp.asarray(tops), jnp.asarray(sides),
+                    jnp.asarray(lens1, jnp.int32),
+                    jnp.asarray(lens2, jnp.int32),
+                ),
+            )
+        # mid lengths: the fold-layout single-pair kernel (~60
+        # GCUPS/pair) over the batch inside one dispatch
         from nw_tpu.ops.fill_pallas_single import score_count_fold
 
         def one(args):

@@ -651,6 +651,40 @@ def main() -> int:
         for a, b in zip(got, want):
             assert (np.asarray(a) == np.asarray(b)).all()
 
+    def strips_engine():
+        """Strips-in-slots single-pair score pipeline (fill_strips)
+        vs the fold engine, and the fill_scores_auto long-pair route
+        that dispatches it (sides >= STRIPS_MIN_SIDE, small batch)."""
+        from nw_tpu.ops.fill_auto import STRIPS_MIN_SIDE, fill_scores_auto
+        from nw_tpu.ops.fill_pallas_single import score_count_fold
+        from nw_tpu.ops.fill_strips import strips_score
+
+        srng = np.random.default_rng(23)
+        L = 60_000
+        t6 = jnp.asarray(srng.integers(65, 69, L), jnp.int32)
+        s6 = jnp.asarray(srng.integers(65, 69, L), jnp.int32)
+        want, _ = score_count_fold(t6, s6, 2, 1, 1)
+        got = strips_score(t6, s6, 2, 1, 1)
+        assert int(got) == int(want), (int(got), int(want))
+        # ragged true lengths under the padded shapes
+        want2, _ = score_count_fold(
+            t6, s6, 2, 1, 1, len1=L - 7, len2=L - 1
+        )
+        got2 = strips_score(t6, s6, 2, 1, 1, L - 7, L - 1)
+        assert int(got2) == int(want2)
+        # the production route (3-pair batch of >=STRIPS_MIN_SIDE sides)
+        assert L >= STRIPS_MIN_SIDE
+        tops3 = jnp.stack([t6, t6, t6])
+        sides3 = jnp.stack([s6, s6, s6])
+        l3 = jnp.asarray([L, L - 7, L], jnp.int32)
+        l4 = jnp.asarray([L, L - 1, L - 3], jnp.int32)
+        auto = fill_scores_auto(tops3, sides3, l3, l4, 2, 1, 1,
+                                platform="tpu")
+        want3, _ = score_count_fold(t6, s6, 2, 1, 1, len1=L, len2=L - 3)
+        assert int(auto[0]) == int(want)
+        assert int(auto[1]) == int(want2)
+        assert int(auto[2]) == int(want3)
+
     def huge_pair_engine():
         from jax.sharding import Mesh
 
@@ -794,6 +828,7 @@ def main() -> int:
     check("banded checkpointed traceback + counts", banded_traceback)
     check("align_batch greedy2 strings route", align_batch_greedy2_route)
     check("resumable walk kill/resume (compiled)", resumable_walk)
+    check("strips-in-slots single-pair engine + route", strips_engine)
     check("huge-pair fold-chunk engine (config 5)", huge_pair_engine)
     check("sharded pallas path", sharded)
     return 1 if FAILED else 0
