@@ -69,6 +69,21 @@ def main() -> int:
 
     grid = [(r, g) for r in (4, 8, 16) for g in (1, 2, 4)]
     best = {}
+
+    def feasible(name, r, g):
+        """Only configs the production router (fill_auto.rowsweep_pick)
+        would dispatch UNSHRUNKEN at this geometry may win: a winner
+        outside the VMEM caps gets its groups halved at route time and
+        lands on an untimed configuration."""
+        from nw_tpu.ops.fill_auto import (
+            GREEDY_MAX_SIDE_X_GROUPS,
+            ROWSWEEP_MAX_SIDE,
+            ROWSWEEP_MAX_TOP,
+        )
+
+        if name == "greedy":
+            return L * g <= GREEDY_MAX_SIDE_X_GROUPS
+        return L * g <= ROWSWEEP_MAX_SIDE and L * g <= ROWSWEEP_MAX_TOP
     for name, make, scores_of, ref in (
         (
             "score",
@@ -154,8 +169,11 @@ def main() -> int:
                       flush=True)
                 continue
             gcups = cells / per_call / 1e9
-            print(f"rows={r:2d} groups={g}  {gcups:8.1f} GCUPS", flush=True)
-            if gcups > top[0]:
+            ok = feasible(name, r, g)
+            note = "" if ok else "  (outside the route's VMEM caps)"
+            print(f"rows={r:2d} groups={g}  {gcups:8.1f} GCUPS{note}",
+                  flush=True)
+            if ok and gcups > top[0]:
                 top = (gcups, (r, g))
         best[name] = top
         print(f"best {name}: rows,groups={top[1]}  {top[0]:.1f} GCUPS",
