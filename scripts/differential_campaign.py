@@ -5,7 +5,7 @@ flags (-c -l -q -s -t -u -p), params in [-3, 4], ACGT and full
 printable-byte alphabets, several length buckets.  Byte-compares
 stdout + stderr (argv[0]-normalized) + exit code.
 
-    NW_TPU_PLATFORM=cpu python scripts/differential_campaign.py [N] [ref]
+    NW_TPU_PLATFORM=cpu python scripts/differential_campaign.py [N] [ref] [seed]
 
 Run with the persistent compile cache set (see CLAUDE.md) or the first
 few cases pay cold compiles.  Exits nonzero on any mismatch.
@@ -31,7 +31,8 @@ def main() -> int:
 
     from conftest import run_ours
 
-    rng = random.Random(2026)
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 2026
+    rng = random.Random(seed)
     full_alpha = [chr(c) for c in range(33, 127)]
     fails = 0
     for trial in range(n):
