@@ -1,0 +1,78 @@
+"""Probe: config-3 device-time split — pass-1 score sweep vs the full
+two-pass walk program, 256x10kb, on the chip.
+
+Measured 2026-08-19 (idle tunnel): pass-1 score+checkpoint sweep
+0.113 s (237 GCUPS incl. RTT), full two-pass program 0.447 s
+(572 pairs/s device), so pass 2 (greedy-word group re-fill + the
+16-way-unrolled walk + stitch) is ~0.334 s.  The walk's ~20k
+sequential dependent gathers from the word planes (~16 per while_loop
+iteration, each a (256,)-lane dynamic gather) are the irreducible-
+looking core; the re-fill share is roughly pass-1-sized.  Remaining
+e2e headroom beyond the device program: ~0.17 s of host work per
+256-pair batch (encode + 21 MB int32 sequence upload through the
+tunnel + ops4 unpack) that the dispatch pipeline only partly hides —
+an int16/uint8 upload encoding (cast to int32 inside the jitted
+program; _prep_banded already casts) would cut the upload 2-4x.
+Candidate round-4 items, in expected-value order: (1) narrow upload
+dtype, (2) walk inside a Pallas kernel with word planes in VMEM to
+cut gather latency, (3) overlap pass 2 of chunk g with pass 1 of
+chunk g+1 at the scheduler level.
+"""
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from nw_tpu.cli import enable_default_compile_cache
+
+enable_default_compile_cache()
+
+import jax
+import jax.numpy as jnp
+
+from nw_tpu.ops.fill_pallas_banded import fill_scores_banded_batch
+from nw_tpu.ops.banded_traceback import traceback_banded_dispatch
+
+NB, L = 256, 10240
+rng = np.random.default_rng(4)
+tops = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
+sides = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
+lens = np.full((NB,), L, np.int32)
+tops, sides = jax.device_put((tops, sides))
+
+
+def timeit(fn, n=3):
+    fn(0)  # warm
+    best = float("inf")
+    for i in range(1, n + 1):
+        t0 = time.time()
+        fn(i)
+        best = min(best, time.time() - t0)
+    return best
+
+
+# NB: jax.block_until_ready is a no-op under the axon tunnel platform —
+# synchronize by fetching (np.asarray), like bench.py does.
+def score_only(i):
+    t = tops.at[0, 0].set(65 + (i & 3))
+    s = fill_scores_banded_batch(t, sides, lens, lens, 2, 1, 1)
+    np.asarray(s)
+
+
+def full_walk(i):
+    t = tops.at[0, 0].set(65 + (i & 3))
+    scores, counts, ops4, total = traceback_banded_dispatch(
+        t, sides, lens, lens, 2, 1, 1
+    )
+    np.asarray(scores), np.asarray(ops4), np.asarray(total)
+
+
+t_score = timeit(score_only)
+t_full = timeit(full_walk)
+cells = NB * L * L
+print(f"pass1-equivalent score sweep: {t_score:.3f}s ({cells/t_score/1e9:.0f} GCUPS)")
+print(f"full two-pass walk program:   {t_full:.3f}s -> {NB/t_full:.0f} pairs/s device")
+print(f"implied pass2 (refill+walk):  {t_full - t_score:.3f}s")
