@@ -72,6 +72,18 @@ def encode_batch(
     Returns (tops, sides, lens1, lens2).  ``len1``/``len2`` default to the
     batch maxima.
     """
+    return _encode_batch_impl(
+        pairs, len1, len2, fills=(PAD_TOP, PAD_SIDE), dtype=np.int32
+    )
+
+
+def _encode_batch_impl(
+    pairs: Sequence[Tuple[str | bytes, str | bytes]],
+    len1: int | None,
+    len2: int | None,
+    fills: Tuple[int, int],
+    dtype,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     raw = [
         (
             a.encode("utf-8") if isinstance(a, str) else bytes(a),
@@ -85,13 +97,17 @@ def encode_batch(
         len1 = int(lens1.max()) if len(raw) else 0
     if len2 is None:
         len2 = int(lens2.max()) if len(raw) else 0
-    tops = _scatter_encode([a for a, _ in raw], lens1, len1, PAD_TOP)
-    sides = _scatter_encode([b for _, b in raw], lens2, len2, PAD_SIDE)
+    tops = _scatter_encode([a for a, _ in raw], lens1, len1, fills[0], dtype)
+    sides = _scatter_encode([b for _, b in raw], lens2, len2, fills[1], dtype)
     return tops, sides, lens1, lens2
 
 
 def _scatter_encode(
-    seqs: Sequence[bytes], lens: np.ndarray, bucket: int, fill: int
+    seqs: Sequence[bytes],
+    lens: np.ndarray,
+    bucket: int,
+    fill: int,
+    dtype=np.int32,
 ) -> np.ndarray:
     """Vectorized batch encoding: one concatenated buffer + one masked
     scatter instead of a per-pair stack (the per-pair version costs
@@ -102,7 +118,7 @@ def _scatter_encode(
         raise ValueError(
             f"sequence length {int(lens[bad])} exceeds bucket {bucket}"
         )
-    out = np.full((B, bucket), fill, dtype=np.int32)
+    out = np.full((B, bucket), fill, dtype=dtype)
     if B and bucket:
         flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
         mask = np.arange(bucket, dtype=np.int32)[None, :] < lens[:, None]
@@ -130,36 +146,4 @@ def encode_batch_u8(
     a real NUL byte is therefore harmless; consumers that materialize
     whole tables (the ``-t`` renderer) keep the sentinel encoding.
     """
-    raw = [
-        (
-            a.encode("utf-8") if isinstance(a, str) else bytes(a),
-            b.encode("utf-8") if isinstance(b, str) else bytes(b),
-        )
-        for a, b in pairs
-    ]
-    lens1 = np.array([len(a) for a, _ in raw], dtype=np.int32)
-    lens2 = np.array([len(b) for _, b in raw], dtype=np.int32)
-    if len1 is None:
-        len1 = int(lens1.max()) if len(raw) else 0
-    if len2 is None:
-        len2 = int(lens2.max()) if len(raw) else 0
-    tops = _scatter_encode_u8([a for a, _ in raw], lens1, len1)
-    sides = _scatter_encode_u8([b for _, b in raw], lens2, len2)
-    return tops, sides, lens1, lens2
-
-
-def _scatter_encode_u8(
-    seqs: Sequence[bytes], lens: np.ndarray, bucket: int
-) -> np.ndarray:
-    B = len(seqs)
-    if (lens > bucket).any():
-        bad = int(np.argmax(lens > bucket))
-        raise ValueError(
-            f"sequence length {int(lens[bad])} exceeds bucket {bucket}"
-        )
-    out = np.zeros((B, bucket), dtype=np.uint8)
-    if B and bucket:
-        flat = np.frombuffer(b"".join(seqs), dtype=np.uint8)
-        mask = np.arange(bucket, dtype=np.int32)[None, :] < lens[:, None]
-        out[mask] = flat
-    return out
+    return _encode_batch_impl(pairs, len1, len2, fills=(0, 0), dtype=np.uint8)

@@ -37,11 +37,10 @@ from nw_tpu.ops.fill_pallas_banded import fill_scores_banded_batch
 from nw_tpu.ops.banded_traceback import traceback_banded_dispatch
 
 NB, L = 256, 10240
-rng = np.random.default_rng(4)
-tops = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
-sides = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
-lens = np.full((NB,), L, np.int32)
-tops, sides = jax.device_put((tops, sides))
+# Geometry MUST mirror traceback_banded_dispatch's pass-1 defaults
+# (band_rows=96, chunk=192) so "t_full - t_score" subtracts a
+# like-for-like pass 1 (ADVICE r3 item 3).
+BAND_ROWS, CHUNK = 96, 192
 
 
 def timeit(fn, n=3):
@@ -54,25 +53,36 @@ def timeit(fn, n=3):
     return best
 
 
-# NB: jax.block_until_ready is a no-op under the axon tunnel platform —
-# synchronize by fetching (np.asarray), like bench.py does.
-def score_only(i):
-    t = tops.at[0, 0].set(65 + (i & 3))
-    s = fill_scores_banded_batch(t, sides, lens, lens, 2, 1, 1)
-    np.asarray(s)
+def main():
+    rng = np.random.default_rng(4)
+    tops = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
+    sides = jnp.asarray(rng.integers(65, 69, (NB, L)), jnp.int32)
+    lens = np.full((NB,), L, np.int32)
+    tops, sides = jax.device_put((tops, sides))
+
+    # NB: jax.block_until_ready is a no-op under the axon tunnel platform —
+    # synchronize by fetching (np.asarray), like bench.py does.
+    def score_only(i):
+        t = tops.at[0, 0].set(65 + (i & 3))
+        s = fill_scores_banded_batch(
+            t, sides, lens, lens, 2, 1, 1, band_rows=BAND_ROWS, chunk=CHUNK
+        )
+        np.asarray(s)
+
+    def full_walk(i):
+        t = tops.at[0, 0].set(65 + (i & 3))
+        scores, counts, ops4, total = traceback_banded_dispatch(
+            t, sides, lens, lens, 2, 1, 1
+        )
+        np.asarray(scores), np.asarray(ops4), np.asarray(total)
+
+    t_score = timeit(score_only)
+    t_full = timeit(full_walk)
+    cells = NB * L * L
+    print(f"pass1-equivalent score sweep: {t_score:.3f}s ({cells/t_score/1e9:.0f} GCUPS)")
+    print(f"full two-pass walk program:   {t_full:.3f}s -> {NB/t_full:.0f} pairs/s device")
+    print(f"implied pass2 (refill+walk):  {t_full - t_score:.3f}s")
 
 
-def full_walk(i):
-    t = tops.at[0, 0].set(65 + (i & 3))
-    scores, counts, ops4, total = traceback_banded_dispatch(
-        t, sides, lens, lens, 2, 1, 1
-    )
-    np.asarray(scores), np.asarray(ops4), np.asarray(total)
-
-
-t_score = timeit(score_only)
-t_full = timeit(full_walk)
-cells = NB * L * L
-print(f"pass1-equivalent score sweep: {t_score:.3f}s ({cells/t_score/1e9:.0f} GCUPS)")
-print(f"full two-pass walk program:   {t_full:.3f}s -> {NB/t_full:.0f} pairs/s device")
-print(f"implied pass2 (refill+walk):  {t_full - t_score:.3f}s")
+if __name__ == "__main__":
+    main()
