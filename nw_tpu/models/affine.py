@@ -275,7 +275,7 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
     """
     import numpy as np
 
-    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.encode import encode_batch_u8
     from nw_tpu.ops.variants_pallas import affine_scores_pallas_batch
 
     norm = [
@@ -283,7 +283,9 @@ def affine_score_pairs(pairs, m: int, k: int, open_: int, extend: int):
          b.encode() if isinstance(b, str) else bytes(b))
         for a, b in pairs
     ]
-    tops, sides, l1, l2 = encode_batch(norm)
+    # uint8 upload: engines cast on device; all outputs are
+    # lens/in_rect-gated (tests/test_encode_u8.py)
+    tops, sides, l1, l2 = encode_batch_u8(norm)
     if sides.shape[1] > 3072 and jax.devices()[0].platform == "tpu":
         # long-side batches: the banded Gotoh kernel (any side length;
         # ops/variants_banded.py)
@@ -399,7 +401,7 @@ def affine_align_batch(pairs, m: int, k: int, open_: int, extend: int):
     """
     import numpy as np
 
-    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.encode import encode_batch_u8
     from nw_tpu.ops.traceback import ops_to_strings_batch
     from nw_tpu.ops.variants_pallas import affine_arrows_pallas_batch
 
@@ -408,7 +410,9 @@ def affine_align_batch(pairs, m: int, k: int, open_: int, extend: int):
          b.encode() if isinstance(b, str) else bytes(b))
         for a, b in pairs
     ]
-    tops, sides, l1, l2 = encode_batch(norm)
+    # uint8 upload: engines cast on device; all outputs are
+    # lens/in_rect-gated (tests/test_encode_u8.py)
+    tops, sides, l1, l2 = encode_batch_u8(norm)
     interpret = jax.devices()[0].platform != "tpu"
     if sides.shape[1] > 1024:
         if not interpret:

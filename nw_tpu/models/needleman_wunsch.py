@@ -375,8 +375,6 @@ class NWAligner:
                 norm[i] = (b"", b"")
         len1 = self.config.bucket_for(max((len(a) for a, _ in norm), default=1))
         len2 = self.config.bucket_for(max((len(b) for _, b in norm), default=1))
-        tops, sides, lens1, lens2 = enc.encode_batch(norm, len1, len2)
-        l1j, l2j = jnp.asarray(lens1), jnp.asarray(lens2)
 
         from nw_tpu.ops.fill_auto import (
             BANDED_MIN_BATCH,
@@ -388,6 +386,12 @@ class NWAligner:
         need_arrows = traceback_strings or count
         use_pallas = self.config.use_pallas and pallas_supported()
         platform = "tpu" if use_pallas else "cpu"
+        # uint8 upload on device paths: 4x smaller host->device transfer
+        # (~27 ms tunnel, see ops/encode.py); every batch output is
+        # lens-gated so the 0-pad is equivalent (tests/test_encode_u8.py)
+        encode = enc.encode_batch_u8 if use_pallas else enc.encode_batch
+        tops, sides, lens1, lens2 = encode(norm, len1, len2)
+        l1j, l2j = jnp.asarray(lens1), jnp.asarray(lens2)
         if not need_arrows:
             scores = fill_scores_auto(
                 tops, sides, lens1, lens2, m, k, d, platform=platform
@@ -573,7 +577,10 @@ def _pipelined_banded_walk(
     handles = []
     for sub in subs:
         padded = sub + [(b"", b"")] * (chunk - len(sub))
-        tops, sides, l1, l2 = enc.encode_batch(padded, L1, L2)
+        # uint8 upload: the 256x10kb sub-batch's sequence transfer drops
+        # ~21 MB -> ~5 MB through the tunnel (probe_pass_split.py item 1);
+        # _prep_banded casts to int32 on device
+        tops, sides, l1, l2 = enc.encode_batch_u8(padded, L1, L2)
         handles.append(
             traceback_banded_dispatch(
                 tops, sides, l1, l2, m, k, d, with_counts=count,

@@ -286,14 +286,16 @@ def overlap_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     at ANY side length beyond.  Elsewhere the vmapped ragged scan fill
     (one compile per padded bucket, no per-pair cliff).
     """
-    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.encode import encode_batch_u8
 
     norm = [
         (a.encode() if isinstance(a, str) else bytes(a),
          b.encode() if isinstance(b, str) else bytes(b))
         for a, b in pairs
     ]
-    tops, sides, l1, l2 = encode_batch(norm)
+    # uint8 upload: engines cast on device; all outputs are
+    # lens/in_rect-gated (tests/test_encode_u8.py)
+    tops, sides, l1, l2 = encode_batch_u8(norm)
     on_tpu = jax.devices()[0].platform == "tpu"
     from nw_tpu.ops.fill_auto import rowsweep_pick
 
@@ -375,11 +377,13 @@ def overlap_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
 def _overlap_align_banded_bucket(norm, m, k, d):
     """One walk-engine-sized sub-batch of long-side overlap alignments
     (see overlap_align_batch)."""
-    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.encode import encode_batch_u8
     from nw_tpu.ops.traceback import ops_to_strings_batch
     from nw_tpu.ops.variants_banded import overlap_traceback_banded_batch
 
-    tops, sides, l1, l2 = encode_batch(norm)
+    # uint8 upload: engines cast on device; all outputs are
+    # lens/in_rect-gated (tests/test_encode_u8.py)
+    tops, sides, l1, l2 = encode_batch_u8(norm)
     best, jst, ist, j_end, i_end, ops, n = (
         overlap_traceback_banded_batch(tops, sides, l1, l2, m, k, d)
     )
@@ -398,10 +402,12 @@ def _overlap_align_banded_bucket(norm, m, k, d):
 def _overlap_align_bucket(norm, m, k, d):
     """One HBM-sized sub-batch of overlap alignments (see
     overlap_align_batch)."""
-    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.encode import encode_batch_u8
     from nw_tpu.ops.traceback import ops_to_strings_batch
 
-    tops, sides, l1, l2 = encode_batch(norm)
+    # uint8 upload: engines cast on device; all outputs are
+    # lens/in_rect-gated (tests/test_encode_u8.py)
+    tops, sides, l1, l2 = encode_batch_u8(norm)
     out = _overlap_fill_batch(
         tops, sides, m, k, d, jnp.asarray(l1), jnp.asarray(l2)
     )

@@ -158,7 +158,7 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     """
     import jax
 
-    from nw_tpu.ops.encode import encode, encode_batch
+    from nw_tpu.ops.encode import encode, encode_batch_u8
     from nw_tpu.ops.variants_pallas import sw_scores_pallas_batch
 
     norm = [
@@ -166,7 +166,9 @@ def sw_score_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
          b.encode() if isinstance(b, str) else bytes(b))
         for a, b in pairs
     ]
-    tops, sides, l1, l2 = encode_batch(norm)
+    # uint8 upload: engines cast on device; all outputs are
+    # lens/in_rect-gated (tests/test_encode_u8.py)
+    tops, sides, l1, l2 = encode_batch_u8(norm)
     interpret = jax.devices()[0].platform != "tpu"
     if sides.shape[1] > 4096 and not interpret:
         # long-side batches of ANY size: the banded kernel (any side
@@ -272,7 +274,7 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
     (:func:`nw_tpu.ops.variants_pallas.sw_arrows_pallas_batch`) plus a
     vmapped device walk; host only renders the byte strings.
     """
-    from nw_tpu.ops.encode import encode_batch
+    from nw_tpu.ops.encode import encode_batch_u8
     from nw_tpu.ops.variants_pallas import sw_arrows_pallas_batch
 
     norm = [
@@ -280,7 +282,9 @@ def sw_align_batch(pairs, m: int = 2, k: int = 1, d: int = 1):
          b.encode() if isinstance(b, str) else bytes(b))
         for a, b in pairs
     ]
-    tops, sides, l1, l2 = encode_batch(norm)
+    # uint8 upload: engines cast on device; all outputs are
+    # lens/in_rect-gated (tests/test_encode_u8.py)
+    tops, sides, l1, l2 = encode_batch_u8(norm)
     interpret = jax.devices()[0].platform != "tpu"
     if sides.shape[1] > 2048:
         if not interpret:

@@ -142,3 +142,53 @@ def test_u8_rowsweep_equivalence():
         )
         assert int(g_n) == int(r_n)
         np.testing.assert_array_equal(np.asarray(g_ops), np.asarray(r_ops))
+
+
+def test_u8_variant_banded_traceback_equivalence():
+    """SW / Gotoh / overlap banded full-alignment engines on uint8 vs
+    sentinel inputs (their best/argmax updates are in_rect-masked, so
+    the 0-pad must be invisible)."""
+    from nw_tpu.ops.variants_banded import (
+        affine_traceback_banded_batch,
+        overlap_traceback_banded_batch,
+        sw_traceback_banded_batch,
+    )
+
+    rng = np.random.default_rng(19)
+    ps = _mixed_pairs(rng, 5, 1, 40)
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    tops8, sides8, _, _ = enc.encode_batch_u8(ps)
+    kw = dict(interpret=True, band_rows=16, chunk=8, unroll=8, group_bands=2)
+
+    for fn, params in (
+        (sw_traceback_banded_batch, (2, 1, 1)),
+        (overlap_traceback_banded_batch, (2, 1, 1)),
+        (affine_traceback_banded_batch, (2, 1, 3, 1)),
+    ):
+        ref = fn(tops, sides, l1, l2, *params, **kw)
+        got = fn(tops8, sides8, l1, l2, *params, **kw)
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+
+
+def test_u8_variant_rowsweep_equivalence():
+    from nw_tpu.ops.variants_rowsweep import (
+        affine_scores_rowsweep_batch,
+        overlap_scores_rowsweep_batch,
+        sw_scores_rowsweep_batch,
+    )
+
+    rng = np.random.default_rng(23)
+    ps = _mixed_pairs(rng, 8, 1, 24)
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    tops8, sides8, _, _ = enc.encode_batch_u8(ps)
+    kw = dict(rows=4, interpret=True)
+
+    for fn, params in (
+        (sw_scores_rowsweep_batch, (2, 1, 1)),
+        (overlap_scores_rowsweep_batch, (2, 1, 1)),
+        (affine_scores_rowsweep_batch, (2, 1, 3, 1)),
+    ):
+        ref = np.asarray(fn(tops, sides, l1, l2, *params, **kw))
+        got = np.asarray(fn(tops8, sides8, l1, l2, *params, **kw))
+        np.testing.assert_array_equal(got, ref)
