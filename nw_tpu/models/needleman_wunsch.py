@@ -567,6 +567,7 @@ def _pipelined_banded_walk(
     device + host serialized (VERDICT r2 item 4).
     """
     from nw_tpu.ops.banded_traceback import (
+        RunsRecordOverflow,
         traceback_banded_dispatch,
         traceback_banded_finalize,
     )
@@ -582,14 +583,26 @@ def _pipelined_banded_walk(
         # _prep_banded casts to int32 on device
         tops, sides, l1, l2 = enc.encode_batch_u8(padded, L1, L2)
         handles.append(
-            traceback_banded_dispatch(
-                tops, sides, l1, l2, m, k, d, with_counts=count,
-                interpret=interpret,
+            (
+                traceback_banded_dispatch(
+                    tops, sides, l1, l2, m, k, d, with_counts=count,
+                    interpret=interpret,
+                ),
+                (tops, sides, l1, l2),
             )
         )
     scores_l, counts_l, ops_l, n_l = [], [], [], []
-    for sub, h in zip(subs, handles):
-        outs = traceback_banded_finalize(h, L1, L2, with_counts=count)
+    for sub, (h, enc_sub) in zip(subs, handles):
+        try:
+            outs = traceback_banded_finalize(h, L1, L2, with_counts=count)
+        except RunsRecordOverflow:
+            # rare gap-dense sub-batch: redo on the per-cell engine
+            from nw_tpu.ops.banded_traceback import traceback_banded_batch
+
+            outs = traceback_banded_batch(
+                *enc_sub, m, k, d, with_counts=count,
+                interpret=interpret, engine="twopass",
+            )
         if count:
             sc, ct, ops, n = outs
             counts_l.append(ct[: len(sub)])

@@ -108,21 +108,20 @@ def _make_group_fns(
         _, words = jax.lax.scan(
             band_refill, cp, jnp.arange(S, dtype=jnp.int32)
         )  # (S, T16, RB, nb_pad)
-        return walk_loop(i, j, words.reshape(-1), g)
+        return walk_loop(i, j, words, g)
 
     return group_fwd, group_walk, cap
 
 
 def _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap):
     """The batched backward walk over one group's 2-bit word planes
-    (``words_flat`` = (S, T_pad//16, RB, nb_pad) raveled); shared by
-    the two-pass (re-fill) and one-pass (materialized-words) engines.
-    Returns ``walk(i, j, words_flat, g) -> (i, j, ops_g, ng)``."""
-    T16 = T_pad // 16
+    (``words`` = (S, T_pad//16, RB, nb_pad)); shared by the two-pass
+    (re-fill) and one-pass (materialized-words) engines.
+    Returns ``walk(i, j, words, g) -> (i, j, ops_g, ng)``."""
     WU = 16
     b_ar = jnp.arange(nb, dtype=jnp.int32)
 
-    def walk(i, j, words_flat, g):
+    def walk(i, j, words, g):
         g0 = g * S * RB
 
         def cond(st):
@@ -139,8 +138,9 @@ def _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap):
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i + jj, 0, T_pad - 1)
-                lin = ((rr * T16 + (t >> 4)) * RB + jj) * nb_pad + b_ar
-                w = words_flat[lin]
+                # 4-D gather — flattening first forces a tiled-layout
+                # copy of the whole group slab (see _make_runs_walk_loop)
+                w = words[rr, t >> 4, jj, b_ar]
                 # 2-bit greedy code: 0 diag, 1 left, 2 up — exactly the
                 # OP_* encoding, so the op IS the field
                 a = (w >> ((t & 15) * 2)) & 3
@@ -163,6 +163,84 @@ def _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap):
             cond, body, (i, j, jnp.int32(0), ops_g0, ng0)
         )
         return i, j, ops_g, ng
+
+    return walk
+
+
+def _runs_record_cap(A: int, S: int, RB: int) -> int:
+    """Static record-buffer height per group.  Records per group =
+    number of same-code runs the walk crosses (~2x the gap events on
+    the in-group path segment); the cap covers every path whose mean
+    run length is >= 6 cells, with a measured ~6x margin for random
+    DNA (930 observed at 256 x 10kb).  Paths below that (adversarial
+    alternating indels) overflow and fall back to the per-cell engine
+    — exactness never depends on the cap."""
+    return max(1024, -(-(A + S * RB) // 6) // 128 * 128)
+
+
+def _make_runs_walk_loop(S, RB, T_pad, nb, nb_pad, A, cap_rec):
+    """Run-skip walk over one group's run-byte planes (``words`` =
+    (S, T_pad//4, RB, nb_pad) from the ``with_runs`` kernel mode).
+
+    Each gathered byte is ``run << 2 | code``; the walk consumes the
+    WHOLE run per iteration — one dependent gather per run instead of
+    per cell (~3-60x shorter sequential chain depending on gap
+    density; scripts/probe_gather.py measured TPU gathers
+    element-serial, so fewer sequential elements is the only lever).
+
+    Emission is the gathered byte itself: the record stream in
+    iteration order IS the op string run-length encoded (K x code per
+    record), written at loop-counter rows — a ~1 us dynamic slice vs
+    the ~16 us/iteration a row-indexed scatter costs (probed; flat in
+    target size).  Inactive lanes record OP_NONE in the code bits.
+
+    Returns ``walk(i, j, words, g, recs) -> (i, j, recs, max_it)``
+    with ``recs`` int8[cap_rec, nb] (byte patterns; reinterpret uint8
+    on host) and ``max_it`` the iteration count — if it exceeds
+    cap_rec the caller must fall back to the per-cell engine.
+    """
+    b_ar = jnp.arange(nb, dtype=jnp.int32)
+    cap_it = A + S * RB + 2  # all-single-step worst case (safety bound)
+
+    def walk(i, j, words, g, recs):
+        g0 = g * S * RB
+
+        def cond(st):
+            i, j, it, _ = st
+            active = ((i > 0) | (j > 0)) & (j >= g0)
+            return jnp.any(active) & (it < cap_it)
+
+        def body(st):
+            i, j, it, recs = st
+            active = ((i > 0) | (j > 0)) & (j >= g0)
+            jl = jnp.clip(j - g0, 0, S * RB - 1)
+            rr = jl // RB
+            jj = jl - rr * RB
+            t = jnp.clip(i + jj, 0, T_pad - 1)
+            # 4-D gather: flattening ``words`` first LOOKS free but a
+            # TPU tiled-layout reshape materializes a full copy of the
+            # multi-GB group slab (~110 ms/group measured — 30x the
+            # whole walk)
+            w = words[rr, t >> 2, jj, b_ar]
+            v = (w >> ((t & 3) * 8)) & 0xFF
+            a = v & 3
+            K = jnp.maximum(v >> 2, 1)  # up stores run = 0
+            di = jnp.where(a == OP_UP, 0, K)
+            dj = jnp.where(a == OP_DIAG, K, jnp.where(a == OP_UP, 1, 0))
+            rec = jnp.where(active, v, jnp.int32(OP_NONE))
+            recs = jax.lax.dynamic_update_slice(
+                recs,
+                rec.astype(jnp.int8)[None, :],
+                (jnp.minimum(it, cap_rec - 1), 0),
+            )
+            i = jnp.where(active, i - di, i)
+            j = jnp.where(active, j - dj, j)
+            return (i, j, it + 1, recs)
+
+        i, j, it, recs = jax.lax.while_loop(
+            cond, body, (i, j, jnp.int32(0), recs)
+        )
+        return i, j, recs, it
 
     return walk
 
@@ -282,6 +360,161 @@ def _banded_walk_device(
     )
     ops4, total = device_stitch_pack(ops_stack, ng_stack, A + Bs, cap, nb)
     return scores[0, :nb], counts_out, ops4, total
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "interpret", "block_pairs", "band_rows", "chunk", "unroll",
+        "group_bands", "with_counts",
+    ),
+)
+def _banded_walk_runs_device(
+    tops, sides, lens1, lens2, m, k, d,
+    interpret: bool,
+    block_pairs: int,
+    band_rows: int,
+    chunk: int,
+    unroll: int,
+    group_bands: int,
+    with_counts: bool,
+):
+    """Run-skip engine (device part): same checkpoint pass 1 as
+    :func:`_banded_walk_device`, but pass 2 re-fills RUN BYTES
+    (fill_pallas_banded ``with_runs``) and walks whole runs per gather
+    (:func:`_make_runs_walk_loop`).  Returns (scores int32[nb], counts,
+    recs int8[ngroups, cap_rec, nb], max_its int32[ngroups]) — ``recs``
+    is the run-length-encoded op stream, expanded host-side
+    (:func:`traceback_banded_finalize`, engine="runs"); ``max_its``
+    flags record-cap overflow (fall back to the per-cell engine)."""
+    import math
+
+    nb, A = tops.shape
+    _, Bs = sides.shape
+    BT = block_pairs
+    N = Bs + 1
+    S = group_bands
+    RUNS_UNROLL = 16  # multiple of the byte pack period (4) and 8
+    # chunk quantum: pass 1 needs lcm(unroll, 8); the byte-packed
+    # refill needs lcm(RUNS_UNROLL, 4) — align to both
+    q1 = unroll * 8 // math.gcd(unroll, 8)
+    q = q1 * 16 // math.gcd(q1, 16)
+    chunk = -(-chunk // q) * q
+    RB, nbands, C, T_pad, lag0, off, U_pad = _geometry(
+        A, N, band_rows, chunk, unroll
+    )
+    ngroups = -(-nbands // S)
+    nbands = ngroups * S
+    N_pad = nbands * RB
+    tops_sh, sides_sh, lens, nb_pad = _prep_banded(
+        tops, sides, lens1, lens2, BT, T_pad, N_pad
+    )
+
+    if with_counts:
+        score_call = build_arrows_call(
+            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+            with_counts=True, with_words=False,
+        )
+    else:
+        score_call = build_scores_call(
+            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret
+        )
+    runs_call = build_arrows_call(
+        RB, C, off, lag0, RUNS_UNROLL, T_pad, U_pad, nb_pad, BT, interpret,
+        with_counts=False, pack_bits=8, with_runs=True,
+    )
+    group_fwd, _, _ = _make_group_fns(
+        score_call, runs_call, tops_sh, sides_sh, lens,
+        m, k, d, A, S, RB, T_pad, nb, nb_pad, with_counts,
+    )
+    cap_rec = _runs_record_cap(A, S, RB)
+    walk_loop = _make_runs_walk_loop(S, RB, T_pad, nb, nb_pad, A, cap_rec)
+
+    # ---- pass 1: identical checkpoint sweep
+    bnd0 = jnp.full((U_pad, nb_pad), NEG_INF, jnp.int32)
+    scores0 = jnp.full((1, nb_pad), NEG_INF, jnp.int32)
+    cbnd0 = jnp.zeros((U_pad, nb_pad), jnp.int32)
+    counts0 = jnp.zeros((1, nb_pad), jnp.int32)
+    (scores, counts, _, _), cps = jax.lax.scan(
+        group_fwd, (scores0, counts0, bnd0, cbnd0),
+        jnp.arange(ngroups, dtype=jnp.int32),
+    )
+
+    # ---- pass 2: run-byte re-fill + run-skip walk, groups descending
+    def group_walk(i, j, cp, g):
+        def band_refill(bnd2, rr):
+            s = _band_scalars(m, k, d, g * S + rr, RB, lens, nb)
+            words, _, bnd2 = runs_call(
+                s, tops_sh, sides_sh, lens, bnd2, bnd2
+            )
+            return bnd2, words[0]
+
+        _, words = jax.lax.scan(
+            band_refill, cp, jnp.arange(S, dtype=jnp.int32)
+        )  # (S, T_pad//4, RB, nb_pad)
+        recs0 = jnp.full((cap_rec, nb), OP_NONE, jnp.int8)
+        return walk_loop(i, j, words, g, recs0)
+
+    def walk_body(carry, idx):
+        i, j = carry
+        g = ngroups - 1 - idx
+        i, j, recs, max_it = group_walk(i, j, cps[g], g)
+        return (i, j), (recs, max_it)
+
+    i0 = jnp.asarray(lens1, jnp.int32)
+    j0v = jnp.asarray(lens2, jnp.int32)
+    (_, _), (recs, max_its) = jax.lax.scan(
+        walk_body, (i0, j0v), jnp.arange(ngroups, dtype=jnp.int32)
+    )
+    counts_out = (
+        counts[0, :nb].astype(jnp.uint32) if with_counts else None
+    )
+    return scores[0, :nb], counts_out, recs, max_its
+
+
+class RunsRecordOverflow(Exception):
+    """A walk group produced more run records than the static cap —
+    the caller must redo the batch with the per-cell engine."""
+
+
+def _finalize_runs(out, with_counts: bool, s_total: int = None):
+    """Host half of the run-skip engine: expand the run-length-encoded
+    record stream into the op-string format of
+    :func:`traceback_banded_finalize`.
+
+    Each record byte is ``run << 2 | code`` in walk (corner -> origin)
+    order with groups already ordered; a pair's records within a group
+    form a prefix terminated by OP_NONE codes.  One ``np.repeat`` per
+    pair expands runs to ops.
+    """
+    scores, counts, recs, max_its = jax.device_get(out)
+    recs = np.asarray(recs).astype(np.uint8)  # (ngroups, cap_rec, nb)
+    max_its = np.asarray(max_its)
+    cap_rec = recs.shape[1]
+    if (max_its > cap_rec).any():
+        raise RunsRecordOverflow(
+            f"run records exceeded cap {cap_rec} "
+            f"(max {int(max_its.max())})"
+        )
+    ngroups, _, nb = recs.shape
+    flat = recs.reshape(ngroups * cap_rec, nb)
+    codes = flat & 3
+    valid = codes != OP_NONE
+    K = np.where(
+        codes == OP_UP, 1, np.maximum(flat.astype(np.int64) >> 2, 1)
+    )
+    K = np.where(valid, K, 0)
+    n = K.sum(axis=0).astype(np.int32)
+    if s_total is None:  # callers that concatenate pass a fixed width
+        s_total = max(int(n.max(initial=1)), 1)
+    ops = np.full((nb, s_total), OP_NONE, np.int8)
+    for b in range(nb):
+        vb = valid[:, b]
+        seq = np.repeat(codes[vb, b].astype(np.int8), K[vb, b])
+        ops[b, : seq.shape[0]] = seq
+    if with_counts:
+        return np.asarray(scores), np.asarray(counts), ops, n
+    return np.asarray(scores), ops, n
 
 
 def device_stitch_pack(ops_stack, ng_stack, s_total, cap, nb):
@@ -430,7 +663,7 @@ def _banded_walk_onepass_device(
         i, j = carry2
         g = ngroups - 1 - idx
         words = jax.lax.dynamic_slice_in_dim(w_all, g * S, S, axis=0)
-        i, j, ops_g, ng = walk_loop(i, j, words.reshape(-1), g)
+        i, j, ops_g, ng = walk_loop(i, j, words, g)
         return (i, j), (ops_g, ng)
 
     i0 = jnp.asarray(lens1, jnp.int32)
@@ -461,6 +694,23 @@ def _auto_group_bands(A: int, band_rows: int) -> int:
     return 16 if nbands >= 48 else 8
 
 
+def default_walk_engine() -> str:
+    """Pass-2 engine choice; ``NW_TPU_WALK_ENGINE=runs`` selects the
+    run-skip walk.
+
+    "twopass" is the measured default on v5e (256 x 10kb, counts):
+    the run-skip engine cuts the sequential walk 20.5k -> ~6.5k
+    dependent gathers, but a gather is only ~4 us here, so the walk is
+    just ~0.07 s of the 0.54 s program — while emitting run BYTES
+    (4 cells/word) costs the re-fill kernel 2.3x the 2-bit mode's
+    stores+ops (0.38 s vs 0.16 s measured).  The run-skip engine stays
+    maintained (bit-exact, tested) for topologies where gather latency
+    dominates; the decomposition lives in PERF.md."""
+    import os
+
+    return os.environ.get("NW_TPU_WALK_ENGINE", "twopass")
+
+
 def traceback_banded_dispatch(
     tops, sides, lens1, lens2, m, k, d,
     interpret: bool = False,
@@ -470,6 +720,7 @@ def traceback_banded_dispatch(
     unroll: int = DEFAULT_UNROLL,
     group_bands: int = None,
     with_counts: bool = False,
+    engine: str = None,
 ):
     """Enqueue one sub-batch's walk on device WITHOUT fetching.
 
@@ -494,6 +745,15 @@ def traceback_banded_dispatch(
     if group_bands is None:
         group_bands = _auto_group_bands(A, band_rows)
     _, Bs = sides.shape
+    if engine is None:
+        engine = default_walk_engine()
+    if engine == "runs":
+        return _banded_walk_runs_device(
+            tops, sides, lens1, lens2, m, k, d,
+            interpret=interpret, block_pairs=block_pairs,
+            band_rows=band_rows, chunk=chunk, unroll=unroll,
+            group_bands=group_bands, with_counts=with_counts,
+        )
     if (
         nb <= 128
         and _onepass_word_bytes(A, Bs, band_rows, group_bands) <= budget
@@ -512,8 +772,20 @@ def traceback_banded_dispatch(
     )
 
 
-def traceback_banded_finalize(out, A, Bs, with_counts: bool = False):
-    """Fetch + unpack one dispatched sub-batch's results."""
+def traceback_banded_finalize(
+    out, A, Bs, with_counts: bool = False, engine: str = None,
+    lens2=None,
+):
+    """Fetch + unpack one dispatched sub-batch's results.
+
+    ``engine`` must match the dispatch's.  The run-skip engine raises
+    :class:`RunsRecordOverflow` when a group's record stream overran
+    its static cap — redo the batch with ``engine="twopass"``
+    (``lens2`` is accepted for signature stability; unused)."""
+    if engine is None:
+        engine = default_walk_engine()
+    if engine == "runs":
+        return _finalize_runs(out, with_counts, s_total=A + Bs)
     scores, counts, ops4, n = jax.device_get(out)
     ops = unpack_ops4(ops4, A + Bs)  # already stitched on device
     n = np.asarray(n, np.int32)
@@ -531,6 +803,7 @@ def traceback_banded_batch(
     unroll: int = DEFAULT_UNROLL,
     group_bands: int = None,
     with_counts: bool = False,
+    engine: str = None,
 ):
     """Exact greedy traceback of a batch at any side length.
 
@@ -542,6 +815,8 @@ def traceback_banded_batch(
     """
     nb, A = tops.shape
     _, Bs = sides.shape
+    if engine is None:
+        engine = default_walk_engine()
     if nb == 0:
         empty = (
             np.zeros((0,), np.int32),
@@ -554,9 +829,23 @@ def traceback_banded_batch(
         tops, sides, lens1, lens2, m, k, d,
         interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
         chunk=chunk, unroll=unroll, group_bands=group_bands,
-        with_counts=with_counts,
+        with_counts=with_counts, engine=engine,
     )
-    return traceback_banded_finalize(out, A, Bs, with_counts)
+    try:
+        return traceback_banded_finalize(
+            out, A, Bs, with_counts, engine=engine
+        )
+    except RunsRecordOverflow:
+        # gap-dense path overran the run-record cap: redo with the
+        # per-cell walk (exactness first; the cap covers every
+        # mean-run >= 6 path so this is the rare tail)
+        return traceback_banded_batch(
+            tops, sides, lens1, lens2, m, k, d,
+            interpret=interpret, block_pairs=block_pairs,
+            band_rows=band_rows, chunk=chunk, unroll=unroll,
+            group_bands=group_bands, with_counts=with_counts,
+            engine="twopass",
+        )
 
 
 def _compact_group_ops(ops_stack, ng_stack, s_total):

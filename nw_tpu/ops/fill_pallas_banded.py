@@ -341,7 +341,7 @@ def build_scores_call(
 
 def _make_banded_arrows_kernel(
     RB: int, C: int, off: int, unroll: int, with_counts: bool,
-    with_words: bool = True, pack_bits: int = 8,
+    with_words: bool = True, pack_bits: int = 8, with_runs: bool = False,
 ):
     """Arrows-emitting banded kernel; grid (batch_blocks, T_pad // C).
 
@@ -369,8 +369,23 @@ def _make_banded_arrows_kernel(
     boundary row streams through a second bnd in/out pair), emitting the
     reference's ``-s`` solution count (int32 wraparound == the
     reference's unsigned overflow, computation.h:65) with no second pass.
+
+    ``with_runs`` (requires ``pack_bits=8``, no counts): each byte is
+    ``min(run, 63) << 2 | code`` — the greedy code plus the length of
+    the maximal same-code run ENDING at this cell walking backward:
+    diag runs chain through the diag predecessor (one extra shifted
+    register pair, zero-injected at each band's row 0 so runs never
+    cross a band), left runs through the left predecessor (same row —
+    one unshifted register, no boundary).  Up steps keep run = 0.  The
+    run-skip walk (banded_traceback._make_runs_walk_loop) consumes a
+    whole run per gather instead of one cell, cutting the sequential
+    dependent-gather chain 10-60x on near-diagonal paths; a capped or
+    band-split run only shortens a jump, never corrupts it (every
+    counted cell's code is DIAG/LEFT by construction).
     """
     P = 32 // pack_bits  # cells per packed int32 word
+    if with_runs and (pack_bits != 8 or with_counts or not with_words):
+        raise ValueError("with_runs requires pack_bits=8 words, no counts")
 
     def kernel(*refs):
         it = iter(refs)
@@ -399,6 +414,9 @@ def _make_banded_arrows_kernel(
             cprev2sh_ref = next(it)
             cbscr_ref = next(it)
             cstage_ref = next(it)
+        if with_runs:
+            vprev_ref = next(it)
+            vprev2sh_ref = next(it)
 
         BT = lens_ref.shape[1]
         c = pl.program_id(1)
@@ -431,6 +449,11 @@ def _make_banded_arrows_kernel(
                     (first == 1) & (len1 + len2 == 0),
                     jnp.int32(1), jnp.int32(0),
                 )
+            if with_runs:
+                # v = 0 is the no-chain sentinel: code bits say DIAG
+                # but run = 0, so a reader chains dr = 0 + 1 = 1
+                vprev_ref[...] = jnp.zeros((RB, BT), jnp.int32)
+                vprev2sh_ref[...] = jnp.zeros((RB, BT), jnp.int32)
 
         bscr_ref[0 : C - off, :] = bnda_ref[off:C, :]
         if off:
@@ -443,7 +466,7 @@ def _make_banded_arrows_kernel(
         side_ch = sides_ref[...]
 
         def substep(t, tl, rp, st):
-            prev, prev2sh, ch, cprev, cprev2sh, pack = st
+            prev, prev2sh, ch, cprev, cprev2sh, pack, vprev, vprev2sh = st
             new_top = tops_ref[pl.ds(tl, 1), :]
             ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
             sub = jnp.where(ch == side_ch, m, -kmis)
@@ -454,7 +477,7 @@ def _make_banded_arrows_kernel(
             mxd = jnp.maximum(prev_sh, prev) - d
             score = jnp.maximum(cand_d, mxd)
 
-            greedy_only = pack_bits == 2 and not with_counts
+            greedy_only = (pack_bits == 2 and not with_counts) or with_runs
             if not greedy_only:
                 # walk flags: left/up candidates aren't materialized
                 # (fused max-then-subtract), so compare against score+d
@@ -465,7 +488,42 @@ def _make_banded_arrows_kernel(
             if with_words:
                 # rp is static (unroll % P == 0): the pack register
                 # never crosses an unrolled group
-                if pack_bits == 8:
+                if with_runs:
+                    # greedy code + same-code run length (see docstring).
+                    # The emitted byte v is its own chain carrier: the
+                    # diag run chains through the DIAG predecessor's v
+                    # (vprev2sh — the shifted register pair mirrors the
+                    # score state exactly) when its code bits say diag;
+                    # the left run through the LEFT predecessor (vprev,
+                    # same row, unshifted) when its code bits say left.
+                    # Zero injection at row 0 fresh-starts runs per
+                    # band; packing chain+code in one register keeps
+                    # the rolling state at 5 (RB, BT) buffers (3 would
+                    # blow past the vector register file at RB = 96).
+                    vprev_sh = jnp.concatenate(
+                        [jnp.zeros((1, BT), jnp.int32), vprev[:-1, :]],
+                        axis=0,
+                    )
+                    is_diag = cand_d >= mxd
+                    is_left = jnp.logical_not(is_diag) & (prev >= prev_sh)
+                    dpred = jnp.where(
+                        (vprev2sh & 3) == 0, vprev2sh >> 2, 0
+                    )
+                    lpred = jnp.where((vprev & 3) == 1, vprev >> 2, 0)
+                    run = jnp.where(
+                        is_diag,
+                        jnp.minimum(dpred, 62) + 1,
+                        jnp.where(
+                            is_left, jnp.minimum(lpred, 62) + 1, 0
+                        ),
+                    )
+                    code = jnp.where(
+                        is_diag, 0, jnp.where(is_left, 1, 2)
+                    )
+                    v = (run << 2) | code
+                    word = v << (rp * 8)
+                    vprev, vprev2sh = v, vprev_sh
+                elif pack_bits == 8:
                     arrows = (
                         b_diag.astype(jnp.int32)
                         + b_left.astype(jnp.int32) * 2
@@ -534,7 +592,9 @@ def _make_banded_arrows_kernel(
                         jnp.where(hit, cnt, 0), axis=0, keepdims=True
                     )
 
-            return (score, prev_sh, ch, cnt, cprev2sh, pack)
+            return (
+                score, prev_sh, ch, cnt, cprev2sh, pack, vprev, vprev2sh,
+            )
 
         def step(i, _):
             tl0 = i * unroll
@@ -543,6 +603,8 @@ def _make_banded_arrows_kernel(
                 cprev_ref[...] if with_counts else None,
                 cprev2sh_ref[...] if with_counts else None,
                 None,  # pack register: completes within each group
+                vprev_ref[...] if with_runs else None,
+                vprev2sh_ref[...] if with_runs else None,
             )
             for u in range(unroll):
                 tl = tl0 + u
@@ -557,9 +619,19 @@ def _make_banded_arrows_kernel(
                         st = st[:3] + (
                             jnp.where(seed_mask, jnp.int32(1), st[3]),
                         ) + st[4:]
+                    if with_runs:
+                        # the seed cell (0,0)'s v must read the 0
+                        # sentinel: dr(1,1)/lr(1,0) chain from it and a
+                        # stale run would jump the walk past the origin
+                        st = st[:6] + (
+                            jnp.where(seed_mask, jnp.int32(0), st[6]),
+                            st[7],
+                        )
             prev_ref[...], prev2sh_ref[...], ch_ref[...] = st[0], st[1], st[2]
             if with_counts:
                 cprev_ref[...], cprev2sh_ref[...] = st[3], st[4]
+            if with_runs:
+                vprev_ref[...], vprev2sh_ref[...] = st[6], st[7]
             return 0
 
         jax.lax.fori_loop(0, C // unroll, step, 0)
@@ -807,7 +879,7 @@ def fill_greedy_banded_single(
 
 def build_arrows_call(
     RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
-    with_counts, with_words=True, pack_bits=8,
+    with_counts, with_words=True, pack_bits=8, with_runs=False,
 ):
     """The compiled arrows-band sweep: call(s, tops_sh, sides_sh, lens,
     bnd, bnd[, cbnd, cbnd]) -> ([words (1, T_pad//P, RB, nb_pad),]
@@ -882,10 +954,16 @@ def build_arrows_call(
             pltpu.VMEM((C, BT), jnp.int32),   # count boundary window
             pltpu.VMEM((8, BT), jnp.int32),   # count boundary staging
         ]
+    if with_runs:
+        scratch += [
+            pltpu.VMEM((RB, BT), jnp.int32),  # prev run-byte v
+            pltpu.VMEM((RB, BT), jnp.int32),  # shift(prev2) run-byte v
+        ]
 
     call = pl.pallas_call(
         _make_banded_arrows_kernel(
-            RB, C, off, unroll, with_counts, with_words, pack_bits
+            RB, C, off, unroll, with_counts, with_words, pack_bits,
+            with_runs,
         ),
         out_shape=tuple(out_shapes),
         grid_spec=pltpu.PrefetchScalarGridSpec(
