@@ -612,6 +612,22 @@ def main() -> int:
         for b in range(len(ps)):
             assert (ops[b, : n[b]] == opsr[b, : n[b]]).all()
 
+    def banded_traceback_runs():
+        # the run-skip engine compiled on hardware must be
+        # bit-identical to the per-cell engine (codes AND run jumps)
+        from nw_tpu.ops.banded_traceback import traceback_banded_batch
+
+        kw = dict(band_rows=24, chunk=24, unroll=8, group_bands=2,
+                  with_counts=True)
+        want = traceback_banded_batch(
+            tops, sides, l1, l2, 2, 1, 1, engine="twopass", **kw
+        )
+        got = traceback_banded_batch(
+            tops, sides, l1, l2, 2, 1, 1, engine="runs", **kw
+        )
+        for a, b in zip(got, want):
+            assert (np.asarray(a) == np.asarray(b)).all()
+
     def align_batch_greedy2_route():
         # the model's strings-only route (2-bit greedy fill + walker)
         # must produce the same alignments as the counts route (3-bit
@@ -826,6 +842,7 @@ def main() -> int:
     check("banded SW + affine FULL tracebacks", banded_variant_tracebacks)
     check("small-batch long-side SW/Gotoh alignments", small_batch_long_variants)
     check("banded checkpointed traceback + counts", banded_traceback)
+    check("run-skip walk engine == per-cell engine", banded_traceback_runs)
     check("align_batch greedy2 strings route", align_batch_greedy2_route)
     check("resumable walk kill/resume (compiled)", resumable_walk)
     check("strips-in-slots single-pair engine + route", strips_engine)
