@@ -113,16 +113,22 @@ def _make_group_fns(
     return group_fwd, group_walk, cap
 
 
-def _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap):
+def _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap, global_bands=False):
     """The batched backward walk over one group's 2-bit word planes
     (``words`` = (S, T_pad//16, RB, nb_pad)); shared by the two-pass
     (re-fill) and one-pass (materialized-words) engines.
-    Returns ``walk(i, j, words, g) -> (i, j, ops_g, ng)``."""
+    Returns ``walk(i, j, words, g) -> (i, j, ops_g, ng)``.
+
+    ``global_bands``: ``words`` covers ALL bands (the one-pass
+    engine's stack) and the walk indexes band ``j // RB`` directly —
+    dynamic-slicing the group out of a multi-GB stack first would
+    materialize a ~0.5 GB tiled-layout copy per group."""
     WU = 16
     b_ar = jnp.arange(nb, dtype=jnp.int32)
 
     def walk(i, j, words, g):
         g0 = g * S * RB
+        nrows = words.shape[0] * RB if global_bands else S * RB
 
         def cond(st):
             i, j, tl, _, _ = st
@@ -134,7 +140,8 @@ def _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap):
             op_rows = []
             for _ in range(WU):
                 active = ((i > 0) | (j > 0)) & (j >= g0)
-                jl = jnp.clip(j - g0, 0, S * RB - 1)
+                base = 0 if global_bands else g0
+                jl = jnp.clip(j - base, 0, nrows - 1)
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i + jj, 0, T_pad - 1)
@@ -306,7 +313,7 @@ def _walk_setup(
     jax.jit,
     static_argnames=(
         "interpret", "block_pairs", "band_rows", "chunk", "unroll",
-        "group_bands", "with_counts",
+        "group_bands", "with_counts", "host_stitch",
     ),
 )
 def _banded_walk_device(
@@ -318,10 +325,17 @@ def _banded_walk_device(
     unroll: int,
     group_bands: int,
     with_counts: bool,
+    host_stitch: bool = False,
 ):
     """Device part: (scores int32[nb], counts, ops4 (stitched, packed),
     total int32[nb]).  ``counts`` rides the checkpoint pass for free
-    when ``with_counts`` (None otherwise)."""
+    when ``with_counts`` (None otherwise).
+
+    ``host_stitch`` skips :func:`device_stitch_pack` (its position ->
+    group accumulation + (A+Bs, nb)-element gather) and instead ships
+    the per-group op prefixes 2-bit packed, (ngroups, cap//4, nb) —
+    the host stitches with :func:`_compact_group_ops`, hidden behind
+    the dispatch pipeline."""
     nb, A = tops.shape
     _, Bs = sides.shape
     (
@@ -358,6 +372,15 @@ def _banded_walk_device(
     counts_out = (
         counts[0, :nb].astype(jnp.uint32) if with_counts else None
     )
+    if host_stitch:
+        o = ops_stack.astype(jnp.uint8)  # (ngroups, cap, nb); cap % 4 == 0
+        ops4g = (
+            (o[:, 0::4] & 3)
+            | ((o[:, 1::4] & 3) << 2)
+            | ((o[:, 2::4] & 3) << 4)
+            | ((o[:, 3::4] & 3) << 6)
+        )
+        return scores[0, :nb], counts_out, ops4g, ng_stack
     ops4, total = device_stitch_pack(ops_stack, ng_stack, A + Bs, cap, nb)
     return scores[0, :nb], counts_out, ops4, total
 
@@ -582,7 +605,7 @@ def unpack_ops4(ops4, s_total):
     jax.jit,
     static_argnames=(
         "interpret", "block_pairs", "band_rows", "chunk", "group_bands",
-        "with_counts",
+        "with_counts", "host_stitch",
     ),
 )
 def _banded_walk_onepass_device(
@@ -593,6 +616,7 @@ def _banded_walk_onepass_device(
     chunk: int,
     group_bands: int,
     with_counts: bool,
+    host_stitch: bool = False,
 ):
     """One-pass engine: a single fused band sweep emits score
     (+counts) AND the full-table 2-bit walk words; the walk runs over
@@ -657,13 +681,14 @@ def _banded_walk_onepass_device(
 
     WU = 16
     cap = -(-(A + S * RB + 1) // WU) * WU
-    walk_loop = _make_walk_loop(S, RB, T_pad, nb, nb_pad, cap)
+    walk_loop = _make_walk_loop(
+        S, RB, T_pad, nb, nb_pad, cap, global_bands=True
+    )
 
     def walk_body(carry2, idx):
         i, j = carry2
         g = ngroups - 1 - idx
-        words = jax.lax.dynamic_slice_in_dim(w_all, g * S, S, axis=0)
-        i, j, ops_g, ng = walk_loop(i, j, words, g)
+        i, j, ops_g, ng = walk_loop(i, j, w_all, g)
         return (i, j), (ops_g, ng)
 
     i0 = jnp.asarray(lens1, jnp.int32)
@@ -671,6 +696,15 @@ def _banded_walk_onepass_device(
     (_, _), (ops_stack, ng_stack) = jax.lax.scan(
         walk_body, (i0, j0v), jnp.arange(ngroups, dtype=jnp.int32)
     )
+    if host_stitch:
+        o = ops_stack.astype(jnp.uint8)
+        ops4g = (
+            (o[:, 0::4] & 3)
+            | ((o[:, 1::4] & 3) << 2)
+            | ((o[:, 2::4] & 3) << 4)
+            | ((o[:, 3::4] & 3) << 6)
+        )
+        return scores[0, :nb], counts_out, ops4g, ng_stack
     ops4, total = device_stitch_pack(ops_stack, ng_stack, A + Bs, cap, nb)
     return scores[0, :nb], counts_out, ops4, total
 
@@ -682,7 +716,15 @@ def _onepass_word_bytes(A, Bs, band_rows, group_bands):
     nbands = -(-(Bs + 1) // RB)
     nbands = -(-nbands // group_bands) * group_bands
     T16 = _round_up(A + RB, 16) // 16
-    return nbands * T16 * RB * 4 * 128  # nb_pad >= 128 lanes
+    return nbands * T16 * RB * 4 * 128  # production sub-batch = 128 lanes
+
+
+def _onepass_word_bytes_nb(A, Bs, band_rows, group_bands, nb):
+    """Like :func:`_onepass_word_bytes` with the actual lane count."""
+    return (
+        _onepass_word_bytes(A, Bs, band_rows, group_bands)
+        * max(_round_up(max(nb, 1), 128), 128) // 128
+    )
 
 
 def _auto_group_bands(A: int, band_rows: int) -> int:
@@ -695,20 +737,24 @@ def _auto_group_bands(A: int, band_rows: int) -> int:
 
 
 def default_walk_engine() -> str:
-    """Pass-2 engine choice; ``NW_TPU_WALK_ENGINE=runs`` selects the
-    run-skip walk.
+    """Walk-engine choice (``NW_TPU_WALK_ENGINE`` overrides):
 
-    "twopass" is the measured default on v5e (256 x 10kb, counts):
-    the run-skip engine cuts the sequential walk 20.5k -> ~6.5k
-    dependent gathers, but a gather is only ~4 us here, so the walk is
-    just ~0.07 s of the 0.54 s program — while emitting run BYTES
-    (4 cells/word) costs the re-fill kernel 2.3x the 2-bit mode's
-    stores+ops (0.38 s vs 0.16 s measured).  The run-skip engine stays
-    maintained (bit-exact, tested) for topologies where gather latency
-    dominates; the decomposition lives in PERF.md."""
+    * ``auto`` (default): the one-pass fused engine when the word
+      stack fits the HBM budget (compiled path), else two-pass.
+    * ``twopass``: pin the checkpointed re-fill engine.
+    * ``onepass``: pin the fused engine (test use; budget ignored).
+    * ``hoststitch``: two-pass shape with per-group 2-bit records
+      stitched on host — measured SLOWER here (452 vs 490; the device
+      stitch is cheaper than +2-4 MB/sub-batch through this host
+      link) but the right trade for PCIe-attached hosts.
+    * ``runs``: run-skip walk — a measured negative on v5e (gathers
+      are only ~4 us so the per-cell walk is ~15% of the program,
+      while byte-granularity word emission costs the re-fill 2.3x the
+      2-bit mode); maintained bit-exact for gather-latency-dominated
+      topologies.  Decompositions in PERF.md."""
     import os
 
-    return os.environ.get("NW_TPU_WALK_ENGINE", "twopass")
+    return os.environ.get("NW_TPU_WALK_ENGINE", "auto")
 
 
 def traceback_banded_dispatch(
@@ -729,18 +775,25 @@ def traceback_banded_dispatch(
     the host-side unpack/strings work of sub-batch i overlaps the
     device compute of sub-batch i+1 (VERDICT r2 item 4's overlap).
 
-    Engine choice: with ``NW_TPU_ONEPASS_HBM`` set to an HBM byte
-    budget, batches whose full-table 2-bit word stack fits it take the
-    one-pass engine (ONE fused sweep emits score (+counts) and the walk
-    words; no re-fill pass).  OFF by default: measured at 128 x 10kb
-    the one-pass engine is only ~4% faster warm (291 vs 280 pairs/s
-    device) but XLA takes ~300 s to compile the 3.4 GB-output band scan
-    vs ~70 s for the two-pass program — the checkpointed re-fill keeps
-    both live memory AND compile time bounded.
+    Engine choice: compiled batches whose full-table 2-bit word stack
+    fits the ``NW_TPU_ONEPASS_HBM`` byte budget (default 6 GB; two
+    sub-batches ride in flight under the dispatch pipeline, so the
+    budget stays under half the 16 GB v5e HBM) take the one-pass
+    engine: ONE fused sweep emits score (+counts) AND the walk words —
+    no re-fill pass.  Round-4 measurement at config 3 (256 x 10kb,
+    counts): 576 pairs/s e2e vs 490 two-pass, once the walk gathers
+    from the word stack in place (dynamic-slicing a group out of the
+    multi-GB stack materializes a ~0.5 GB tiled-layout copy per group
+    — the very trap fixed in the walk loops).  XLA takes ~300 s to
+    compile the multi-GB-output band scan the first time (persistent
+    compile cache amortizes it); interpret mode therefore keeps the
+    engine opt-in via the env var so CPU test/dryrun coverage of the
+    two-pass default stays deliberate.
     """
     import os
 
-    budget = int(os.environ.get("NW_TPU_ONEPASS_HBM", "0"))
+    env = os.environ.get("NW_TPU_ONEPASS_HBM")
+    budget = int(env) if env is not None else (0 if interpret else 6 << 30)
     nb, A = tops.shape
     if group_bands is None:
         group_bands = _auto_group_bands(A, band_rows)
@@ -754,21 +807,24 @@ def traceback_banded_dispatch(
             band_rows=band_rows, chunk=chunk, unroll=unroll,
             group_bands=group_bands, with_counts=with_counts,
         )
-    if (
-        nb <= 128
-        and _onepass_word_bytes(A, Bs, band_rows, group_bands) <= budget
+    host_stitch = engine == "hoststitch"
+    if engine == "onepass" or (
+        engine == "auto"
+        and nb <= 128
+        and _onepass_word_bytes_nb(A, Bs, band_rows, group_bands, nb)
+        <= budget
     ):
         return _banded_walk_onepass_device(
             tops, sides, lens1, lens2, m, k, d,
             interpret=interpret, block_pairs=block_pairs,
             band_rows=band_rows, chunk=chunk, group_bands=group_bands,
-            with_counts=with_counts,
+            with_counts=with_counts, host_stitch=host_stitch,
         )
     return _banded_walk_device(
         tops, sides, lens1, lens2, m, k, d,
         interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
         chunk=chunk, unroll=unroll, group_bands=group_bands,
-        with_counts=with_counts,
+        with_counts=with_counts, host_stitch=host_stitch,
     )
 
 
@@ -786,6 +842,17 @@ def traceback_banded_finalize(
         engine = default_walk_engine()
     if engine == "runs":
         return _finalize_runs(out, with_counts, s_total=A + Bs)
+    if engine == "hoststitch":
+        scores, counts, ops4g, ng_stack = jax.device_get(out)
+        ops4g = np.asarray(ops4g)  # (ngroups, cap//4, nb)
+        ngroups, cap4, nb = ops4g.shape
+        ops_stack = np.empty((ngroups, cap4 * 4, nb), np.int8)
+        for r in range(4):
+            ops_stack[:, r::4] = (ops4g >> (2 * r)) & 3
+        ops, total = _compact_group_ops(ops_stack, ng_stack, A + Bs)
+        if with_counts:
+            return np.asarray(scores), np.asarray(counts), ops, total
+        return np.asarray(scores), ops, total
     scores, counts, ops4, n = jax.device_get(out)
     ops = unpack_ops4(ops4, A + Bs)  # already stitched on device
     n = np.asarray(n, np.int32)

@@ -19,17 +19,19 @@ from nw_tpu.ops.banded_traceback import traceback_banded_batch
 pytestmark = pytest.mark.filterwarnings("ignore::DeprecationWarning")
 
 
-def _compare(ps, mkd, kw, count=True):
+def _compare(ps, mkd, kw, count=True, engines=("runs", "hoststitch")):
     tops, sides, l1, l2 = enc.encode_batch(ps)
     ref = traceback_banded_batch(
         tops, sides, l1, l2, *mkd, with_counts=count,
         engine="twopass", **kw
     )
-    got = traceback_banded_batch(
-        tops, sides, l1, l2, *mkd, with_counts=count, engine="runs", **kw
-    )
-    for r, g in zip(ref, got):
-        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
+    for engine in engines:
+        got = traceback_banded_batch(
+            tops, sides, l1, l2, *mkd, with_counts=count,
+            engine=engine, **kw
+        )
+        for r, g in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
 
 
 def _rand_pairs(rng, n, lo, hi, alpha=b"ACGT"):
