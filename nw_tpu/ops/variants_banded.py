@@ -790,7 +790,6 @@ def _overlap_walk_device(
         _, words = jax.lax.scan(
             band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
         )
-        words_flat = words.reshape(-1)
         g0 = g * S * RB
 
         def cond(st):
@@ -806,8 +805,10 @@ def _overlap_walk_device(
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i2 + jj, 0, T_pad - 1)
-                lin = ((rr * T16 + (t >> 4)) * RB + jj) * nb_pad + b_ar
-                w = words_flat[lin]
+                # 4-D gather: flattening the group slab first would
+                # materialize a tiled-layout copy of the whole slab
+                # (see banded_traceback._make_runs_walk_loop)
+                w = words[rr, t >> 4, jj, b_ar]
                 # 2-bit code: 0 diag / 1 left / 2 up / 3 STOP — STOP
                 # is a pinned free-boundary cell (i == 0 or j == 0)
                 a = (w >> ((t & 15) * 2)) & 3
@@ -1184,7 +1185,6 @@ def _sw_walk_device(
         _, words = jax.lax.scan(
             band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
         )
-        words_flat = words.reshape(-1)
         g0 = g * S * RB
 
         def cond(st):
@@ -1200,8 +1200,10 @@ def _sw_walk_device(
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i2 + jj, 0, T_pad - 1)
-                lin = ((rr * T16 + (t >> 4)) * RB + jj) * nb_pad + b_ar
-                w = words_flat[lin]
+                # 4-D gather: flattening the group slab first would
+                # materialize a tiled-layout copy of the whole slab
+                # (see banded_traceback._make_runs_walk_loop)
+                w = words[rr, t >> 4, jj, b_ar]
                 # 2-bit code: 0 diag / 1 left / 2 up / 3 STOP — the op
                 # IS the field; STOP (a local-alignment start, score
                 # <= 0) ends the walk
@@ -1652,7 +1654,6 @@ def _affine_walk_device(
             band_refill, (cps[0][g], cps[1][g], cps[2][g]),
             jnp.arange(S, dtype=jnp.int32),
         )
-        words_flat = words.reshape(-1)
         g0 = g * S * RB
 
         def cond(st):
@@ -1668,8 +1669,8 @@ def _affine_walk_device(
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i2 + jj, 0, T_pad - 1)
-                lin = ((rr * T8 + (t >> 3)) * RB + jj) * nb_pad + b_ar
-                w = words_flat[lin]
+                # 4-D gather (see above)
+                w = words[rr, t >> 3, jj, b_ar]
                 b = (w >> ((t & 7) * 4)) & 0xF
                 is_m = mat2 == 0
                 is_ix = mat2 == 1

@@ -466,18 +466,16 @@ def _make_relay_walk(p, axis, A, H, nseq, vary0):
 def _make_arrow_at_pallas(arr_phases, p, C, R):
     """Cell reader over the pallas engine's packed per-phase arrows
     ((nphases, C//4, R, 128) int32; chunk c sits at phase c + p)."""
-    wflat = arr_phases.reshape(-1)
-    C4 = C // 4
 
     def arrow_at(i2, j2, H):
         jloc = j2 - p * H
         kk = i2 + j2
         c = kk // C
         t = kk - c * C
-        lin = (
-            ((c + p) * C4 + t // 4) * R + jloc // LANES
-        ) * LANES + (jloc % LANES)
-        return (wflat[lin] >> ((t % 4) * 8)) & 0xFF
+        # multi-dim index: flattening first materializes a tiled-layout
+        # copy of the arrow stack (banded_traceback._make_runs_walk_loop)
+        w = arr_phases[c + p, t // 4, jloc // LANES, jloc % LANES]
+        return (w >> ((t % 4) * 8)) & 0xFF
 
     return arrow_at
 
@@ -485,14 +483,12 @@ def _make_arrow_at_pallas(arr_phases, p, C, R):
 def _make_arrow_at_scan(arr_phases, p, C, H):
     """Cell reader over the scan engine's per-phase arrows
     ((nphases, C, H) uint8; chunk c sits at phase c + p)."""
-    arr_flat = arr_phases.reshape(-1)
 
     def arrow_at(i2, j2, _H):
         jloc = j2 - p * H
         kk = i2 + j2
         c = kk // C
-        idx = ((c + p) * C + (kk - c * C)) * H + jloc
-        return arr_flat[idx]
+        return arr_phases[c + p, kk - c * C, jloc]
 
     return arrow_at
 
