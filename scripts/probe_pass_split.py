@@ -1,22 +1,17 @@
 """Probe: config-3 device-time split — pass-1 score sweep vs the full
-two-pass walk program, 256x10kb, on the chip.
+walk program (default engine), 256x10kb, on the chip.
 
-Measured 2026-08-19 (idle tunnel): pass-1 score+checkpoint sweep
-0.113 s (237 GCUPS incl. RTT), full two-pass program 0.447 s
-(572 pairs/s device), so pass 2 (greedy-word group re-fill + the
-16-way-unrolled walk + stitch) is ~0.334 s.  The walk's ~20k
-sequential dependent gathers from the word planes (~16 per while_loop
-iteration, each a (256,)-lane dynamic gather) are the irreducible-
-looking core; the re-fill share is roughly pass-1-sized.  Remaining
-e2e headroom beyond the device program: ~0.17 s of host work per
-256-pair batch (encode + 21 MB int32 sequence upload through the
-tunnel + ops4 unpack) that the dispatch pipeline only partly hides —
-an int16/uint8 upload encoding (cast to int32 inside the jitted
-program; _prep_banded already casts) would cut the upload 2-4x.
-Candidate round-4 items, in expected-value order: (1) narrow upload
-dtype, (2) walk inside a Pallas kernel with word planes in VMEM to
-cut gather latency, (3) overlap pass 2 of chunk g with pass 1 of
-chunk g+1 at the scheduler level.
+Round-4 outcome of the round-3 candidates this probe motivated
+(full decomposition + measurements in PERF.md "Round 4"):
+
+1. uint8 upload: DONE (ops/encode.encode_batch_u8) — removed the
+   1.5x run-to-run variance and most of the host half.
+2. cheaper walk: the per-cell walk turned out to be only ~15% of the
+   program (a 256-lane gather costs ~4 us); a run-skip engine exists
+   (NW_TPU_WALK_ENGINE=runs) but loses on refill byte-emission cost.
+3. pass overlap: superseded by the ONE-PASS engine (fused
+   score+counts+2-bit-words sweep, no re-fill) — the compiled
+   default; config 3 went 307 (r3) -> ~577 pairs/s.
 """
 import os
 import sys
