@@ -761,7 +761,7 @@ def traceback_banded_dispatch(
     tops, sides, lens1, lens2, m, k, d,
     interpret: bool = False,
     block_pairs: int = LANES,
-    band_rows: int = 96,
+    band_rows: int = None,
     chunk: int = 192,
     unroll: int = DEFAULT_UNROLL,
     group_bands: int = None,
@@ -795,8 +795,14 @@ def traceback_banded_dispatch(
     env = os.environ.get("NW_TPU_ONEPASS_HBM")
     budget = int(env) if env is not None else (0 if interpret else 6 << 30)
     nb, A = tops.shape
+    # one-pass route defaults to RB = 64: the fused score+counts+words
+    # kernel carries 6 rolling (RB, BT) buffers, and 64 rows (8 vregs
+    # each) keeps them inside the vector register file (~3% measured);
+    # the two-pass kernels keep the 96-row sweet spot
+    rb_two = 96 if band_rows is None else band_rows
+    rb_one = 64 if band_rows is None else band_rows
     if group_bands is None:
-        group_bands = _auto_group_bands(A, band_rows)
+        group_bands = _auto_group_bands(A, rb_two)
     _, Bs = sides.shape
     if engine is None:
         engine = default_walk_engine()
@@ -804,25 +810,24 @@ def traceback_banded_dispatch(
         return _banded_walk_runs_device(
             tops, sides, lens1, lens2, m, k, d,
             interpret=interpret, block_pairs=block_pairs,
-            band_rows=band_rows, chunk=chunk, unroll=unroll,
+            band_rows=rb_two, chunk=chunk, unroll=unroll,
             group_bands=group_bands, with_counts=with_counts,
         )
     host_stitch = engine == "hoststitch"
     if engine == "onepass" or (
         engine == "auto"
-        and nb <= 128
-        and _onepass_word_bytes_nb(A, Bs, band_rows, group_bands, nb)
+        and _onepass_word_bytes_nb(A, Bs, rb_one, group_bands, nb)
         <= budget
     ):
         return _banded_walk_onepass_device(
             tops, sides, lens1, lens2, m, k, d,
             interpret=interpret, block_pairs=block_pairs,
-            band_rows=band_rows, chunk=chunk, group_bands=group_bands,
+            band_rows=rb_one, chunk=chunk, group_bands=group_bands,
             with_counts=with_counts, host_stitch=host_stitch,
         )
     return _banded_walk_device(
         tops, sides, lens1, lens2, m, k, d,
-        interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
+        interpret=interpret, block_pairs=block_pairs, band_rows=rb_two,
         chunk=chunk, unroll=unroll, group_bands=group_bands,
         with_counts=with_counts, host_stitch=host_stitch,
     )
@@ -865,7 +870,7 @@ def traceback_banded_batch(
     tops, sides, lens1, lens2, m, k, d,
     interpret: bool = False,
     block_pairs: int = LANES,
-    band_rows: int = 96,
+    band_rows: int = None,
     chunk: int = 192,
     unroll: int = DEFAULT_UNROLL,
     group_bands: int = None,
