@@ -70,7 +70,6 @@ def _make_group_fns(
 
     Returns (group_fwd, group_walk, cap).
     """
-    T16 = T_pad // 16
     WU = 16  # walk steps per while-loop iteration (amortizes overhead)
     # max in-group walk steps (all-horizontal worst case), WU-aligned
     cap = -(-(A + S * RB + 1) // WU) * WU
@@ -107,7 +106,7 @@ def _make_group_fns(
 
         _, words = jax.lax.scan(
             band_refill, cp, jnp.arange(S, dtype=jnp.int32)
-        )  # (S, T16, RB, nb_pad)
+        )  # (S, T_pad//16, RB, nb_pad)
         return walk_loop(i, j, words, g)
 
     return group_fwd, group_walk, cap

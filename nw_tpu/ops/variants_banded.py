@@ -773,7 +773,6 @@ def _overlap_walk_device(
     ist = kst - jst
 
     # ---- pass 2: per group (descending): words re-fill + local walk
-    T16 = T_pad // 16
     WU = 16
     cap = -(-(A + S * RB + 1) // WU) * WU
     b_ar = jnp.arange(nb, dtype=jnp.int32)
@@ -1168,7 +1167,6 @@ def _sw_walk_device(
     ist = kst - jst
 
     # ---- pass 2: per group (descending): words re-fill + local walk
-    T16 = T_pad // 16
     WU = 16
     cap = -(-(A + S * RB + 1) // WU) * WU
     b_ar = jnp.arange(nb, dtype=jnp.int32)
@@ -1633,7 +1631,6 @@ def _affine_walk_device(
     score = score[0, :nb]
     stm = stm[0, :nb]
 
-    T8 = T_pad // 8
     WU = 16
     cap = -(-(A + S * RB + 1) // WU) * WU
     b_ar = jnp.arange(nb, dtype=jnp.int32)
