@@ -10,7 +10,7 @@ step() { echo; echo "=== $1 ==="; }
 step "pytest (CPU, interpret-mode pallas)"
 python -m pytest tests/ -q || fail=1
 
-step "on-hardware Pallas sweep (35 checks)"
+step "on-hardware Pallas sweep (36 checks)"
 python scripts/tpu_validate.py || fail=1
 
 step "headline bench"

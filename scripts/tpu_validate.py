@@ -628,6 +628,34 @@ def main() -> int:
         for a, b in zip(got, want):
             assert (np.asarray(a) == np.asarray(b)).all()
 
+    def banded_traceback_onepass_production():
+        # the one-pass fused engine at PRODUCTION geometry (RB=64,
+        # chunk=192, auto groups, kilobase sides, 128-lane block) must
+        # match the two-pass engine bit-for-bit on hardware — the tiny
+        # geometries above don't exercise the register-fit kernel or
+        # the multi-group word-stack walk
+        from nw_tpu.ops.banded_traceback import traceback_banded_batch
+
+        rng2 = np.random.default_rng(77)
+        big = [
+            (
+                bytes(rng2.choice(list(b"ACGT"), int(rng2.integers(1, 2049)))),
+                bytes(rng2.choice(list(b"ACGT"), int(rng2.integers(1, 2049)))),
+            )
+            for _ in range(32)
+        ] + [(b"A" * 2048, b"A" * 2048), (b"A" * 2000, b"T" * 600)]
+        from nw_tpu.ops.encode import encode_batch_u8
+
+        t2, s2, a1, a2 = encode_batch_u8(big)
+        want = traceback_banded_batch(
+            t2, s2, a1, a2, 2, 1, 1, with_counts=True, engine="twopass"
+        )
+        got = traceback_banded_batch(
+            t2, s2, a1, a2, 2, 1, 1, with_counts=True, engine="onepass"
+        )
+        for a, b in zip(got, want):
+            assert (np.asarray(a) == np.asarray(b)).all()
+
     def align_batch_greedy2_route():
         # the model's strings-only route (2-bit greedy fill + walker)
         # must produce the same alignments as the counts route (3-bit
@@ -843,6 +871,8 @@ def main() -> int:
     check("small-batch long-side SW/Gotoh alignments", small_batch_long_variants)
     check("banded checkpointed traceback + counts", banded_traceback)
     check("run-skip walk engine == per-cell engine", banded_traceback_runs)
+    check("one-pass fused engine @ production geometry",
+          banded_traceback_onepass_production)
     check("align_batch greedy2 strings route", align_batch_greedy2_route)
     check("resumable walk kill/resume (compiled)", resumable_walk)
     check("strips-in-slots single-pair engine + route", strips_engine)
