@@ -1,13 +1,14 @@
-"""Run-skip walk engine (round 4) vs the per-cell two-pass walk.
+"""Walk-engine equivalence: runs / hoststitch vs the per-cell walk.
 
 The ``runs`` engine re-fills ``[run << 2 | code]`` bytes
 (fill_pallas_banded ``with_runs``) and walks whole same-code runs per
-gather (banded_traceback._make_runs_walk_loop), reconstructing ops
-from per-row (lefts, leave-op) planes.  These tests pin bit-exactness
-against the established two-pass engine — i.e. against the reference's
-first-emitted alignment (needleman-wunsch.c:209-331) — across run
-lengths that straddle the 63-cap, band boundaries, and group
-boundaries, plus gap-heavy paths where runs degenerate.
+gather (banded_traceback._make_runs_walk_loop); its record stream IS
+the run-length-encoded op string, expanded host-side.  These tests
+pin bit-exactness against the established two-pass engine — i.e.
+against the reference's first-emitted alignment
+(needleman-wunsch.c:209-331) — across run lengths that straddle the
+63-cap, band boundaries, and group boundaries, gap-heavy paths where
+runs degenerate, and the record-cap overflow fallback.
 """
 
 import numpy as np
@@ -126,3 +127,40 @@ def test_runs_engine_vs_scan_oracle():
         np.testing.assert_array_equal(
             np.asarray(ops)[b, :nn], np.asarray(ops_ref)[:nn]
         )
+
+
+def test_runs_record_cap_overflow_falls_back(monkeypatch):
+    """A record stream denser than the static cap must raise through
+    the finalize and the batch wrapper must redo the work on the
+    per-cell engine — bit-identically."""
+    import nw_tpu.ops.banded_traceback as bt
+
+    rng = np.random.default_rng(31)
+    ps = _rand_pairs(rng, 4, 30, 60)
+    tops, sides, l1, l2 = enc.encode_batch(ps)
+    kw = dict(interpret=True, band_rows=8, chunk=8, unroll=8,
+              group_bands=2)
+    want = bt.traceback_banded_batch(
+        tops, sides, l1, l2, 2, 1, 1, with_counts=True,
+        engine="twopass", **kw
+    )
+
+    # force the cap below any real record count
+    monkeypatch.setattr(bt, "_runs_record_cap", lambda A, S, RB: 4)
+    # the raw finalize must refuse truncated records...
+    out = bt.traceback_banded_dispatch(
+        tops, sides, l1, l2, 2, 1, 1, with_counts=True, engine="runs",
+        **kw
+    )
+    with pytest.raises(bt.RunsRecordOverflow):
+        bt.traceback_banded_finalize(
+            out, tops.shape[1], sides.shape[1], with_counts=True,
+            engine="runs",
+        )
+    # ...and the batch wrapper must fall back and still be exact
+    got = bt.traceback_banded_batch(
+        tops, sides, l1, l2, 2, 1, 1, with_counts=True, engine="runs",
+        **kw
+    )
+    for r, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(r))
