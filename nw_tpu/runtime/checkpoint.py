@@ -135,6 +135,14 @@ class ResumableBandedTraceback:
     A killed run resumes from the last completed span and produces
     bit-identical (scores[, counts], ops, n) — the persisted carry IS
     the computation's only cross-group state.
+
+    Engine note: this runner is built on the TWO-PASS engine by
+    design.  The round-4 one-pass engine (the compiled default for
+    HBM-sized batches) is a single fused sweep with no cross-group
+    checkpoints to persist — a preempted one-pass sub-batch simply
+    re-runs (bounded loss: one sub-batch), while long or
+    preemption-sensitive jobs use this runner and keep span-level
+    resume.
     """
 
     def __init__(self, directory: str, save_every: int = 4):
