@@ -726,6 +726,24 @@ def _onepass_word_bytes_nb(A, Bs, band_rows, group_bands, nb):
     )
 
 
+def onepass_auto(
+    A, Bs, band_rows, group_bands, nb, interpret, bits: int = 2
+) -> bool:
+    """True when a full-table walk-word stack (``bits`` per cell) fits
+    the one-pass HBM budget (``NW_TPU_ONEPASS_HBM``, default 6 GB on
+    compiled paths, opt-in under interpret) — shared by the NW
+    dispatch and the variant traceback engines."""
+    import os
+
+    env = os.environ.get("NW_TPU_ONEPASS_HBM")
+    budget = int(env) if env is not None else (0 if interpret else 6 << 30)
+    return (
+        _onepass_word_bytes_nb(A, Bs, band_rows, group_bands, nb)
+        * (bits // 2)
+        <= budget
+    )
+
+
 def _auto_group_bands(A: int, band_rows: int) -> int:
     """Walk-group height: 16 bands per group measured ~3% faster than 8
     at 10 kb (fewer sequential walk stages), but the band count pads to
@@ -789,10 +807,6 @@ def traceback_banded_dispatch(
     engine opt-in via the env var so CPU test/dryrun coverage of the
     two-pass default stays deliberate.
     """
-    import os
-
-    env = os.environ.get("NW_TPU_ONEPASS_HBM")
-    budget = int(env) if env is not None else (0 if interpret else 6 << 30)
     nb, A = tops.shape
     # one-pass route defaults to RB = 64: the fused score+counts+words
     # kernel carries 6 rolling (RB, BT) buffers, and 64 rows (8 vregs
@@ -815,8 +829,7 @@ def traceback_banded_dispatch(
     host_stitch = engine == "hoststitch"
     if engine == "onepass" or (
         engine == "auto"
-        and _onepass_word_bytes_nb(A, Bs, rb_one, group_bands, nb)
-        <= budget
+        and onepass_auto(A, Bs, rb_one, group_bands, nb, interpret)
     ):
         return _banded_walk_onepass_device(
             tops, sides, lens1, lens2, m, k, d,

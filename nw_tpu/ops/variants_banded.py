@@ -1074,7 +1074,7 @@ def affine_scores_banded_batch(
     jax.jit,
     static_argnames=(
         "interpret", "block_pairs", "band_rows", "chunk", "unroll",
-        "group_bands",
+        "group_bands", "onepass",
     ),
 )
 def _sw_walk_device(
@@ -1085,10 +1085,16 @@ def _sw_walk_device(
     chunk: int,
     unroll: int,
     group_bands: int,
+    onepass: bool = False,
 ):
     """Device part of the banded SW traceback (see
     :func:`sw_traceback_banded_batch`): returns (best, j*, i*, j_end,
-    i_end, ops_stack int8[ngroups, cap, nb] walk order, ng_stack)."""
+    i_end, ops_stack int8[ngroups, cap, nb] walk order, ng_stack).
+
+    ``onepass``: ONE fused sweep emits the argmax AND the 2-bit walk
+    words (no re-fill pass) — the NW one-pass engine's structure
+    (banded_traceback) applied to SW; the walk gathers from the full
+    word stack in place."""
     import math
 
     nb, A = tops.shape
@@ -1109,55 +1115,78 @@ def _sw_walk_device(
     tops_sh, sides_sh, lens, nb_pad = _prep_banded(
         tops, sides, lens1, lens2, BT, T_pad, N_pad
     )
-    score_call = build_sw_call(
-        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
-        with_argmax=True,
-    )
     # the greedy local walk needs only diag/left/up/STOP — exactly the
     # four 2-bit codes; 1/4 the word slab of the 3-bit tie masks
     WALK_UNROLL = 16
     words_call = build_sw_call(
         RB, C, off, lag0, WALK_UNROLL, T_pad, U_pad, nb_pad, BT, interpret,
-        with_words=True, pack_bits=2,
+        with_words=True, pack_bits=2, with_argmax=onepass,
     )
 
-    # ---- pass 1: score sweep with per-group checkpoints + global argmax
+    # ---- pass 1: score sweep + global argmax (with per-group
+    # checkpoints for the two-pass re-fill, or the fused word stack)
     bnd0 = jnp.full((U_pad, nb_pad), NEG, jnp.int32)
     best0 = jnp.zeros((1, nb_pad), jnp.int32)
     k0 = jnp.zeros((1, nb_pad), jnp.int32)
     j0v = jnp.zeros((1, nb_pad), jnp.int32)
 
-    def group_fwd(carry, g):
-        best, kst, jst, bnd = carry
-        cp = bnd
-
-        def band_fwd(c2, rr):
-            best2, kst2, jst2, bnd2 = c2
-            s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
-            pb, pk, pj, bnd2 = score_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
-            # lexicographic merge: higher score, then first diagonal,
-            # then lowest row (the scan engine's tie rule globally)
-            better = pb > best2
-            upd = better | (
-                (pb == best2)
-                & ((pk < kst2) | ((pk == kst2) & (pj < jst2)))
-            )
-            return (
-                jnp.maximum(best2, pb),
-                jnp.where(upd, pk, kst2),
-                jnp.where(upd, pj, jst2),
-                bnd2,
-            ), None
-
-        (best, kst, jst, bnd), _ = jax.lax.scan(
-            band_fwd, (best, kst, jst, bnd), jnp.arange(S, dtype=jnp.int32)
+    def _merge(best2, kst2, jst2, pb, pk, pj):
+        # lexicographic merge: higher score, then first diagonal,
+        # then lowest row (the scan engine's tie rule globally)
+        upd = (pb > best2) | (
+            (pb == best2) & ((pk < kst2) | ((pk == kst2) & (pj < jst2)))
         )
-        return (best, kst, jst, bnd), cp
+        return (
+            jnp.maximum(best2, pb),
+            jnp.where(upd, pk, kst2),
+            jnp.where(upd, pj, jst2),
+        )
 
-    (best, kst, jst, _), cps = jax.lax.scan(
-        group_fwd, (best0, k0, j0v, bnd0),
-        jnp.arange(ngroups, dtype=jnp.int32),
-    )
+    w_all = None
+    if onepass:
+        def band_fused(carry, r):
+            best2, kst2, jst2, bnd2 = carry
+            s = _variant_scalars(m, k, d, 0, r, RB, lens, nb)
+            words, pb, pk, pj, bnd2 = words_call(
+                s, tops_sh, sides_sh, lens, bnd2, bnd2
+            )
+            best2, kst2, jst2 = _merge(best2, kst2, jst2, pb, pk, pj)
+            return (best2, kst2, jst2, bnd2), words[0]
+
+        (best, kst, jst, _), w_all = jax.lax.scan(
+            band_fused, (best0, k0, j0v, bnd0),
+            jnp.arange(nbands, dtype=jnp.int32),
+        )
+        cps = None
+    else:
+        score_call = build_sw_call(
+            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+            with_argmax=True,
+        )
+
+        def group_fwd(carry, g):
+            best, kst, jst, bnd = carry
+            cp = bnd
+
+            def band_fwd(c2, rr):
+                best2, kst2, jst2, bnd2 = c2
+                s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
+                pb, pk, pj, bnd2 = score_call(
+                    s, tops_sh, sides_sh, lens, bnd2, bnd2
+                )
+                best2, kst2, jst2 = _merge(best2, kst2, jst2, pb, pk, pj)
+                return (best2, kst2, jst2, bnd2), None
+
+            (best, kst, jst, bnd), _ = jax.lax.scan(
+                band_fwd, (best, kst, jst, bnd),
+                jnp.arange(S, dtype=jnp.int32)
+            )
+            return (best, kst, jst, bnd), cp
+
+        (best, kst, jst, _), cps = jax.lax.scan(
+            group_fwd, (best0, k0, j0v, bnd0),
+            jnp.arange(ngroups, dtype=jnp.int32),
+        )
     best = best[0, :nb]
     kst = kst[0, :nb]
     jst = jst[0, :nb]
@@ -1174,16 +1203,22 @@ def _sw_walk_device(
     def group_walk(carry, idx):
         i, j, done = carry
         g = ngroups - 1 - idx
+        if onepass:
+            words = w_all  # walk indexes global bands in place
+        else:
+            def band_refill(bnd2, rr):
+                s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
+                words, _, bnd2 = words_call(
+                    s, tops_sh, sides_sh, lens, bnd2, bnd2
+                )
+                return bnd2, words[0]
 
-        def band_refill(bnd2, rr):
-            s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
-            words, _, bnd2 = words_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
-            return bnd2, words[0]
-
-        _, words = jax.lax.scan(
-            band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
-        )
+            _, words = jax.lax.scan(
+                band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
+            )
         g0 = g * S * RB
+        base = 0 if onepass else g0
+        nrows = nbands * RB if onepass else S * RB
 
         def cond(st):
             i2, j2, done2, tl, _, _ = st
@@ -1194,7 +1229,7 @@ def _sw_walk_device(
             op_rows = []
             for _ in range(WU):
                 inside = (~done2) & (j2 >= g0)
-                jl = jnp.clip(j2 - g0, 0, S * RB - 1)
+                jl = jnp.clip(j2 - base, 0, nrows - 1)
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i2 + jj, 0, T_pad - 1)
@@ -1257,7 +1292,7 @@ def sw_traceback_banded_batch(
     """
     import numpy as np
 
-    from nw_tpu.ops.banded_traceback import unpack_ops4
+    from nw_tpu.ops.banded_traceback import onepass_auto, unpack_ops4
 
     nb, A = tops.shape
     _, Bs = sides.shape
@@ -1265,6 +1300,9 @@ def sw_traceback_banded_batch(
         tops, sides, lens1, lens2, m, k, d,
         interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
         chunk=chunk, unroll=unroll, group_bands=group_bands,
+        onepass=onepass_auto(
+            A, Bs, band_rows, group_bands, nb, interpret
+        ),
     )
     best, jst, ist, j_end, i_end, ops4, n = jax.device_get(out)
     ops = unpack_ops4(ops4, A + Bs)  # stitched on device

@@ -308,12 +308,15 @@ def test_banded_variants_vs_oracle(geometry):
         assert af[b] == want_af, b
 
 
+@pytest.mark.parametrize("engine", ["onepass", "twopass"])
 @pytest.mark.parametrize("geometry", [(8, 8, 4, 2), (16, 16, 8, 3), (8, 24, 8, 2)])
-def test_banded_sw_traceback_vs_oracle(geometry):
+def test_banded_sw_traceback_vs_oracle(geometry, engine, monkeypatch):
     from nw_tpu.models.smith_waterman import sw_align
     from nw_tpu.ops.traceback import ops_to_strings
     from nw_tpu.ops.variants_banded import sw_traceback_banded_batch
 
+    if engine == "onepass":
+        monkeypatch.setenv("NW_TPU_ONEPASS_HBM", str(8 << 30))
     RB, C, U, S = geometry
     rng = np.random.default_rng(hash(geometry) % 2**31)
     ps = _pairs(rng, 6, 1, 60) + [(b"AAAA", b"TTTT"), (b"", b"ACG"), (b"ACG", b"")]
