@@ -682,7 +682,7 @@ def overlap_scores_banded_batch(
     jax.jit,
     static_argnames=(
         "interpret", "block_pairs", "band_rows", "chunk", "unroll",
-        "group_bands",
+        "group_bands", "onepass",
     ),
 )
 def _overlap_walk_device(
@@ -693,6 +693,7 @@ def _overlap_walk_device(
     chunk: int,
     unroll: int,
     group_bands: int,
+    onepass: bool = False,
 ):
     """Device part of the banded overlap traceback (see
     :func:`overlap_traceback_banded_batch`): returns (best, j*, i*,
@@ -717,51 +718,74 @@ def _overlap_walk_device(
     tops_sh, sides_sh, lens, nb_pad = _prep_banded(
         tops, sides, lens1, lens2, BT, T_pad, N_pad
     )
-    score_call = build_overlap_call(
-        RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
-        with_argmax=True,
-    )
     WALK_UNROLL = 16
     words_call = build_overlap_call(
         RB, C, off, lag0, WALK_UNROLL, T_pad, U_pad, nb_pad, BT, interpret,
-        with_words=True,
+        with_words=True, with_argmax=onepass,
     )
 
-    # ---- pass 1: score sweep with per-group checkpoints + global argmax
+    # ---- pass 1: score sweep + END-boundary global argmax (with
+    # per-group checkpoints for the two-pass re-fill, or the fused
+    # full-table word stack — see ``onepass`` in _sw_walk_device)
     bnd0 = jnp.full((U_pad, nb_pad), NEG, jnp.int32)
     best0 = jnp.zeros((1, nb_pad), jnp.int32)
     k0 = jnp.full((1, nb_pad), BIG, jnp.int32)
     j0v = jnp.full((1, nb_pad), BIG, jnp.int32)
 
-    def group_fwd(carry, g):
-        best, kst, jst, bnd = carry
-        cp = bnd
-
-        def band_fwd(c2, rr):
-            best2, kst2, jst2, bnd2 = c2
-            s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
-            pb, pk, pj, bnd2 = score_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
-            better = pb > best2
-            upd = better | (
-                (pb == best2)
-                & ((pk < kst2) | ((pk == kst2) & (pj < jst2)))
-            )
-            return (
-                jnp.maximum(best2, pb),
-                jnp.where(upd, pk, kst2),
-                jnp.where(upd, pj, jst2),
-                bnd2,
-            ), None
-
-        (best, kst, jst, bnd), _ = jax.lax.scan(
-            band_fwd, (best, kst, jst, bnd), jnp.arange(S, dtype=jnp.int32)
+    def _merge(best2, kst2, jst2, pb, pk, pj):
+        upd = (pb > best2) | (
+            (pb == best2) & ((pk < kst2) | ((pk == kst2) & (pj < jst2)))
         )
-        return (best, kst, jst, bnd), cp
+        return (
+            jnp.maximum(best2, pb),
+            jnp.where(upd, pk, kst2),
+            jnp.where(upd, pj, jst2),
+        )
 
-    (best, kst, jst, _), cps = jax.lax.scan(
-        group_fwd, (best0, k0, j0v, bnd0),
-        jnp.arange(ngroups, dtype=jnp.int32),
-    )
+    w_all = None
+    if onepass:
+        def band_fused(carry, r):
+            best2, kst2, jst2, bnd2 = carry
+            s = _variant_scalars(m, k, d, 0, r, RB, lens, nb)
+            words, pb, pk, pj, bnd2 = words_call(
+                s, tops_sh, sides_sh, lens, bnd2, bnd2
+            )
+            best2, kst2, jst2 = _merge(best2, kst2, jst2, pb, pk, pj)
+            return (best2, kst2, jst2, bnd2), words[0]
+
+        (best, kst, jst, _), w_all = jax.lax.scan(
+            band_fused, (best0, k0, j0v, bnd0),
+            jnp.arange(nbands, dtype=jnp.int32),
+        )
+        cps = None
+    else:
+        score_call = build_overlap_call(
+            RB, C, off, lag0, unroll, T_pad, U_pad, nb_pad, BT, interpret,
+            with_argmax=True,
+        )
+
+        def group_fwd(carry, g):
+            best, kst, jst, bnd = carry
+            cp = bnd
+
+            def band_fwd(c2, rr):
+                best2, kst2, jst2, bnd2 = c2
+                s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
+                pb, pk, pj, bnd2 = score_call(
+                    s, tops_sh, sides_sh, lens, bnd2, bnd2
+                )
+                best2, kst2, jst2 = _merge(best2, kst2, jst2, pb, pk, pj)
+                return (best2, kst2, jst2, bnd2), None
+
+            (best, kst, jst, bnd), _ = jax.lax.scan(
+                band_fwd, (best, kst, jst, bnd), jnp.arange(S, dtype=jnp.int32)
+            )
+            return (best, kst, jst, bnd), cp
+
+        (best, kst, jst, _), cps = jax.lax.scan(
+            group_fwd, (best0, k0, j0v, bnd0),
+            jnp.arange(ngroups, dtype=jnp.int32),
+        )
     best = best[0, :nb]
     kst = kst[0, :nb]
     jst = jst[0, :nb]
@@ -780,16 +804,22 @@ def _overlap_walk_device(
     def group_walk(carry, idx):
         i, j, done = carry
         g = ngroups - 1 - idx
+        if onepass:
+            words = w_all  # walk indexes global bands in place
+        else:
+            def band_refill(bnd2, rr):
+                s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
+                words, _, bnd2 = words_call(
+                    s, tops_sh, sides_sh, lens, bnd2, bnd2
+                )
+                return bnd2, words[0]
 
-        def band_refill(bnd2, rr):
-            s = _variant_scalars(m, k, d, 0, g * S + rr, RB, lens, nb)
-            words, _, bnd2 = words_call(s, tops_sh, sides_sh, lens, bnd2, bnd2)
-            return bnd2, words[0]
-
-        _, words = jax.lax.scan(
-            band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
-        )
+            _, words = jax.lax.scan(
+                band_refill, cps[g], jnp.arange(S, dtype=jnp.int32)
+            )
         g0 = g * S * RB
+        base = 0 if onepass else g0
+        nrows = nbands * RB if onepass else S * RB
 
         def cond(st):
             i2, j2, done2, tl, _, _ = st
@@ -800,7 +830,7 @@ def _overlap_walk_device(
             op_rows = []
             for _ in range(WU):
                 inside = (~done2) & (j2 >= g0)
-                jl = jnp.clip(j2 - g0, 0, S * RB - 1)
+                jl = jnp.clip(j2 - base, 0, nrows - 1)
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i2 + jj, 0, T_pad - 1)
@@ -862,7 +892,7 @@ def overlap_traceback_banded_batch(
     the alignment START cell, ops int8[B, S], n int32[B])."""
     import numpy as np
 
-    from nw_tpu.ops.banded_traceback import unpack_ops4
+    from nw_tpu.ops.banded_traceback import onepass_auto, unpack_ops4
 
     nb, A = tops.shape
     _, Bs = sides.shape
@@ -870,6 +900,9 @@ def overlap_traceback_banded_batch(
         tops, sides, lens1, lens2, m, k, d,
         interpret=interpret, block_pairs=block_pairs, band_rows=band_rows,
         chunk=chunk, unroll=unroll, group_bands=group_bands,
+        onepass=onepass_auto(
+            A, Bs, band_rows, group_bands, nb, interpret
+        ),
     )
     best, jst, ist, j_end, i_end, ops4, n = jax.device_get(out)
     ops = unpack_ops4(ops4, A + Bs)
@@ -1595,7 +1628,7 @@ def build_affine_full_call(
     jax.jit,
     static_argnames=(
         "interpret", "block_pairs", "band_rows", "chunk", "unroll",
-        "group_bands",
+        "group_bands", "onepass",
     ),
 )
 def _affine_walk_device(
@@ -1606,9 +1639,15 @@ def _affine_walk_device(
     chunk: int,
     unroll: int,
     group_bands: int,
+    onepass: bool = False,
 ):
     """Device part of the banded Gotoh traceback: returns (score,
-    corner state, ops4, ng_stack)."""
+    corner state, ops4, ng_stack).
+
+    ``onepass``: ONE fused sweep emits the corner score/state AND the
+    4-bit walk words (the affine kernel's words mode already computes
+    both); the walk gathers from the full word stack in place instead
+    of re-filling per group."""
     nb, A = tops.shape
     _, Bs = sides.shape
     BT = block_pairs
@@ -1623,12 +1662,8 @@ def _affine_walk_device(
     tops_sh, sides_sh, lens, nb_pad = _prep_banded(
         tops, sides, lens1, lens2, BT, T_pad, N_pad
     )
-    score_call = build_affine_full_call(
-        RB, C, lag0a, offa, unroll, T_pad, U_pad, nb_pad, BT,
-        interpret, with_words=False,
-    )
-    # pass-2 refill packs 8 four-bit codes per word; its unroll must be
-    # 8-aligned (C is always a lcm(unroll, 8) multiple via _geometry)
+    # walk words pack 8 four-bit codes per word; the words unroll must
+    # be 8-aligned (C is always a lcm(unroll, 8) multiple via _geometry)
     WALK_UNROLL = unroll if unroll % 8 == 0 else 8
     words_call = build_affine_full_call(
         RB, C, lag0a, offa, WALK_UNROLL, T_pad, U_pad, nb_pad, BT,
@@ -1639,14 +1674,12 @@ def _affine_walk_device(
     score0 = jnp.full((1, nb_pad), NEG, jnp.int32)
     st0 = jnp.zeros((1, nb_pad), jnp.int32)
 
-    def group_fwd(carry, g):
-        score, stm, mb, yb, xb = carry
-        cp = (mb, yb, xb)
-
-        def band_fwd(c2, rr):
-            score2, stm2, mb2, yb2, xb2 = c2
-            s = _variant_scalars(m, k, open_, extend, g * S + rr, RB, lens, nb)
-            ps, pst, mb2, yb2, xb2 = score_call(
+    w_all = None
+    if onepass:
+        def band_fused(carry, r):
+            score2, stm2, mb2, yb2, xb2 = carry
+            s = _variant_scalars(m, k, open_, extend, r, RB, lens, nb)
+            words, ps, pst, mb2, yb2, xb2 = words_call(
                 s, tops_sh, sides_sh, lens, mb2, mb2, yb2, yb2, xb2, xb2
             )
             upd = ps > score2
@@ -1654,18 +1687,48 @@ def _affine_walk_device(
                 jnp.maximum(score2, ps),
                 jnp.where(upd, pst, stm2),
                 mb2, yb2, xb2,
-            ), None
+            ), words[0]
 
-        (score, stm, mb, yb, xb), _ = jax.lax.scan(
-            band_fwd, (score, stm, mb, yb, xb),
-            jnp.arange(S, dtype=jnp.int32),
+        (score, stm, _, _, _), w_all = jax.lax.scan(
+            band_fused, (score0, st0, bnd0, bnd0, bnd0),
+            jnp.arange(nbands, dtype=jnp.int32),
         )
-        return (score, stm, mb, yb, xb), cp
+        cps = None
+    else:
+        score_call = build_affine_full_call(
+            RB, C, lag0a, offa, unroll, T_pad, U_pad, nb_pad, BT,
+            interpret, with_words=False,
+        )
 
-    (score, stm, _, _, _), cps = jax.lax.scan(
-        group_fwd, (score0, st0, bnd0, bnd0, bnd0),
-        jnp.arange(ngroups, dtype=jnp.int32),
-    )
+        def group_fwd(carry, g):
+            score, stm, mb, yb, xb = carry
+            cp = (mb, yb, xb)
+
+            def band_fwd(c2, rr):
+                score2, stm2, mb2, yb2, xb2 = c2
+                s = _variant_scalars(
+                    m, k, open_, extend, g * S + rr, RB, lens, nb
+                )
+                ps, pst, mb2, yb2, xb2 = score_call(
+                    s, tops_sh, sides_sh, lens, mb2, mb2, yb2, yb2, xb2, xb2
+                )
+                upd = ps > score2
+                return (
+                    jnp.maximum(score2, ps),
+                    jnp.where(upd, pst, stm2),
+                    mb2, yb2, xb2,
+                ), None
+
+            (score, stm, mb, yb, xb), _ = jax.lax.scan(
+                band_fwd, (score, stm, mb, yb, xb),
+                jnp.arange(S, dtype=jnp.int32),
+            )
+            return (score, stm, mb, yb, xb), cp
+
+        (score, stm, _, _, _), cps = jax.lax.scan(
+            group_fwd, (score0, st0, bnd0, bnd0, bnd0),
+            jnp.arange(ngroups, dtype=jnp.int32),
+        )
     score = score[0, :nb]
     stm = stm[0, :nb]
 
@@ -1676,20 +1739,26 @@ def _affine_walk_device(
     def group_walk(carry, idx):
         i, j, mat = carry
         g = ngroups - 1 - idx
+        if onepass:
+            words = w_all  # walk indexes global bands in place
+        else:
+            def band_refill(c2, rr):
+                s = _variant_scalars(
+                    m, k, open_, extend, g * S + rr, RB, lens, nb
+                )
+                mb2, yb2, xb2 = c2
+                words, _, _, mb2, yb2, xb2 = words_call(
+                    s, tops_sh, sides_sh, lens, mb2, mb2, yb2, yb2, xb2, xb2
+                )
+                return (mb2, yb2, xb2), words[0]
 
-        def band_refill(c2, rr):
-            mb2, yb2, xb2 = c2
-            s = _variant_scalars(m, k, open_, extend, g * S + rr, RB, lens, nb)
-            words, _, _, mb2, yb2, xb2 = words_call(
-                s, tops_sh, sides_sh, lens, mb2, mb2, yb2, yb2, xb2, xb2
+            _, words = jax.lax.scan(
+                band_refill, (cps[0][g], cps[1][g], cps[2][g]),
+                jnp.arange(S, dtype=jnp.int32),
             )
-            return (mb2, yb2, xb2), words[0]
-
-        _, words = jax.lax.scan(
-            band_refill, (cps[0][g], cps[1][g], cps[2][g]),
-            jnp.arange(S, dtype=jnp.int32),
-        )
         g0 = g * S * RB
+        base = 0 if onepass else g0
+        nrows = nbands * RB if onepass else S * RB
 
         def cond(st):
             i2, j2, _, tl, _, _ = st
@@ -1700,7 +1769,7 @@ def _affine_walk_device(
             op_rows = []
             for _ in range(WU):
                 active = ((i2 > 0) | (j2 > 0)) & (j2 >= g0)
-                jl = jnp.clip(j2 - g0, 0, S * RB - 1)
+                jl = jnp.clip(j2 - base, 0, nrows - 1)
                 rr = jl // RB
                 jj = jl - rr * RB
                 t = jnp.clip(i2 + jj, 0, T_pad - 1)
@@ -1768,7 +1837,7 @@ def affine_traceback_banded_batch(
     """
     import numpy as np
 
-    from nw_tpu.ops.banded_traceback import unpack_ops4
+    from nw_tpu.ops.banded_traceback import onepass_auto, unpack_ops4
 
     nb, A = tops.shape
     _, Bs = sides.shape
@@ -1778,6 +1847,9 @@ def affine_traceback_banded_batch(
             interpret=interpret, block_pairs=block_pairs,
             band_rows=band_rows, chunk=chunk, unroll=unroll,
             group_bands=group_bands,
+            onepass=onepass_auto(
+                A, Bs, band_rows, group_bands, nb, interpret, bits=4
+            ),
         )
     )
     ops = unpack_ops4(ops4, A + Bs)  # stitched on device

@@ -335,12 +335,15 @@ def test_banded_sw_traceback_vs_oracle(geometry, engine, monkeypatch):
         assert (int(j_end[b]), int(i_end[b])) == want_start, b
 
 
+@pytest.mark.parametrize("engine", ["onepass", "twopass"])
 @pytest.mark.parametrize("geometry", [(8, 8, 4, 2), (16, 16, 8, 3)])
-def test_banded_affine_traceback_vs_oracle(geometry):
+def test_banded_affine_traceback_vs_oracle(geometry, engine, monkeypatch):
     from nw_tpu.models.affine import affine_align
     from nw_tpu.ops.traceback import ops_to_strings
     from nw_tpu.ops.variants_banded import affine_traceback_banded_batch
 
+    if engine == "onepass":
+        monkeypatch.setenv("NW_TPU_ONEPASS_HBM", str(8 << 30))
     RB, C, U, S = geometry
     rng = np.random.default_rng(hash(geometry) % 2**31 + 1)
     ps = _pairs(rng, 6, 1, 50) + [(b"ACGT", b""), (b"", b"ACGT")]

@@ -194,11 +194,14 @@ def test_overlap_align_batch_chunked(monkeypatch):
     assert chunked == whole
 
 
+@pytest.mark.parametrize("engine", ["onepass", "twopass"])
 @pytest.mark.parametrize("mkd", [(2, 1, 1), (0, 0, 0)])
-def test_overlap_banded_traceback_vs_scan(mkd):
+def test_overlap_banded_traceback_vs_scan(mkd, engine, monkeypatch):
     """Banded overlap FULL tracebacks == the scan walker (scores,
     strings, start AND end cells) on ragged pairs crossing band/group
     boundaries, incl. all-tie and degenerate pairs."""
+    if engine == "onepass":
+        monkeypatch.setenv("NW_TPU_ONEPASS_HBM", str(8 << 30))
     from nw_tpu.models.overlap import overlap_align
     from nw_tpu.ops.traceback import ops_to_strings
     from nw_tpu.ops.variants_banded import overlap_traceback_banded_batch
