@@ -2,8 +2,10 @@
 
 Default (driver contract): the NORTH-STAR rows — config-2 flat fill,
 banded 10 kb score fill, the 2-bit greedy arrows feed, config-3
-end-to-end (median of 3 with spread), and the config-5 tiled fill —
-each as its own JSON line, then ONE final summary JSON line whose
+end-to-end (median of 3 with spread), the config-5 tiled fill, and the
+SW/Gotoh/overlap full-alignment rates at 128x3kb (the one-pass banded
+traceback engines) — each as its own JSON line, then ONE final summary
+JSON line whose
 ``rows`` field embeds every measurement (so the driver's parsed record
 carries the whole round state, VERDICT r2 item 2).  Baseline: the
 reference C binary fills at 10.7 MCUPS single-threaded (BASELINE.md;
@@ -381,12 +383,21 @@ def bench_strips(L=100_000, reps=3):
     t = jnp.asarray(encode(rng.integers(65, 69, L).astype(np.uint8).tobytes()))
     s = jnp.asarray(encode(rng.integers(65, 69, L).astype(np.uint8).tobytes()))
     int(strips_score(t, s, 2, 1, 1))  # warm
-    ts = []
-    for _ in range(reps):
+    # synchronize by FETCHING (block_until_ready is a no-op under the
+    # axon tunnel) and subtract the host round-trip, like _timed_scan;
+    # perturb the input per rep so XLA cannot serve a cached value
+    rtt = float("inf")
+    for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(strips_score(t, s, 2, 1, 1))
+        int(t[0])
+        rtt = min(rtt, time.time() - t0)
+    ts = []
+    for i in range(reps):
+        t2 = t.at[0].set(1 + (i & 3))
+        t0 = time.time()
+        int(strips_score(t2, s, 2, 1, 1))
         ts.append(time.time() - t0)
-    gcups = L * L / min(ts) / 1e9
+    gcups = L * L / max(min(ts) - rtt, 1e-9) / 1e9
     _emit(
         f"single-pair score fill (strips pipeline), 1x{L//1000}kb",
         round(gcups, 1), "GCUPS", round(gcups / BASELINE_GCUPS, 1),
@@ -395,8 +406,11 @@ def bench_strips(L=100_000, reps=3):
 
 
 def bench_variant_tracebacks(NB=128, L=3072):
-    """Full SW / Gotoh alignments on long pairs (banded traceback)."""
+    """Full SW / Gotoh / overlap alignments on long pairs (banded
+    one-pass traceback engines).  Returns (sw, gotoh, overlap) pairs/s
+    so the driver-default summary can embed them."""
     from nw_tpu.models.affine import affine_align_batch
+    from nw_tpu.models.overlap import overlap_align_batch
     from nw_tpu.models.smith_waterman import sw_align_batch
 
     rng = np.random.default_rng(9)
@@ -407,33 +421,26 @@ def bench_variant_tracebacks(NB=128, L=3072):
         )
         for _ in range(NB)
     ]
+    rates = []
     # warm with the SAME batch shape: a different batch size is a
     # different compiled program, so the old 32-pair warm call left the
     # timed run paying a full compile (bench measured 45 pairs/s where
     # the warm engine does ~470)
-    sw_align_batch(pairs, 2, 1, 1)
-    t0 = time.time()
-    sw_align_batch(pairs, 2, 1, 1)
-    _emit(
-        f"SW full alignments, {NB}x{L//1024}kb (banded traceback)",
-        round(NB / (time.time() - t0), 1), "pairs/s",
-    )
-    affine_align_batch(pairs, 2, 1, 3, 1)
-    t0 = time.time()
-    affine_align_batch(pairs, 2, 1, 3, 1)
-    _emit(
-        f"Gotoh full alignments, {NB}x{L//1024}kb (banded traceback)",
-        round(NB / (time.time() - t0), 1), "pairs/s",
-    )
-    from nw_tpu.models.overlap import overlap_align_batch
-
-    overlap_align_batch(pairs, 2, 1, 1)
-    t0 = time.time()
-    overlap_align_batch(pairs, 2, 1, 1)
-    _emit(
-        f"Overlap full alignments, {NB}x{L//1024}kb (banded traceback)",
-        round(NB / (time.time() - t0), 1), "pairs/s",
-    )
+    for name, run in (
+        ("SW", lambda: sw_align_batch(pairs, 2, 1, 1)),
+        ("Gotoh", lambda: affine_align_batch(pairs, 2, 1, 3, 1)),
+        ("Overlap", lambda: overlap_align_batch(pairs, 2, 1, 1)),
+    ):
+        run()
+        t0 = time.time()
+        run()
+        rate = round(NB / (time.time() - t0), 1)
+        _emit(
+            f"{name} full alignments, {NB}x{L//1024}kb (banded traceback)",
+            rate, "pairs/s",
+        )
+        rates.append(rate)
+    return tuple(rates)
 
 
 def bench_huge_sharded(L=100_000, mesh_devices=None):
@@ -586,6 +593,15 @@ def main() -> None:
         rows["config3_e2e_median_pairs_per_s"] = round(bench_config3(), 1)
         rows["config5_tiled_fill_100kb_GCUPS_per_dev"] = round(
             bench_huge_sharded(), 1
+        )
+        (
+            rows["sw_traceback_128x3kb_pairs_per_s"],
+            rows["gotoh_traceback_128x3kb_pairs_per_s"],
+            rows["overlap_traceback_128x3kb_pairs_per_s"],
+        ) = bench_variant_tracebacks()
+        rows["strips_single_pair_100kb_GCUPS"] = round(bench_strips(), 1)
+        rows["e2e_strings_counts_4096x150bp_pairs_per_s"] = round(
+            bench_e2e_150(), 0
         )
         rows["config2_score_150bp_GCUPS"] = round(bench_config2(on_tpu), 2)
         head = rows["banded_score_128x10kb_GCUPS"]
