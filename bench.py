@@ -405,10 +405,12 @@ def bench_strips(L=100_000, reps=3):
     return gcups
 
 
-def bench_variant_tracebacks(NB=128, L=3072):
+def bench_variant_tracebacks(NB=128, L=3072, trials=5):
     """Full SW / Gotoh / overlap alignments on long pairs (banded
-    one-pass traceback engines).  Returns (sw, gotoh, overlap) pairs/s
-    so the driver-default summary can embed them."""
+    one-pass traceback engines).  Median of ``trials`` warm runs with
+    the spread reported (single samples swung with tunnel load, same
+    as config 3 — VERDICT r2 weak 2).  Returns (sw, gotoh, overlap)
+    pairs/s so the driver-default summary can embed them."""
     from nw_tpu.models.affine import affine_align_batch
     from nw_tpu.models.overlap import overlap_align_batch
     from nw_tpu.models.smith_waterman import sw_align_batch
@@ -432,14 +434,20 @@ def bench_variant_tracebacks(NB=128, L=3072):
         ("Overlap", lambda: overlap_align_batch(pairs, 2, 1, 1)),
     ):
         run()
-        t0 = time.time()
-        run()
-        rate = round(NB / (time.time() - t0), 1)
+        samples = []
+        for _ in range(trials):
+            t0 = time.time()
+            run()
+            samples.append(NB / (time.time() - t0))
+        samples.sort()
+        med = round(samples[len(samples) // 2], 1)
         _emit(
-            f"{name} full alignments, {NB}x{L//1024}kb (banded traceback)",
-            rate, "pairs/s",
+            f"{name} full alignments, {NB}x{L//1024}kb (banded traceback;"
+            f" median of {trials}, min {samples[0]:.0f}"
+            f" max {samples[-1]:.0f})",
+            med, "pairs/s",
         )
-        rates.append(rate)
+        rates.append(med)
     return tuple(rates)
 
 
@@ -584,26 +592,78 @@ def main() -> None:
         # driver default: the north-star rows, then a summary line whose
         # ``rows`` field embeds them all (the driver parses the LAST
         # line; one config-2 number hid every round-2 win — VERDICT r2
-        # item 2).  config 2 runs LAST of the rows: its flat kernel's
-        # Mosaic compile alone is 300-500 s cold and cache-resistant,
-        # and must not starve the other rows under a driver timeout.
+        # item 2).  config 2 runs AFTER the other four north-star rows
+        # (its flat kernel's Mosaic compile alone is 300-500 s cold and
+        # cache-resistant, and must not starve them under a driver
+        # timeout) but BEFORE the variant/strips/e2e extras, which are
+        # the right rows to lose to the budget.
+        #
+        # Time budget (``NW_TPU_BENCH_BUDGET`` seconds, default 1500):
+        # every cold run pays minutes of XLA compiles, and the summary
+        # line MUST still print before the driver's own timeout — once
+        # the budget is spent, remaining rows are skipped (named in the
+        # summary's ``skipped`` field, never silently — PERF.md rule).
+        import os
+
+        budget = float(os.environ.get("NW_TPU_BENCH_BUDGET", "1500"))
+        t_start = time.time()
         rows = {}
-        rows["banded_score_128x10kb_GCUPS"] = round(bench_banded_scores(), 2)
-        rows["greedy2_arrows_10240x150bp_GCUPS"] = round(bench_greedy2_150(), 2)
-        rows["config3_e2e_median_pairs_per_s"] = round(bench_config3(), 1)
-        rows["config5_tiled_fill_100kb_GCUPS_per_dev"] = round(
-            bench_huge_sharded(), 1
+        skipped = []
+
+        def within(name, fn, *, first=False):
+            if not first and time.time() - t_start > budget:
+                skipped.append(name)
+                return None
+            return fn()
+
+        v = within(
+            "banded_score_128x10kb_GCUPS",
+            lambda: round(bench_banded_scores(), 2), first=True,
         )
-        (
-            rows["sw_traceback_128x3kb_pairs_per_s"],
-            rows["gotoh_traceback_128x3kb_pairs_per_s"],
-            rows["overlap_traceback_128x3kb_pairs_per_s"],
-        ) = bench_variant_tracebacks()
-        rows["strips_single_pair_100kb_GCUPS"] = round(bench_strips(), 1)
-        rows["e2e_strings_counts_4096x150bp_pairs_per_s"] = round(
-            bench_e2e_150(), 0
+        rows["banded_score_128x10kb_GCUPS"] = v
+        v = within(
+            "greedy2_arrows_10240x150bp_GCUPS",
+            lambda: round(bench_greedy2_150(), 2),
         )
-        rows["config2_score_150bp_GCUPS"] = round(bench_config2(on_tpu), 2)
+        if v is not None:
+            rows["greedy2_arrows_10240x150bp_GCUPS"] = v
+        v = within(
+            "config3_e2e_median_pairs_per_s",
+            lambda: round(bench_config3(), 1),
+        )
+        if v is not None:
+            rows["config3_e2e_median_pairs_per_s"] = v
+        v = within(
+            "config5_tiled_fill_100kb_GCUPS_per_dev",
+            lambda: round(bench_huge_sharded(), 1),
+        )
+        if v is not None:
+            rows["config5_tiled_fill_100kb_GCUPS_per_dev"] = v
+        v = within(
+            "config2_score_150bp_GCUPS",
+            lambda: round(bench_config2(on_tpu), 2),
+        )
+        if v is not None:
+            rows["config2_score_150bp_GCUPS"] = v
+        v = within("variant_tracebacks_128x3kb", bench_variant_tracebacks)
+        if v is not None:
+            (
+                rows["sw_traceback_128x3kb_pairs_per_s"],
+                rows["gotoh_traceback_128x3kb_pairs_per_s"],
+                rows["overlap_traceback_128x3kb_pairs_per_s"],
+            ) = v
+        v = within(
+            "strips_single_pair_100kb_GCUPS",
+            lambda: round(bench_strips(), 1),
+        )
+        if v is not None:
+            rows["strips_single_pair_100kb_GCUPS"] = v
+        v = within(
+            "e2e_strings_counts_4096x150bp_pairs_per_s",
+            lambda: round(bench_e2e_150(), 0),
+        )
+        if v is not None:
+            rows["e2e_strings_counts_4096x150bp_pairs_per_s"] = v
         head = rows["banded_score_128x10kb_GCUPS"]
         line = {
             "metric": "DP fill throughput, 128x10kb pairs, score-only, "
@@ -613,6 +673,8 @@ def main() -> None:
             "vs_baseline": round(head / BASELINE_GCUPS, 1),
             "rows": rows,
         }
+        if skipped:
+            line["skipped"] = skipped
         print(json.dumps(line), flush=True)
         return
 
