@@ -25,9 +25,13 @@ diagonal-chunk) tiles:
   on the host.
 
 The per-chunk compute is the same natural-boundary anti-diagonal
-recurrence as the Pallas kernels (fill_pallas.py docstring), expressed
-in plain ``lax.scan`` vector ops so the same program runs on CPU test
-meshes and TPU meshes.
+recurrence as the Pallas kernels (fill_pallas.py docstring), in three
+engines: ``scan`` (plain ``lax.scan`` vector ops — the CPU-mesh
+default and cross-checked reference formulation), ``pallas`` (the
+monolithic fold-layout chunk kernel; emits packed arrows, so it backs
+every walk), and ``pallasb`` (the register-blocked score-only kernel —
+the TPU default for fills, ~157 GCUPS/device at 1x100kb vs pallas's
+60; see ``_make_fold_chunk_kernel_blocked``).
 """
 
 from __future__ import annotations
@@ -236,12 +240,343 @@ def _build_fold_chunk_call(R: int, C: int, traceback: bool, interpret: bool):
     )
 
 
+def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll):
+    """Register-blocked fold-chunk kernel (score-only; engine
+    ``pallasb``) — same recurrence + natural-boundary semantics as
+    :func:`_make_fold_chunk_kernel` (needleman-wunsch.c:418-510 /
+    computation.c:96-120), restructured with the banded kernel's
+    register economy (fill_pallas_banded.py):
+
+    * grid = (nb,) over FB-sublane fold-row blocks.  Within a block
+      the fold order is SUBLANE-fastest (``j_local = lane*FB + r``),
+      so the per-diagonal shift is one sublane ``concatenate`` with a
+      (1,128) carry row — no full-block lane rolls or selects (the
+      monolithic kernel pays ~8 extra ops/step for its lane-fastest
+      fold, and streams all state through VMEM every step).
+    * the C-step loop runs ``unroll`` diagonals per fori iteration
+      with prev/prev2sh/ch in vector registers (load once / store
+      once per iteration), and the edge stream moves in whole aligned
+      (8,128) register slabs — per-step single-row VMEM accesses cost
+      ~10x the vector math at this block size.
+    * blocks hand their per-step last-fold-row state to the next
+      block through ping-pong VMEM planes addressed STATICALLY (the
+      loop body is instantiated per write-parity; a dynamic leading
+      plane index de-pipelines Mosaic's scheduler).  Edge-row layout:
+      lane 0 = prev edge (pre-rolled), lane 1 = ch edge — the char
+      entering the next block's row 0 at step t+1 IS the char leaving
+      this block's last row at step t, so the top-char relay rides
+      the same stream and no per-step SMEM scalar broadcasts remain.
+      Slot t+8 holds the post-step-t edges, slot 7 the block's
+      pre-loop tail (next block's step-0 fill); block 0 bulk-copies
+      the parent halo plane (with its own row-0 chars pre-merged into
+      lane 1 by the phase wrapper) into its read side.
+    * the corner capture runs in a dedicated loop instantiation only
+      on the one phase whose diagonal window contains the corner — no
+      per-step control flow in the steady-state loop.
+    * per-block activity windows: a block entirely before the
+      wavefront (base+C-1 < j_min) or strictly past the table
+      (base > A + j_max + 1) skips its compute and copies state
+      through (it still publishes its tail slot).  Skipped values can
+      only ever feed out-of-table cells (dependency columns never
+      decrease), exact under the same small-parameter NEG_INF-decay
+      contract as the chunk-level ``active`` flag — and it recovers
+      most of the (A+N)xN rhombus overhead the monolithic front pays
+      at small meshes.
+
+    Refs (in order):
+      s_ref:      SMEM (1, 10) — m, k, d, base, k_corner, corner_jl,
+                  seed, A, jg0 (= p*H, the device's global row
+                  offset: a cell's column is kk - jg0 - j_local, so
+                  the activity windows must be computed in GLOBAL
+                  rows), spare
+      injp_ref:   VMEM (C+8, 128) — parent halo plane: lane 0 = halo
+                  value, lane 1 = row-0 entering char, rows pre-offset
+                  to the stream's slot layout
+      side_ref:   VMEM (FB, 128) — this block's folded side chars
+                  (sublane-fastest fold)
+      prev_in / prev2sh_in / ch_in: VMEM (FB, 128) — carried state
+      cap_in:     SMEM (1, 1)
+      outs:       prev / prev2sh / ch blocks, cap SMEM (1, 1),
+                  emits VMEM (C, 128) (last block's per-step edge,
+                  value in lane 0)
+      scratch:    e0 / e1 VMEM (C+8, 128) ping-pong stream planes
+    """
+
+    def kernel(
+        s_ref, injp_ref, side_ref, prev_in, prev2sh_in, ch_in,
+        cap_in, prev_out, prev2sh_out, ch_out, cap_out, emits_ref,
+        e0, e1,
+    ):
+        pid = pl.program_id(0)
+        m = s_ref[0, 0]
+        kmis = s_ref[0, 1]
+        d = s_ref[0, 2]
+        base = s_ref[0, 3]
+        k_corner = s_ref[0, 4]
+        corner_jl = s_ref[0, 5]
+        seed = s_ref[0, 6]
+        A = s_ref[0, 7]
+        jg0 = s_ref[0, 8]
+
+        j_min = pid * (FB * LANES)
+        j_max = j_min + FB * LANES - 1
+        active = (base + C - 1 >= jg0 + j_min) & (
+            base <= A + jg0 + j_max + 1
+        )
+        wr0 = (pid & 1) == 0  # write e0 / read e1 when true
+        is_last = pid == nb - 1
+
+        # cap must be defined even when block 0 skips; the corner
+        # owner's hit write (below) lands later in grid order and wins
+        @pl.when(pid == 0)
+        def _():
+            cap_out[0, 0] = cap_in[0, 0]
+            # halo plane -> block 0's read side (e1 = odd blocks'
+            # write side; block 1 overwrites it only after block 0 has
+            # consumed it — the grid is sequential)
+            e1[...] = injp_ref[...]
+
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (FB, LANES), 0)
+        l_iota = jax.lax.broadcasted_iota(jnp.int32, (FB, LANES), 1)
+        at0 = (r_iota == 0) & (l_iota == 0)
+        lane0_row = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1) == 0
+        )
+        # corner fold index -> sublane-fastest block position
+        cl = corner_jl - j_min
+        own_corner = (corner_jl >= j_min) & (corner_jl <= j_max)
+        corner_phase = (
+            own_corner & (k_corner >= base) & (k_corner < base + C)
+        )
+        hit_mask = (r_iota == cl % FB) & (l_iota == cl // FB)
+        seed_blk = (seed == 1) & (pid == 0) & (base == 0)
+
+        def edge_row(prev_last, ch_last):
+            # lane 0 = prev edge, lane 1 = ch edge, rest unused
+            return jnp.where(
+                lane0_row,
+                pltpu.roll(prev_last, 1, axis=1),
+                pltpu.roll(ch_last, 2, axis=1),
+            )
+
+        # the pre-loop tail: next block's step-0 fill (slot 7),
+        # published even when skipped — its state IS the tail
+        tail = edge_row(prev_in[FB - 1:FB, :], ch_in[FB - 1:FB, :])
+
+        @pl.when(wr0)
+        def _():
+            e0[pl.ds(7, 1), :] = tail
+
+        @pl.when(~wr0)
+        def _():
+            e1[pl.ds(7, 1), :] = tail
+
+        @pl.when(~active)
+        def _():
+            prev_out[...] = prev_in[...]
+            prev2sh_out[...] = prev2sh_in[...]
+            ch_out[...] = ch_in[...]
+
+        side_ch = side_ref[...]
+
+        def substep(t, prev, prev2sh, ch, fill_row, u, with_corner):
+            carry_p = jnp.where(
+                lane0_row, fill_row,
+                pltpu.roll(prev[FB - 1:FB, :], 1, axis=1),
+            )
+            prev_sh = jnp.concatenate([carry_p, prev[:-1, :]], axis=0)
+            carry_c = jnp.where(
+                lane0_row,
+                pltpu.roll(fill_row, LANES - 1, axis=1),  # lane1 -> 0
+                pltpu.roll(ch[FB - 1:FB, :], 1, axis=1),
+            )
+            ch = jnp.concatenate([carry_c, ch[:-1, :]], axis=0)
+            sub = jnp.where(ch == side_ch, m, -kmis)
+            score = jnp.maximum(
+                prev2sh + sub, jnp.maximum(prev_sh, prev) - d
+            )
+            if u == 0:
+                # band-0 DP seed: overwrite the t = 0 garbage with
+                # cell (0,0) = 0 before step t = 1 consumes it
+                score = jnp.where(
+                    at0 & (seed_blk & (t == 0)), jnp.int32(0), score
+                )
+            if with_corner:
+                @pl.when(base + t == k_corner)
+                def _():
+                    cap_out[0, 0] = jnp.sum(
+                        jnp.where(hit_mask, score, 0)
+                    )
+            return score, prev_sh, ch
+
+        def make_step(erd, ewr, with_corner):
+            def step(i, carry):
+                # unroll diagonals per iteration: state registers and
+                # the rolling edge slab stay in vregs
+                tl0 = i * unroll
+                slab = carry
+                prev = prev_out[...]
+                prev2sh = prev2sh_out[...]
+                ch = ch_out[...]
+                for g in range(unroll // 8):
+                    t8 = tl0 + g * 8
+                    # fill slots [t8+7, t8+15): prev slab's row 7,
+                    # next slab's rows 0..6
+                    nslab = erd[pl.ds(t8 + 8, 8), :]
+                    acc = slab  # any (8,128) init; fully pushed over
+                    for u in range(8):
+                        fill_row = (
+                            slab[7:8, :] if u == 0
+                            else nslab[u - 1:u, :]
+                        )
+                        prev, prev2sh, ch = substep(
+                            t8 + u, prev, prev2sh, ch, fill_row,
+                            g * 8 + u, with_corner,
+                        )
+                        acc = jnp.concatenate(
+                            [
+                                acc[1:, :],
+                                edge_row(
+                                    prev[FB - 1:FB, :],
+                                    ch[FB - 1:FB, :],
+                                ),
+                            ],
+                            axis=0,
+                        )
+                    ewr[pl.ds(t8 + 8, 8), :] = acc
+                    slab = nslab
+                prev_out[...] = prev
+                prev2sh_out[...] = prev2sh
+                ch_out[...] = ch
+                return slab
+
+            return step
+
+        def run(erd, ewr, with_corner):
+            prev_out[...] = prev_in[...]
+            prev2sh_out[...] = prev2sh_in[...]
+            ch_out[...] = ch_in[...]
+            slab0 = erd[pl.ds(0, 8), :]
+            jax.lax.fori_loop(
+                0, C // unroll, make_step(erd, ewr, with_corner), slab0
+            )
+
+        # four static instantiations: write-parity x corner-phase (a
+        # dynamic plane index or a per-step corner branch in the
+        # steady-state loop both de-pipeline the scheduler)
+        @pl.when(active & wr0 & ~corner_phase)
+        def _():
+            run(e1, e0, False)
+
+        @pl.when(active & wr0 & corner_phase)
+        def _():
+            run(e1, e0, True)
+
+        @pl.when(active & ~wr0 & ~corner_phase)
+        def _():
+            run(e0, e1, False)
+
+        @pl.when(active & ~wr0 & corner_phase)
+        def _():
+            run(e0, e1, True)
+
+        last_plane = e0 if (nb - 1) % 2 == 0 else e1
+
+        @pl.when(is_last)
+        def _():
+            emits_ref[...] = last_plane[8:C + 8, :]
+
+    return kernel
+
+
+def _pick_unroll(C: int) -> int:
+    """Diagonals per register round-trip; must be a multiple of 8 (the
+    loop body works in whole aligned edge slabs), and C a multiple of
+    the unroll (the builder enforces C % 8 == 0)."""
+    return 16 if C % 16 == 0 else 8
+
+
+def _build_fold_chunk_call_blocked(R, FB, C, interpret):
+    if C % 8:
+        # edge slabs flush only at t % 8 == 7: a chunk that isn't
+        # 8-aligned would leave its last C % 8 edge slots stale and
+        # feed the next block garbage fills on REAL steps
+        raise ValueError(f"pallasb chunk must be a multiple of 8, got {C}")
+    nb = R // FB
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    state = vmem((FB, LANES), lambda b: (b, 0))
+    full = lambda shape: vmem(shape, lambda b: (0, 0))
+    return pl.pallas_call(
+        _make_fold_chunk_kernel_blocked(FB, C, nb, _pick_unroll(C)),
+        grid=(nb,),
+        out_shape=(
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),   # prev
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),   # prev2sh
+            jax.ShapeDtypeStruct((R, LANES), jnp.int32),   # ch
+            jax.ShapeDtypeStruct((1, 1), jnp.int32),       # cap
+            jax.ShapeDtypeStruct((C, LANES), jnp.int32),   # emits
+        ),
+        in_specs=[
+            smem((1, 10), lambda b: (0, 0)),               # s
+            full((C + 8, LANES)),                          # halo plane
+            state,                                         # side fold
+            state,                                         # prev
+            state,                                         # prev2sh
+            state,                                         # ch
+            smem((1, 1), lambda b: (0, 0)),                # cap
+        ],
+        out_specs=(
+            state, state, state,
+            smem((1, 1), lambda b: (0, 0)),
+            full((C, LANES)),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((C + 8, LANES), jnp.int32),
+            pltpu.VMEM((C + 8, LANES), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+
+
+def _pick_fb(B: int, nseq: int) -> int:
+    """Fold-row block height (sublanes) for the register-blocked
+    fold-chunk kernel (engine ``pallasb``).
+
+    Bigger blocks feed the VPU's issue ports with more independent
+    (8,128) vregs per vector op (the per-step small-row work is
+    block-size-invariant); smaller blocks waste fewer padded rows
+    (the row quantum is ``nseq*128*FB``).  Pick the cheapest
+    (padding x per-cell-rate penalty) product — penalties measured on
+    the v5e at 1x100kb (88/144/163/155 GCUPS for FB 32/64/96/128,
+    padding-normalized).  Deterministic in (B, nseq), so every caller
+    recomputes the same FB."""
+    base = B + 1
+    best, best_cost = 1, float("inf")
+    for fb, pen in (
+        (96, 1.0), (128, 1.01), (64, 1.17), (32, 2.0), (16, 3.5),
+        (8, 6.0), (4, 9.0), (2, 13.0), (1, 20.0),
+    ):
+        n_pad = _round_up(base, nseq * LANES * fb)
+        cost = (n_pad / base) * pen
+        if cost < best_cost:
+            best, best_cost = fb, cost
+    return best
+
+
+def _row_quantum(B, nseq, engine):
+    if engine == "pallasb":
+        return nseq * LANES * _pick_fb(B, nseq)
+    if engine == "pallas":
+        return nseq * LANES
+    return nseq
+
+
 def _tile_geometry(A, B, nseq, C, engine):
     """(N_pad, H, R, nch, nphases) for the 2-D block-wavefront tiling."""
-    row_quantum = nseq * LANES if engine == "pallas" else nseq
-    N_pad = _round_up(B + 1, row_quantum)
+    N_pad = _round_up(B + 1, _row_quantum(B, nseq, engine))
     H = N_pad // nseq
-    R = H // LANES if engine == "pallas" else 0
+    R = H // LANES if engine in ("pallas", "pallasb") else 0
     K_pad = _round_up(A + N_pad, C)
     nch = K_pad // C
     return N_pad, H, R, nch, nch + nseq - 1
@@ -311,6 +646,80 @@ def _make_pallas_phase(
             tail=keep(st["recv"][-1], st["tail"]),
         )
         return new_st, (outs[5] if len(outs) > 5 else None)
+
+    return phase
+
+
+def _make_pallasb_phase(
+    p, side_fold, top_ext, blocked_call, m, k, d, C, nch, A, B, H,
+    N_pad, axis, perm_down, corner_jl, seed, FB,
+):
+    """Phase body for the register-blocked fold-chunk kernel
+    (score-only).  Same carry dict as the pallas engine; differences:
+    the parent halo ships as a (C+8, 128) lane-0 plane pre-offset to
+    the kernel's edge-stream slot layout, the per-block row-0 char
+    streams are precomputed host-side XLA gathers, and the emit stream
+    comes back as a (C, 128) lane-0 plane from the last block (forced
+    to NEG_INF when that block never ran — an unwritten emit buffer
+    must not leak garbage into the child's pre-arrival cells, whose
+    values flow INTO the table as columns advance)."""
+    R = H // LANES
+    nb = R // FB
+    joff = N_pad + A + p * H
+    t_idx = jnp.arange(C, dtype=jnp.int32)
+    Ltop = top_ext.shape[0]
+
+    def phase(st, s):
+        c = s - p
+        active = (c >= 0) & (c < nch)
+        cc = jnp.clip(c, 0, nch - 1)
+        base = cc * C
+
+        inj = jnp.concatenate([st["tail"][None], st["recv"][:-1]])
+        inj = jnp.where(p == 0, NEG_INF, inj)
+        # char entering block 0's fold row 0 at step t (same clamped
+        # framed-top semantics as the pallas engine's ts slice: clamp
+        # only ever lands on out-of-table cells); blocks > 0 receive
+        # their row-0 chars through the edge stream's lane-1 relay
+        ch0 = jnp.take(
+            top_ext, jnp.clip(joff - base - t_idx, 0, Ltop - 1)
+        )
+        injp = (
+            jnp.zeros((C + 8, LANES), jnp.int32)
+            .at[7:C + 7, 0].set(inj)
+            .at[7:C + 7, 1].set(ch0)
+        )
+        sv = jnp.stack(
+            [
+                jnp.int32(m), jnp.int32(k), jnp.int32(d), base,
+                jnp.int32(A + B), corner_jl, seed, jnp.int32(A),
+                p * jnp.int32(H), jnp.int32(0),
+            ]
+        )[None]
+        prev_n, prev2sh_n, ch_n, cap_n, emits128 = blocked_call(
+            sv, injp, side_fold,
+            st["prev"], st["prev2sh"], st["ch"], st["cap"],
+        )
+        emits = emits128[:, 0]
+        emits = jnp.where(
+            base + C - 1 < p * H + (nb - 1) * FB * LANES,
+            NEG_INF, emits,
+        )
+
+        def keep(new, old):
+            return jnp.where(active, new, old)
+
+        new_st = dict(
+            prev=keep(prev_n, st["prev"]),
+            prev2sh=keep(prev2sh_n, st["prev2sh"]),
+            ch=keep(ch_n, st["ch"]),
+            cap=keep(cap_n, st["cap"]),
+            recv=jax.lax.ppermute(
+                jnp.where(active, emits, NEG_INF), axis, perm_down
+            ),
+            tail=keep(st["recv"][-1], st["tail"]),
+        )
+        return new_st, None
 
     return phase
 
@@ -515,17 +924,23 @@ def _huge_pair_device(
         # silently drop the last C % 4 diagonals' arrows from every
         # chunk and corrupt the walk
         raise ValueError(f"traceback chunk must be a multiple of 4, got {C}")
+    if engine == "pallasb" and traceback:
+        raise ValueError(
+            "engine 'pallasb' is score-only; use 'pallas' for walks"
+        )
 
     N_pad, H, R, nch, nphases = _tile_geometry(A, B, nseq, C, engine)
     side_sh, top_ext = _tile_inputs(top, side, N_pad)
 
     perm_down = [(i, (i + 1) % nseq) for i in range(nseq)]  # p -> p+1
 
-    fold_call = (
-        _build_fold_chunk_call(R, C, traceback, interpret)
-        if engine == "pallas"
-        else None
-    )
+    FB = _pick_fb(B, nseq) if engine == "pallasb" else 0
+    if engine == "pallas":
+        fold_call = _build_fold_chunk_call(R, C, traceback, interpret)
+    elif engine == "pallasb":
+        fold_call = _build_fold_chunk_call_blocked(R, FB, C, interpret)
+    else:
+        fold_call = None
 
     def local(side_local, top_ext):
         p = jax.lax.axis_index(axis)
@@ -536,6 +951,33 @@ def _huge_pair_device(
 
         # diag 0 (the DP seed) is produced by the kk == 0 step override;
         # the registers start one diagonal EARLIER (all out-of-table)
+        if engine == "pallasb":
+            state0 = dict(
+                prev=jnp.full((R, LANES), NEG_INF, jnp.int32) + vary0,
+                prev2sh=jnp.full((R, LANES), NEG_INF, jnp.int32) + vary0,
+                ch=jnp.full((R, LANES), -4, jnp.int32) + vary0,
+                cap=jnp.full((1, 1), NEG_INF, jnp.int32) + vary0,
+                recv=jnp.full((C,), NEG_INF, jnp.int32) + vary0,
+                tail=jnp.int32(NEG_INF) + vary0,
+            )
+            # sublane-fastest fold within each FB-row block:
+            # side_fold[b*FB + r, ln] = side_local[b*FB*128 + ln*FB + r]
+            nb = R // FB
+            side_fold = (
+                side_local.reshape(nb, LANES, FB)
+                .transpose(0, 2, 1)
+                .reshape(R, LANES)
+            )
+            corner_jl = jnp.where(B // H == p, B - p * H, -1)
+            seed = (p == 0).astype(jnp.int32)
+            phase = _make_pallasb_phase(
+                p, side_fold, top_ext, fold_call, m, k, d, C, nch,
+                A, B, H, N_pad, axis, perm_down, corner_jl, seed, FB,
+            )
+            st, _ = jax.lax.scan(
+                phase, state0, jnp.arange(nphases, dtype=jnp.int32)
+            )
+            return jax.lax.pmax(st["cap"][0, 0], axis)
         if engine == "pallas":
             state0 = dict(
                 prev=jnp.full((R, LANES), NEG_INF, jnp.int32) + vary0,
@@ -719,7 +1161,7 @@ def huge_state_init(A, B, mesh, axis, chunk, engine):
     """Global (leading-device-axis) initial carry for the span fill."""
     nseq = mesh.shape[axis]
     N_pad, H, R, _, _ = _tile_geometry(A, B, nseq, chunk, engine)
-    if engine == "pallas":
+    if engine in ("pallas", "pallasb"):
         return dict(
             prev=np.full((nseq, R, LANES), NEG_INF, np.int32),
             prev2sh=np.full((nseq, R, LANES), NEG_INF, np.int32),
@@ -759,16 +1201,19 @@ def auto_chunk(
     clamped to [c_min, c_max] and the kernel's 4-diagonal word quantum
     (SURVEY §5.7 / VERDICT r2 item 8).
     """
-    N_pad = _round_up(B + 1, nseq * LANES if engine == "pallas" else nseq)
+    N_pad = _round_up(B + 1, _row_quantum(B, nseq, engine))
+    # word quantum: 4 (pallas packs 4 diagonals/word) or 16 (pallasb
+    # unrolls 16 and flushes 8-slab edge stages)
+    q = 16 if engine == "pallasb" else 4
     if nseq <= 1:
-        return max(4, min(c_max, A + N_pad) // 4 * 4)
+        return max(q, min(c_max, A + N_pad) // q * q)
     # nch >= need  <=>  eff = nch / (nch + nseq - 1) >= target_eff
     need = int(np.ceil((nseq - 1) * target_eff / (1.0 - target_eff)))
     C = max(c_min, min(c_max, (A + N_pad) // max(need, 1)))
     # the per-phase top-char slice reads C entries of the framed top
     # (len 2*N_pad + A): clamp to the table for small pairs
     C = min(C, A + N_pad)
-    return max(4, C // 4 * 4)
+    return max(q, C // q * q)
 
 
 def pipeline_efficiency(A: int, B: int, nseq: int, chunk: int,
@@ -778,11 +1223,15 @@ def pipeline_efficiency(A: int, B: int, nseq: int, chunk: int,
     return nch / nphases
 
 
-def _pick_engine(engine):
+def _pick_engine(engine, traceback=False):
     if engine is not None:
         return engine
     try:
-        return "pallas" if jax.devices()[0].platform == "tpu" else "scan"
+        if jax.devices()[0].platform == "tpu":
+            # score-only fills take the register-blocked kernel;
+            # walks need the arrow-emitting monolithic kernel
+            return "pallas" if traceback else "pallasb"
+        return "scan"
     except Exception:  # pragma: no cover
         return "scan"
 
@@ -795,10 +1244,12 @@ def huge_pair_score_sharded(
     """Score of ONE huge pair, rows sharded over ``axis``, chunked halo.
 
     ``chunk=None`` auto-picks C for >= 87.5% pipeline efficiency
-    (:func:`auto_chunk`).  ``engine``: "pallas" (fold-layout chunk
-    kernel per phase — the TPU default) or "scan" (pure lax.scan — the
-    CPU default and the cross-checked reference formulation)."""
-    engine = _pick_engine(engine)
+    (:func:`auto_chunk`).  ``engine``: "pallasb" (register-blocked
+    fold-chunk kernel — the TPU default for score-only fills),
+    "pallas" (monolithic fold-layout chunk kernel, also the walk
+    engine) or "scan" (pure lax.scan — the CPU default and the
+    cross-checked reference formulation)."""
+    engine = _pick_engine(engine, traceback=False)
     if chunk is None:
         chunk = auto_chunk(top.shape[0], side.shape[0], mesh.shape[axis], engine)
     return int(
@@ -822,7 +1273,7 @@ def huge_pair_align_sharded(
     device's HBM; the walk relays across devices.  Returns op codes with
     :mod:`nw_tpu.ops.traceback` semantics (use ``ops_to_strings``).
     """
-    engine = _pick_engine(engine)
+    engine = _pick_engine(engine, traceback=True)
     if chunk is None:
         chunk = auto_chunk(top.shape[0], side.shape[0], mesh.shape[axis], engine)
     score, segs, seg_ns = _huge_pair_device(

@@ -741,10 +741,32 @@ def main() -> int:
         mesh = Mesh(np.array(jax.devices()[:1]), ("seq",))
         t7 = jnp.asarray(rng.integers(65, 69, 700), jnp.int32)
         s7 = jnp.asarray(rng.integers(65, 69, 800), jnp.int32)
+        want7 = int(score_pallas_single(t7, s7, 2, 1, 1))
         got = huge_pair_score_sharded(
             t7, s7, 2, 1, 1, mesh, chunk=512, engine="pallas"
         )
-        assert got == int(score_pallas_single(t7, s7, 2, 1, 1))
+        assert got == want7
+        # register-blocked score engine (the config-5 TPU default),
+        # compiled, incl. a multi-block (nb > 1) geometry
+        got_b = huge_pair_score_sharded(
+            t7, s7, 2, 1, 1, mesh, chunk=512, engine="pallasb"
+        )
+        assert got_b == want7, (got_b, want7)
+        t8 = jnp.asarray(rng.integers(65, 69, 900), jnp.int32)
+        s8 = jnp.asarray(rng.integers(65, 69, 30_000), jnp.int32)
+        from nw_tpu.ops.fill_pallas_banded import fill_scores_banded_batch
+
+        want8 = int(
+            fill_scores_banded_batch(
+                t8[None], s8[None],
+                np.array([900], np.int32), np.array([30_000], np.int32),
+                2, 1, 1,
+            )[0]
+        )
+        got8 = huge_pair_score_sharded(
+            t8, s8, 2, 1, 1, mesh, chunk=512, engine="pallasb"
+        )
+        assert got8 == want8, (got8, want8)
         # small walk vs the packed traceback oracle
         from nw_tpu.ops.fill_scan import fill_diag
 

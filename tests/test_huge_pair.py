@@ -219,3 +219,64 @@ def test_sharded_huge_pair_pallas_engine(la, lb, C, mkd):
     assert r.score == int(ref["score"])
     assert r.n == int(nr)
     np.testing.assert_array_equal(r.ops, np.asarray(opsr)[: int(nr)])
+
+
+@pytest.mark.parametrize(
+    "nseq,la,lb,C,mkd,fb",
+    [
+        (8, 33, 41, 8, (2, 1, 1), None),
+        (8, 5, 80, 8, (2, 1, 1), None),
+        (8, 64, 64, 8, (0, 0, 0), None),   # max tie density
+        (8, 300, 280, 32, (3, -1, 2), None),
+        (2, 257, 511, 16, (2, 1, 1), None),
+        # forced small FB => multi-block grids (nb > 1): the edge
+        # stream, ch relay, activity windows, and corner-phase loop
+        # variants all cross block boundaries
+        (1, 120, 999, 16, (3, -1, 2), 1),
+        (2, 150, 900, 24, (2, 1, 1), 2),
+        (8, 80, 2100, 16, (2, 1, 1), 1),
+    ],
+)
+def test_sharded_huge_pair_pallasb_engine(monkeypatch, nseq, la, lb, C, mkd, fb):
+    """The register-blocked fold-chunk engine (``pallasb``, the TPU
+    default for score-only config-5 fills), interpret mode on CPU
+    meshes, vs the scan-oracle score.  Forced-FB rows shrink the block
+    height so small shapes exercise multi-block grids; each forced row
+    uses a distinct (shape, chunk) so the jit cache cannot serve an
+    entry traced under a different FB."""
+    import nw_tpu.parallel.huge_pair as hp
+
+    mesh = _mesh(nseq)
+    if fb is not None:
+        monkeypatch.setattr(hp, "_pick_fb", lambda B, n: fb)
+    rng = np.random.default_rng(la * 7 + lb + nseq)
+    top, side = _case(rng, la, lb)
+    ref = fill_diag(top, side, *mkd, with_scores=False)
+    sc = hp.huge_pair_score_sharded(
+        top, side, *mkd, mesh, chunk=C, engine="pallasb", interpret=True
+    )
+    assert sc == int(ref["score"])
+
+
+def test_pallasb_chunk_and_fb_contracts():
+    """auto_chunk returns 16-multiples for pallasb (unroll + edge-slab
+    quanta); the builder rejects non-8-multiple chunks; traceback
+    requests reject the score-only engine."""
+    from nw_tpu.parallel.huge_pair import (
+        _build_fold_chunk_call_blocked,
+        _huge_pair_device,
+        auto_chunk,
+    )
+
+    for nseq in (1, 2, 8):
+        for L in (100, 5_000, 100_000):
+            assert auto_chunk(L, L, nseq, "pallasb") % 16 == 0
+    with pytest.raises(ValueError):
+        _build_fold_chunk_call_blocked(8, 1, 12, True)
+    mesh = _mesh(1)
+    with pytest.raises(ValueError):
+        _huge_pair_device(
+            jnp.zeros(8, jnp.int32), jnp.zeros(8, jnp.int32),
+            m=1, k=1, d=1, mesh=mesh, axis="seq", chunk=8,
+            traceback=True, engine="pallasb", interpret=True,
+        )
