@@ -532,20 +532,30 @@ def _make_banded_arrows_kernel(
                     word = arrows << (rp * pack_bits)
                 else:
                     # greedy choice only: 0 diag, 1 left, 2 up
-                    # (diag > left > up, needleman-wunsch.c:305-324),
-                    # from the PRE-max operands: diag wins iff
-                    # cand_d >= max(left,up)-d; else left beats up iff
-                    # prev >= prev_sh.  The pack shift folds into the
-                    # select constants — 2 fewer VPU ops per cell than
-                    # encode-then-shift off the equality flags.
+                    # (diag > left > up, needleman-wunsch.c:305-324).
+                    # The pack shift folds into the select constants —
+                    # 2 fewer VPU ops per cell than encode-then-shift.
                     def _c(v):  # wrap the shifted constant to signed i32
                         return jnp.int32(((v + 2**31) % 2**32) - 2**31)
 
+                    if with_counts:
+                        # the tie flags are already materialized for
+                        # the count DP: diag greedy iff diag ties the
+                        # max; else left beats up iff left ties
+                        # max(left,up) — reuse them, saving the two
+                        # pre-max compares
+                        w_diag, w_left = b_diag, b_left
+                    else:
+                        # flags not computed on this path: diag wins
+                        # iff cand_d >= max(left,up)-d; else left
+                        # beats up iff prev >= prev_sh
+                        w_diag = cand_d >= mxd
+                        w_left = prev >= prev_sh
                     word = jnp.where(
-                        cand_d >= mxd,
+                        w_diag,
                         jnp.int32(0),
                         jnp.where(
-                            prev >= prev_sh,
+                            w_left,
                             _c(1 << (rp * pack_bits)),
                             _c(2 << (rp * pack_bits)),
                         ),

@@ -1077,16 +1077,35 @@ def _huge_span_device(
     C = chunk
     N_pad, H, R, nch, _ = _tile_geometry(A, B, nseq, C, engine)
     perm_down = [(i, (i + 1) % nseq) for i in range(nseq)]
-    fold_call = (
-        _build_fold_chunk_call(R, C, traceback, interpret)
-        if engine == "pallas"
-        else None
-    )
+    if engine == "pallasb" and traceback:
+        raise ValueError(
+            "engine 'pallasb' is score-only; use 'pallas' for walks"
+        )
+    FB = _pick_fb(B, nseq) if engine == "pallasb" else 0
+    if engine == "pallas":
+        fold_call = _build_fold_chunk_call(R, C, traceback, interpret)
+    elif engine == "pallasb":
+        fold_call = _build_fold_chunk_call_blocked(R, FB, C, interpret)
+    else:
+        fold_call = None
 
     def local(side_local, top_ext, st_local, s0):
         p = jax.lax.axis_index(axis)
         st = jax.tree.map(lambda x: x[0], st_local)
-        if engine == "pallas":
+        if engine == "pallasb":
+            nb = R // FB
+            side_fold = (
+                side_local.reshape(nb, LANES, FB)
+                .transpose(0, 2, 1)
+                .reshape(R, LANES)
+            )
+            corner_jl = jnp.where(B // H == p, B - p * H, -1)
+            seed = (p == 0).astype(jnp.int32)
+            phase = _make_pallasb_phase(
+                p, side_fold, top_ext, fold_call, m, k, d, C, nch,
+                A, B, H, N_pad, axis, perm_down, corner_jl, seed, FB,
+            )
+        elif engine == "pallas":
             side_fold = side_local.reshape(R, LANES)
             corner_jl = jnp.where(B // H == p, B - p * H, -1)
             seed = (p == 0).astype(jnp.int32)

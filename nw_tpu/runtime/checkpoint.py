@@ -395,7 +395,7 @@ class ResumableHugePair:
             huge_state_init,
         )
 
-        engine = _pick_engine(engine)
+        engine = _pick_engine(engine, traceback)
         top = np.asarray(top)
         side = np.asarray(side)
         A, B = top.shape[0], side.shape[0]

@@ -280,3 +280,28 @@ def test_pallasb_chunk_and_fb_contracts():
             m=1, k=1, d=1, mesh=mesh, axis="seq", chunk=8,
             traceback=True, engine="pallasb", interpret=True,
         )
+
+
+def test_resumable_huge_pair_pallasb_score_only(tmp_path):
+    """Score-only config-5 resume rides the register-blocked engine
+    (the TPU default for fills): kill mid-fill, resume, identical
+    score to the uninterrupted run."""
+    from nw_tpu.parallel.huge_pair import huge_pair_score_sharded
+    from nw_tpu.runtime.checkpoint import ResumableHugePair
+
+    mesh = _mesh(4)
+    rng = np.random.default_rng(7)
+    top, side = _case(rng, 40, 50)
+    kw = dict(chunk=8, engine="pallasb", interpret=True)
+    want = huge_pair_score_sharded(top, side, 2, 1, 1, mesh, **kw)
+
+    rdir = tmp_path / "huge-pb"
+    with pytest.raises(KeyboardInterrupt):
+        ResumableHugePair(str(rdir), span=3).run(
+            top, side, 2, 1, 1, mesh, traceback=False,
+            _abort_after_spans=2, **kw
+        )
+    got = ResumableHugePair(str(rdir), span=3).run(
+        top, side, 2, 1, 1, mesh, traceback=False, **kw
+    )
+    assert got == want
