@@ -483,6 +483,37 @@ def bench_huge_sharded(L=100_000, mesh_devices=None):
     return rate
 
 
+def bench_huge_walk(L=100_000):
+    """Config-5 END-TO-END exact alignment (fill + segment-relay walk +
+    host stitch) of ONE L x L pair on one chip — a geometry the
+    monolithic engine's 8-bit arrow stack cannot even hold in HBM at
+    100 kb (20 GB); the register-blocked engine's 2-bit greedy words
+    (2.5 GB) make it routine."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from nw_tpu.parallel.huge_pair import huge_pair_align_sharded
+
+    mesh = Mesh(np.array(jax.devices()[:1]), ("seq",))
+    rng = np.random.default_rng(13)
+    top = jnp.asarray(rng.integers(65, 69, L), jnp.int32)
+    side = jnp.asarray(rng.integers(65, 69, L), jnp.int32)
+    huge_pair_align_sharded(top, side, 2, 1, 1, mesh)  # warm
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        huge_pair_align_sharded(top, side, 2, 1, 1, mesh)
+        ts.append(time.time() - t0)
+    dt = statistics.median(ts)
+    _emit(
+        f"config-5 exact alignment e2e (fill+relay walk+stitch),"
+        f" 1x{L//1000}kb, 1 chip",
+        round(dt, 3), "s",
+    )
+    return dt
+
+
 def bench_variants(NB=10240, L=150, reps=20):
     """Variant score kernels at 150 bp, tracking the production route
     (row-sweep engines at tuned knobs when enabled, else the flat
@@ -650,6 +681,12 @@ def main() -> None:
         if v is not None:
             rows["config5_tiled_fill_100kb_GCUPS_per_dev"] = v
         v = within(
+            "config5_align_e2e_100kb_s",
+            lambda: round(bench_huge_walk(), 3), expected=90,
+        )
+        if v is not None:
+            rows["config5_align_e2e_100kb_s"] = v
+        v = within(
             "config2_score_150bp_GCUPS",
             lambda: round(bench_config2(on_tpu), 2), expected=520,
         )
@@ -709,6 +746,7 @@ def main() -> None:
     bench_huge_pair()
     bench_strips()
     bench_huge_sharded(mesh_devices=mesh_n)
+    bench_huge_walk()
 
 
 if __name__ == "__main__":

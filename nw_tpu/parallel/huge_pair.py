@@ -240,9 +240,9 @@ def _build_fold_chunk_call(R: int, C: int, traceback: bool, interpret: bool):
     )
 
 
-def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll):
-    """Register-blocked fold-chunk kernel (score-only; engine
-    ``pallasb``) — same recurrence + natural-boundary semantics as
+def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll, traceback=False):
+    """Register-blocked fold-chunk kernel (engine ``pallasb``) — same
+    recurrence + natural-boundary semantics as
     :func:`_make_fold_chunk_kernel` (needleman-wunsch.c:418-510 /
     computation.c:96-120), restructured with the banded kernel's
     register economy (fill_pallas_banded.py):
@@ -298,15 +298,28 @@ def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll):
       cap_in:     SMEM (1, 1)
       outs:       prev / prev2sh / ch blocks, cap SMEM (1, 1),
                   emits VMEM (C, 128) (last block's per-step edge,
-                  value in lane 0)
+                  value in lane 0), [words VMEM (C//16, FB, 128) —
+                  2-bit greedy walk codes, 16 diagonals per int32
+                  word little-endian (the ``pack_bits=2`` convention:
+                  0 diag, 1 left, 2 up; needleman-wunsch.c:305-324
+                  priority), accumulated in a vector register across
+                  each 16-step unroll round and stored once per
+                  round — the segment-relay walk is greedy-only, so
+                  tie masks are never materialized and arrow HBM +
+                  store bandwidth drop 4x vs the monolithic kernel's
+                  8-bit cells]
       scratch:    e0 / e1 VMEM (C+8, 128) ping-pong stream planes
     """
+    if traceback:
+        assert unroll == 16 and C % 16 == 0, (unroll, C)
 
-    def kernel(
-        s_ref, injp_ref, side_ref, prev_in, prev2sh_in, ch_in,
-        cap_in, prev_out, prev2sh_out, ch_out, cap_out, emits_ref,
-        e0, e1,
-    ):
+    def kernel(*refs):
+        (
+            s_ref, injp_ref, side_ref, prev_in, prev2sh_in, ch_in,
+            cap_in, prev_out, prev2sh_out, ch_out, cap_out, emits_ref,
+        ) = refs[:12]
+        words_ref = refs[12] if traceback else None
+        e0, e1 = refs[12 + traceback:]
         pid = pl.program_id(0)
         m = s_ref[0, 0]
         kmis = s_ref[0, 1]
@@ -392,8 +405,9 @@ def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll):
             )
             ch = jnp.concatenate([carry_c, ch[:-1, :]], axis=0)
             sub = jnp.where(ch == side_ch, m, -kmis)
+            cand_d = prev2sh + sub
             score = jnp.maximum(
-                prev2sh + sub, jnp.maximum(prev_sh, prev) - d
+                cand_d, jnp.maximum(prev_sh, prev) - d
             )
             if u == 0:
                 # band-0 DP seed: overwrite the t = 0 garbage with
@@ -407,7 +421,20 @@ def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll):
                     cap_out[0, 0] = jnp.sum(
                         jnp.where(hit_mask, score, 0)
                     )
-            return score, prev_sh, ch
+            if traceback:
+                # greedy 2-bit code from the same equality flags as
+                # the monolithic kernel's 3-bit mask, collapsed by
+                # the diag > left > up priority the relay walk applies
+                # (needleman-wunsch.c:305-324); `prev` is the left
+                # neighbour, `prev_sh` the up neighbour in the fold
+                code = jnp.where(
+                    cand_d == score,
+                    jnp.int32(0),
+                    jnp.where(prev == score + d, jnp.int32(1),
+                              jnp.int32(2)),
+                )
+                return score, prev_sh, ch, code
+            return score, prev_sh, ch, None
 
         def make_step(erd, ewr, with_corner):
             def step(i, carry):
@@ -418,6 +445,7 @@ def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll):
                 prev = prev_out[...]
                 prev2sh = prev2sh_out[...]
                 ch = ch_out[...]
+                word = None
                 for g in range(unroll // 8):
                     t8 = tl0 + g * 8
                     # fill slots [t8+7, t8+15): prev slab's row 7,
@@ -429,10 +457,17 @@ def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll):
                             slab[7:8, :] if u == 0
                             else nslab[u - 1:u, :]
                         )
-                        prev, prev2sh, ch = substep(
+                        prev, prev2sh, ch, code = substep(
                             t8 + u, prev, prev2sh, ch, fill_row,
                             g * 8 + u, with_corner,
                         )
+                        if traceback:
+                            # bit slot is static: t % 16 == g*8 + u
+                            contrib = code << ((g * 8 + u) * 2)
+                            word = (
+                                contrib if word is None
+                                else word | contrib
+                            )
                         acc = jnp.concatenate(
                             [
                                 acc[1:, :],
@@ -445,6 +480,9 @@ def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll):
                         )
                     ewr[pl.ds(t8 + 8, 8), :] = acc
                     slab = nslab
+                if traceback:
+                    # unroll == 16: exactly one packed word per round
+                    words_ref[pl.ds(i, 1), :, :] = word[None]
                 prev_out[...] = prev
                 prev2sh_out[...] = prev2sh
                 ch_out[...] = ch
@@ -489,34 +527,58 @@ def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll):
     return kernel
 
 
-def _pick_unroll(C: int) -> int:
+def _pick_unroll(C: int, traceback: bool = False) -> int:
     """Diagonals per register round-trip; must be a multiple of 8 (the
     loop body works in whole aligned edge slabs), and C a multiple of
-    the unroll (the builder enforces C % 8 == 0)."""
+    the unroll (the builder enforces C % 8 == 0; traceback additionally
+    requires C % 16 == 0 so each round flushes exactly one packed
+    walk word)."""
+    if traceback:
+        return 16
     return 16 if C % 16 == 0 else 8
 
 
-def _build_fold_chunk_call_blocked(R, FB, C, interpret):
+def _build_fold_chunk_call_blocked(R, FB, C, interpret, traceback=False):
     if C % 8:
         # edge slabs flush only at t % 8 == 7: a chunk that isn't
         # 8-aligned would leave its last C % 8 edge slots stale and
         # feed the next block garbage fills on REAL steps
         raise ValueError(f"pallasb chunk must be a multiple of 8, got {C}")
+    if traceback and C % 16:
+        # walk words pack 16 diagonals each and store once per
+        # 16-step unroll round: an unaligned chunk would drop the
+        # last C % 16 diagonals' codes from every chunk
+        raise ValueError(
+            f"pallasb traceback chunk must be a multiple of 16, got {C}"
+        )
     nb = R // FB
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     vmem = functools.partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     state = vmem((FB, LANES), lambda b: (b, 0))
     full = lambda shape: vmem(shape, lambda b: (0, 0))
+    out_shapes = [
+        jax.ShapeDtypeStruct((R, LANES), jnp.int32),   # prev
+        jax.ShapeDtypeStruct((R, LANES), jnp.int32),   # prev2sh
+        jax.ShapeDtypeStruct((R, LANES), jnp.int32),   # ch
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),       # cap
+        jax.ShapeDtypeStruct((C, LANES), jnp.int32),   # emits
+    ]
+    out_specs = [
+        state, state, state,
+        smem((1, 1), lambda b: (0, 0)),
+        full((C, LANES)),
+    ]
+    if traceback:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((C // 16, R, LANES), jnp.int32)
+        )
+        out_specs.append(vmem((C // 16, FB, LANES), lambda b: (0, b, 0)))
     return pl.pallas_call(
-        _make_fold_chunk_kernel_blocked(FB, C, nb, _pick_unroll(C)),
-        grid=(nb,),
-        out_shape=(
-            jax.ShapeDtypeStruct((R, LANES), jnp.int32),   # prev
-            jax.ShapeDtypeStruct((R, LANES), jnp.int32),   # prev2sh
-            jax.ShapeDtypeStruct((R, LANES), jnp.int32),   # ch
-            jax.ShapeDtypeStruct((1, 1), jnp.int32),       # cap
-            jax.ShapeDtypeStruct((C, LANES), jnp.int32),   # emits
+        _make_fold_chunk_kernel_blocked(
+            FB, C, nb, _pick_unroll(C, traceback), traceback
         ),
+        grid=(nb,),
+        out_shape=tuple(out_shapes),
         in_specs=[
             smem((1, 10), lambda b: (0, 0)),               # s
             full((C + 8, LANES)),                          # halo plane
@@ -526,11 +588,7 @@ def _build_fold_chunk_call_blocked(R, FB, C, interpret):
             state,                                         # ch
             smem((1, 1), lambda b: (0, 0)),                # cap
         ],
-        out_specs=(
-            state, state, state,
-            smem((1, 1), lambda b: (0, 0)),
-            full((C, LANES)),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((C + 8, LANES), jnp.int32),
             pltpu.VMEM((C + 8, LANES), jnp.int32),
@@ -652,10 +710,10 @@ def _make_pallas_phase(
 
 def _make_pallasb_phase(
     p, side_fold, top_ext, blocked_call, m, k, d, C, nch, A, B, H,
-    N_pad, axis, perm_down, corner_jl, seed, FB,
+    N_pad, axis, perm_down, corner_jl, seed, FB, traceback=False,
 ):
-    """Phase body for the register-blocked fold-chunk kernel
-    (score-only).  Same carry dict as the pallas engine; differences:
+    """Phase body for the register-blocked fold-chunk kernel.
+    Same carry dict as the pallas engine; differences:
     the parent halo ships as a (C+8, 128) lane-0 plane pre-offset to
     the kernel's edge-stream slot layout, the per-block row-0 char
     streams are precomputed host-side XLA gathers, and the emit stream
@@ -696,10 +754,11 @@ def _make_pallasb_phase(
                 p * jnp.int32(H), jnp.int32(0),
             ]
         )[None]
-        prev_n, prev2sh_n, ch_n, cap_n, emits128 = blocked_call(
+        outs = blocked_call(
             sv, injp, side_fold,
             st["prev"], st["prev2sh"], st["ch"], st["cap"],
         )
+        prev_n, prev2sh_n, ch_n, cap_n, emits128 = outs[:5]
         emits = emits128[:, 0]
         emits = jnp.where(
             base + C - 1 < p * H + (nb - 1) * FB * LANES,
@@ -719,7 +778,7 @@ def _make_pallasb_phase(
             ),
             tail=keep(st["recv"][-1], st["tail"]),
         )
-        return new_st, None
+        return new_st, (outs[5] if traceback else None)
 
     return phase
 
@@ -889,6 +948,32 @@ def _make_arrow_at_pallas(arr_phases, p, C, R):
     return arrow_at
 
 
+def _make_arrow_at_pallasb(arr_phases, p, C, FB):
+    """Cell reader over the pallasb engine's 2-bit greedy walk words
+    ((nphases, C//16, R, 128) int32; chunk c sits at phase c + p).
+
+    The fold within each FB-row block is SUBLANE-fastest
+    (``j_local = b*FB*128 + lane*FB + f``, the layout of
+    ``side_fold`` in :func:`_huge_pair_device`), and 16 diagonals
+    pack per word little-endian.  Codes (0 diag, 1 left, 2 up) are
+    translated to the 3-bit mask convention the relay walk consumes
+    (``1 << code``): the greedy priority diag > left > up is
+    identical under both encodings."""
+
+    def arrow_at(i2, j2, H):
+        jloc = j2 - p * H
+        kk = i2 + j2
+        c = kk // C
+        t = kk - c * C
+        blk = jloc // (FB * LANES)
+        rem = jloc - blk * (FB * LANES)
+        w = arr_phases[c + p, t // 16, blk * FB + rem % FB, rem // FB]
+        code = (w >> ((t % 16) * 2)) & 3
+        return jnp.int32(1) << code
+
+    return arrow_at
+
+
 def _make_arrow_at_scan(arr_phases, p, C, H):
     """Cell reader over the scan engine's per-phase arrows
     ((nphases, C, H) uint8; chunk c sits at phase c + p)."""
@@ -924,9 +1009,11 @@ def _huge_pair_device(
         # silently drop the last C % 4 diagonals' arrows from every
         # chunk and corrupt the walk
         raise ValueError(f"traceback chunk must be a multiple of 4, got {C}")
-    if engine == "pallasb" and traceback:
+    if engine == "pallasb" and traceback and (C < 16 or C % 16):
+        # the blocked kernel packs 16 diagonals per walk word and
+        # flushes once per 16-step unroll round
         raise ValueError(
-            "engine 'pallasb' is score-only; use 'pallas' for walks"
+            f"pallasb traceback chunk must be a multiple of 16, got {C}"
         )
 
     N_pad, H, R, nch, nphases = _tile_geometry(A, B, nseq, C, engine)
@@ -938,7 +1025,9 @@ def _huge_pair_device(
     if engine == "pallas":
         fold_call = _build_fold_chunk_call(R, C, traceback, interpret)
     elif engine == "pallasb":
-        fold_call = _build_fold_chunk_call_blocked(R, FB, C, interpret)
+        fold_call = _build_fold_chunk_call_blocked(
+            R, FB, C, interpret, traceback
+        )
     else:
         fold_call = None
 
@@ -973,11 +1062,16 @@ def _huge_pair_device(
             phase = _make_pallasb_phase(
                 p, side_fold, top_ext, fold_call, m, k, d, C, nch,
                 A, B, H, N_pad, axis, perm_down, corner_jl, seed, FB,
+                traceback,
             )
-            st, _ = jax.lax.scan(
+            st, arr_phases = jax.lax.scan(
                 phase, state0, jnp.arange(nphases, dtype=jnp.int32)
             )
-            return jax.lax.pmax(st["cap"][0, 0], axis)
+            score = jax.lax.pmax(st["cap"][0, 0], axis)
+            if not traceback:
+                return score
+            arrow_at = _make_arrow_at_pallasb(arr_phases, p, C, FB)
+            return relay_walk(B, score, lambda i2, j2: arrow_at(i2, j2, H))
         if engine == "pallas":
             state0 = dict(
                 prev=jnp.full((R, LANES), NEG_INF, jnp.int32) + vary0,
@@ -1077,15 +1171,13 @@ def _huge_span_device(
     C = chunk
     N_pad, H, R, nch, _ = _tile_geometry(A, B, nseq, C, engine)
     perm_down = [(i, (i + 1) % nseq) for i in range(nseq)]
-    if engine == "pallasb" and traceback:
-        raise ValueError(
-            "engine 'pallasb' is score-only; use 'pallas' for walks"
-        )
     FB = _pick_fb(B, nseq) if engine == "pallasb" else 0
     if engine == "pallas":
         fold_call = _build_fold_chunk_call(R, C, traceback, interpret)
     elif engine == "pallasb":
-        fold_call = _build_fold_chunk_call_blocked(R, FB, C, interpret)
+        fold_call = _build_fold_chunk_call_blocked(
+            R, FB, C, interpret, traceback
+        )
     else:
         fold_call = None
 
@@ -1104,6 +1196,7 @@ def _huge_span_device(
             phase = _make_pallasb_phase(
                 p, side_fold, top_ext, fold_call, m, k, d, C, nch,
                 A, B, H, N_pad, axis, perm_down, corner_jl, seed, FB,
+                traceback,
             )
         elif engine == "pallas":
             side_fold = side_local.reshape(R, LANES)
@@ -1149,7 +1242,11 @@ def _huge_walk_sharded(arr_all, score, *, A, B, mesh, axis, chunk, engine):
         p = jax.lax.axis_index(axis)
         vary0 = (arr_local.reshape(-1)[0] * 0).astype(jnp.int32)
         arr = arr_local[0]
-        if engine == "pallas":
+        if engine == "pallasb":
+            arrow_at = _make_arrow_at_pallasb(
+                arr, p, C, _pick_fb(B, nseq)
+            )
+        elif engine == "pallas":
             arrow_at = _make_arrow_at_pallas(arr, p, C, R)
         else:
             arrow_at = _make_arrow_at_scan(arr, p, C, H)
@@ -1209,6 +1306,7 @@ class HugeShardedResult:
 def auto_chunk(
     A: int, B: int, nseq: int, engine: str = "pallas",
     target_eff: float = 0.875, c_min: int = 128, c_max: int = 2048,
+    traceback: bool = False,
 ) -> int:
     """Pick the halo-chunk size C for the tiled fill.
 
@@ -1224,6 +1322,10 @@ def auto_chunk(
     # word quantum: 4 (pallas packs 4 diagonals/word) or 16 (pallasb
     # unrolls 16 and flushes 8-slab edge stages)
     q = 16 if engine == "pallasb" else 4
+    if engine == "pallasb" and traceback:
+        # the walk-word out block double-buffers C//16 x FB x 128
+        # int32 per grid step: clamp C so it fits VMEM at any FB
+        c_max = min(c_max, 1024)
     if nseq <= 1:
         return max(q, min(c_max, A + N_pad) // q * q)
     # nch >= need  <=>  eff = nch / (nch + nseq - 1) >= target_eff
@@ -1247,9 +1349,13 @@ def _pick_engine(engine, traceback=False):
         return engine
     try:
         if jax.devices()[0].platform == "tpu":
-            # score-only fills take the register-blocked kernel;
-            # walks need the arrow-emitting monolithic kernel
-            return "pallas" if traceback else "pallasb"
+            # the register-blocked kernel backs both: score-only
+            # fills, and walks via its 2-bit greedy word mode (4x
+            # less arrow HBM than the monolithic kernel's 8-bit
+            # cells — 2.5 GB vs an OOMing 20 GB at 1x100kb — and a
+            # VMEM footprint independent of the device's row count,
+            # so chunks stay large)
+            return "pallasb"
         return "scan"
     except Exception:  # pragma: no cover
         return "scan"
@@ -1294,7 +1400,10 @@ def huge_pair_align_sharded(
     """
     engine = _pick_engine(engine, traceback=True)
     if chunk is None:
-        chunk = auto_chunk(top.shape[0], side.shape[0], mesh.shape[axis], engine)
+        chunk = auto_chunk(
+            top.shape[0], side.shape[0], mesh.shape[axis], engine,
+            traceback=True,
+        )
     score, segs, seg_ns = _huge_pair_device(
         jnp.asarray(top), jnp.asarray(side),
         m=int(m), k=int(k), d=int(d), mesh=mesh, axis=axis,

@@ -783,6 +783,30 @@ def main() -> int:
         assert r.score == int(refd["score"])
         assert r.n == int(nr)
         assert (r.ops == np.asarray(opsr)[: int(nr)]).all()
+        # the 2-bit greedy-word walk (the TPU walk default): exact
+        # same alignment from the register-blocked engine, at a
+        # long-pair geometry the monolithic kernel's VMEM-resident
+        # word stack could not hold
+        rb = huge_pair_align_sharded(
+            tt, ss, 2, 1, 1, mesh, chunk=128, engine="pallasb"
+        )
+        assert (rb.score, rb.n) == (r.score, r.n)
+        assert (rb.ops == r.ops).all()
+        t9 = jnp.asarray(rng.integers(65, 69, 8_000), jnp.int32)
+        s9 = jnp.asarray(rng.integers(65, 69, 9_000), jnp.int32)
+        from nw_tpu.ops.banded_traceback import traceback_banded_batch
+
+        sc9, ops9, n9 = traceback_banded_batch(
+            t9[None], s9[None],
+            np.array([8_000], np.int32), np.array([9_000], np.int32),
+            2, 1, 1,
+        )
+        r9 = huge_pair_align_sharded(
+            t9, s9, 2, 1, 1, mesh, engine="pallasb"
+        )
+        assert r9.score == int(sc9[0]), (r9.score, int(sc9[0]))
+        assert r9.n == int(n9[0])
+        assert (r9.ops == ops9[0, : int(n9[0])]).all()
 
     def sharded():
         from jax.sharding import Mesh

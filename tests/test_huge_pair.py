@@ -143,7 +143,7 @@ def test_auto_chunk_efficiency():
     np.testing.assert_array_equal(r.ops, np.asarray(opsr)[: int(nr)])
 
 
-@pytest.mark.parametrize("engine", ["scan", "pallas"])
+@pytest.mark.parametrize("engine", ["scan", "pallas", "pallasb"])
 def test_resumable_huge_pair_kill_and_resume(tmp_path, engine):
     """Config-5 checkpoint/resume (VERDICT r2 item 6): the tiled fill
     persists its per-device phase carry + arrow planes each span; a
@@ -155,7 +155,11 @@ def test_resumable_huge_pair_kill_and_resume(tmp_path, engine):
     mesh = _mesh(4)
     rng = np.random.default_rng(99 + len(engine))
     top, side = _case(rng, 40, 50)
-    kw = dict(chunk=8, engine=engine, interpret=engine == "pallas")
+    kw = dict(
+        # pallasb walk words pack 16 diagonals per chunk-word quantum
+        chunk=16 if engine == "pallasb" else 8,
+        engine=engine, interpret=engine != "scan",
+    )
     want = huge_pair_align_sharded(top, side, 2, 1, 1, mesh, **kw)
 
     rdir = tmp_path / f"huge-{engine}"
@@ -258,10 +262,52 @@ def test_sharded_huge_pair_pallasb_engine(monkeypatch, nseq, la, lb, C, mkd, fb)
     assert sc == int(ref["score"])
 
 
+@pytest.mark.parametrize(
+    "nseq,la,lb,C,mkd,fb",
+    [
+        (8, 33, 41, 16, (2, 1, 1), None),
+        (8, 5, 80, 16, (2, 1, 1), None),
+        (8, 64, 64, 16, (0, 0, 0), None),  # max tie density
+        (2, 300, 280, 32, (3, -1, 2), None),
+        # forced small FB => multi-block grids (nb > 1): walk words
+        # cross block boundaries and the reader's sublane-fastest
+        # fold mapping is exercised across blocks
+        (1, 120, 999, 16, (3, -1, 2), 1),
+        (2, 150, 900, 48, (2, 1, 1), 2),
+    ],
+)
+def test_sharded_huge_pair_pallasb_walk(
+    monkeypatch, nseq, la, lb, C, mkd, fb
+):
+    """The register-blocked engine's 2-bit greedy walk words drive the
+    segment-relay walk to the exact scan-oracle alignment (score, ops,
+    length) — incl. all-tie pairs (the 2-bit codes collapse the tie
+    masks by the same diag > left > up priority the relay walk applies
+    to 3-bit masks)."""
+    import nw_tpu.parallel.huge_pair as hp
+
+    if fb is not None:
+        monkeypatch.setattr(hp, "_pick_fb", lambda B, n: fb)
+    mesh = _mesh(nseq)
+    rng = np.random.default_rng(la * 11 + lb + nseq)
+    top, side = _case(rng, la, lb)
+    ref = fill_diag(top, side, *mkd, with_scores=False)
+    opsr, nr = traceback.traceback_greedy(
+        ref["arrows"], la, lb, max_steps=la + lb
+    )
+    r = hp.huge_pair_align_sharded(
+        top, side, *mkd, mesh, chunk=C, engine="pallasb", interpret=True
+    )
+    assert r.score == int(ref["score"])
+    assert r.n == int(nr)
+    np.testing.assert_array_equal(r.ops, np.asarray(opsr)[: int(nr)])
+
+
 def test_pallasb_chunk_and_fb_contracts():
     """auto_chunk returns 16-multiples for pallasb (unroll + edge-slab
-    quanta); the builder rejects non-8-multiple chunks; traceback
-    requests reject the score-only engine."""
+    quanta, and the walk word quantum); the builder rejects
+    non-8-multiple chunks; traceback requires a 16-multiple chunk
+    (16 packed codes per walk word)."""
     from nw_tpu.parallel.huge_pair import (
         _build_fold_chunk_call_blocked,
         _huge_pair_device,
@@ -271,8 +317,16 @@ def test_pallasb_chunk_and_fb_contracts():
     for nseq in (1, 2, 8):
         for L in (100, 5_000, 100_000):
             assert auto_chunk(L, L, nseq, "pallasb") % 16 == 0
+            assert (
+                auto_chunk(L, L, nseq, "pallasb", traceback=True) % 16
+                == 0
+            )
+    # the walk-word out block must fit VMEM at any FB
+    assert auto_chunk(100_000, 100_000, 1, "pallasb", traceback=True) <= 1024
     with pytest.raises(ValueError):
         _build_fold_chunk_call_blocked(8, 1, 12, True)
+    with pytest.raises(ValueError):
+        _build_fold_chunk_call_blocked(16, 1, 24, True, traceback=True)
     mesh = _mesh(1)
     with pytest.raises(ValueError):
         _huge_pair_device(
