@@ -15,9 +15,10 @@ diagonal-chunk) tiles:
 * the halo is the owner's **last-row values by diagonal** — decisions
   (arrow bits) are recomputed locally from exchanged *values*, so tie
   flags are deterministic across tile boundaries (SURVEY §7 hard part);
-* each device stores its own rows' arrows diagonal-major in local HBM
-  ("tiled HBM arrow storage": a 100 kb pair is ~20 GB of arrows total,
-  ~2.5 GB per device on an 8-device mesh);
+* each device stores its own rows' walk words diagonal-major in local
+  HBM ("tiled HBM arrow storage": with the pallasb engine's 2-bit
+  greedy codes a 100 kb pair is ~2.5 GB total — one chip holds it;
+  the monolithic kernel's 8-bit cells need ~20 GB, mesh-sharded);
 * the exact greedy traceback (reference first-emission order) runs as a
   **segment relay**: the device owning the walk head walks through its
   rows in a local loop (no collectives), then the head state moves down
@@ -28,10 +29,12 @@ The per-chunk compute is the same natural-boundary anti-diagonal
 recurrence as the Pallas kernels (fill_pallas.py docstring), in three
 engines: ``scan`` (plain ``lax.scan`` vector ops — the CPU-mesh
 default and cross-checked reference formulation), ``pallas`` (the
-monolithic fold-layout chunk kernel; emits packed arrows, so it backs
-every walk), and ``pallasb`` (the register-blocked score-only kernel —
-the TPU default for fills, ~157 GCUPS/device at 1x100kb vs pallas's
-60; see ``_make_fold_chunk_kernel_blocked``).
+monolithic fold-layout chunk kernel; emits 8-bit packed tie-mask
+arrows), and ``pallasb`` (the register-blocked kernel — the TPU
+default for BOTH score fills, ~157 GCUPS/device at 1x100kb vs
+pallas's 60, and walks via its 2-bit greedy-word mode, 1x100kb exact
+alignment in 0.38 s on one chip; see
+``_make_fold_chunk_kernel_blocked``).
 """
 
 from __future__ import annotations
@@ -1370,9 +1373,9 @@ def huge_pair_score_sharded(
 
     ``chunk=None`` auto-picks C for >= 87.5% pipeline efficiency
     (:func:`auto_chunk`).  ``engine``: "pallasb" (register-blocked
-    fold-chunk kernel — the TPU default for score-only fills),
-    "pallas" (monolithic fold-layout chunk kernel, also the walk
-    engine) or "scan" (pure lax.scan — the CPU default and the
+    fold-chunk kernel — the TPU default for fills AND walks),
+    "pallas" (monolithic fold-layout chunk kernel, 8-bit tie-mask
+    arrows) or "scan" (pure lax.scan — the CPU default and the
     cross-checked reference formulation)."""
     engine = _pick_engine(engine, traceback=False)
     if chunk is None:
