@@ -128,83 +128,108 @@ def _make_banded_sw_kernel(
             bscr_ref[C - off : C, :] = bndb_ref[0:off, :]
 
         side_ch = sides_ref[...]
+        # loop-invariant row-rectangle mask (hoisted out of the loop)
+        row_rect = (jg >= 1) & (jg <= len2)
 
-        def substep(t, tl, r4, prev, prev2sh, ch, pack):
-            new_top = tops_ref[pl.ds(tl, 1), :]
-            ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
-            sub = jnp.where(ch == side_ch, m, -kmis)
+        def make_substep(interior):
+            # ``interior`` chunks (RB <= t and t < min(len1) over the
+            # block): every i-dependent rectangle bound is statically
+            # true for ALL pairs, so the running-best mask collapses
+            # to the loop-invariant row mask — ~2 VPU ops/cell vs ~8
+            # on the general path (same chunk-class split as the
+            # overlap kernel below).
+            def substep(t, tl, r4, prev, prev2sh, ch, pack):
+                new_top = tops_ref[pl.ds(tl, 1), :]
+                ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
+                sub = jnp.where(ch == side_ch, m, -kmis)
 
-            inj = bscr_ref[pl.ds(tl, 1), :]
-            prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
-            cand_d = prev2sh + sub
-            score = jnp.maximum(
-                jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d), 0
-            )
-
-            if with_words:
-                score_d = score + d
-                b_diag = cand_d == score
-                if pack_bits == 8:
-                    arrows = (
-                        b_diag.astype(jnp.int32)
-                        + (prev == score_d).astype(jnp.int32) * 2
-                        + (prev_sh == score_d).astype(jnp.int32) * 4
-                    )
-                    arrows = jnp.where(score > 0, arrows, 0)
-                else:
-                    arrows = jnp.where(
-                        score <= 0,
-                        jnp.int32(3),  # STOP: local-alignment start
-                        jnp.where(
-                            b_diag,
-                            jnp.int32(0),
-                            jnp.where(
-                                prev == score_d, jnp.int32(1), jnp.int32(2)
-                            ),
-                        ),
-                    )
-                word = arrows << (r4 * pack_bits)
-                pack = word if r4 == 0 else pack | word
-                if r4 == P - 1:
-                    words_ref[pl.ds(tl // P, 1), :, :] = pack[None]
-
-            r8 = jnp.bitwise_and(tl, 7)
-            stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
-
-            @pl.when(r8 == 7)
-            def _():
-                bndout_ref[pl.ds(tl - 7, 8), :] = stage_ref[...]
-
-            i_val = t - j_iota  # column index (local diag t = i + jj)
-            in_rect = (
-                (jg >= 1) & (jg <= len2) & (i_val >= 1) & (i_val <= len1)
-            )
-            sc = jnp.where(in_rect, score, 0)
-            if with_argmax:
-                u = sc > brow_ref[...]
-                brow_ref[...] = jnp.where(u, sc, brow_ref[...])
-                bk_ref[...] = jnp.where(u, t + j0, bk_ref[...])
-            else:
-                brow_ref[...] = jnp.maximum(brow_ref[...], sc)
-            return score, prev_sh, ch, pack
-
-        def step(i, _):
-            tl0 = i * unroll
-            prev = prev_ref[...]
-            prev2sh = prev2sh_ref[...]
-            ch = ch_ref[...]
-            pack = None
-            for u in range(unroll):
-                tl = tl0 + u
-                prev, prev2sh, ch, pack = substep(
-                    c * C + tl, tl, u % P, prev, prev2sh, ch, pack
+                inj = bscr_ref[pl.ds(tl, 1), :]
+                prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
+                cand_d = prev2sh + sub
+                score = jnp.maximum(
+                    jnp.maximum(cand_d, jnp.maximum(prev_sh, prev) - d), 0
                 )
-            prev_ref[...] = prev
-            prev2sh_ref[...] = prev2sh
-            ch_ref[...] = ch
-            return 0
 
-        jax.lax.fori_loop(0, C // unroll, step, 0)
+                if with_words:
+                    score_d = score + d
+                    b_diag = cand_d == score
+                    if pack_bits == 8:
+                        arrows = (
+                            b_diag.astype(jnp.int32)
+                            + (prev == score_d).astype(jnp.int32) * 2
+                            + (prev_sh == score_d).astype(jnp.int32) * 4
+                        )
+                        arrows = jnp.where(score > 0, arrows, 0)
+                    else:
+                        arrows = jnp.where(
+                            score <= 0,
+                            jnp.int32(3),  # STOP: local-alignment start
+                            jnp.where(
+                                b_diag,
+                                jnp.int32(0),
+                                jnp.where(
+                                    prev == score_d, jnp.int32(1),
+                                    jnp.int32(2)
+                                ),
+                            ),
+                        )
+                    word = arrows << (r4 * pack_bits)
+                    pack = word if r4 == 0 else pack | word
+                    if r4 == P - 1:
+                        words_ref[pl.ds(tl // P, 1), :, :] = pack[None]
+
+                r8 = jnp.bitwise_and(tl, 7)
+                stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
+
+                @pl.when(r8 == 7)
+                def _():
+                    bndout_ref[pl.ds(tl - 7, 8), :] = stage_ref[...]
+
+                if interior:
+                    in_rect = row_rect
+                else:
+                    i_val = t - j_iota  # column (local diag t = i + jj)
+                    in_rect = row_rect & (i_val >= 1) & (i_val <= len1)
+                sc = jnp.where(in_rect, score, 0)
+                if with_argmax:
+                    u = sc > brow_ref[...]
+                    brow_ref[...] = jnp.where(u, sc, brow_ref[...])
+                    bk_ref[...] = jnp.where(u, t + j0, bk_ref[...])
+                else:
+                    brow_ref[...] = jnp.maximum(brow_ref[...], sc)
+                return score, prev_sh, ch, pack
+
+            return substep
+
+        def run(substep):
+            def step(i, _):
+                tl0 = i * unroll
+                prev = prev_ref[...]
+                prev2sh = prev2sh_ref[...]
+                ch = ch_ref[...]
+                pack = None
+                for u in range(unroll):
+                    tl = tl0 + u
+                    prev, prev2sh, ch, pack = substep(
+                        c * C + tl, tl, u % P, prev, prev2sh, ch, pack
+                    )
+                prev_ref[...] = prev
+                prev2sh_ref[...] = prev2sh
+                ch_ref[...] = ch
+                return 0
+
+            jax.lax.fori_loop(0, C // unroll, step, 0)
+
+        # pad lanes carry len1 == 0 -> min == 0 -> general path
+        interior_c = (c * C >= RB) & (c * C + C - 1 < jnp.min(len1))
+
+        @pl.when(interior_c)
+        def _():
+            run(make_substep(True))
+
+        @pl.when(~interior_c)
+        def _():
+            run(make_substep(False))
 
         @pl.when(c == pl.num_programs(1) - 1)
         def _finish():
@@ -471,79 +496,118 @@ def _make_banded_overlap_kernel(
 
         side_ch = sides_ref[...]
         zero = jnp.zeros((RB, BT), jnp.int32)
+        # loop-invariant row masks (hoisted out of the hot loop)
+        pin_rows = jg == 0
+        row_end = (jg >= 1) & (jg == len2)
 
-        def substep(t, tl, r16, prev, prev2sh, ch, pack):
-            new_top = tops_ref[pl.ds(tl, 1), :]
-            ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
-            sub = jnp.where(ch == side_ch, m, -kmis)
+        def make_substep(interior):
+            # ``interior`` chunks — every diagonal t satisfies
+            # RB <= t and t < min(len1) over the block — make the
+            # warm-up pin (i <= 0) and every i-dependent bound/end
+            # test statically false/true for ALL pairs, so the mask
+            # arithmetic collapses to two loop-invariant row selects
+            # (~3 VPU ops/cell vs ~12 on the general path).  With the
+            # default C=192/RB=24 at 10 kb sides that is ~94% of the
+            # grid; the general instantiation keeps the exact original
+            # code for warm-up, column-end and ragged-tail chunks.
+            def substep(t, tl, r16, prev, prev2sh, ch, pack):
+                new_top = tops_ref[pl.ds(tl, 1), :]
+                ch = jnp.concatenate([new_top, ch[:-1, :]], axis=0)
+                sub = jnp.where(ch == side_ch, m, -kmis)
 
-            inj = bscr_ref[pl.ds(tl, 1), :]
-            prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
-            cand_d = prev2sh + sub
-            raw = jnp.maximum(
-                cand_d, jnp.maximum(prev_sh, prev) - d
-            )
-            i_val = t - j_iota  # column index (local diag t = i + jj)
-            pin = (i_val <= 0) | (jg == 0)
-            # free boundaries: column 0 (+ warm-up, which only ever
-            # feeds it) and the table's row 0 are literal zeros
-            score = jnp.where(pin, zero, raw)
+                inj = bscr_ref[pl.ds(tl, 1), :]
+                prev_sh = jnp.concatenate([inj, prev[:-1, :]], axis=0)
+                cand_d = prev2sh + sub
+                raw = jnp.maximum(
+                    cand_d, jnp.maximum(prev_sh, prev) - d
+                )
+                if interior:
+                    # only the table's row 0 stays pinned; the column-0
+                    # warm-up (i_val <= 0) cannot occur at t >= RB
+                    pin = pin_rows
+                else:
+                    i_val = t - j_iota  # column (local diag t = i + jj)
+                    pin = (i_val <= 0) | pin_rows
+                # free boundaries: column 0 (+ warm-up, which only ever
+                # feeds it) and the table's row 0 are literal zeros
+                score = jnp.where(pin, zero, raw)
 
-            if with_words:
-                raw_d = raw + d
-                arrows = jnp.where(
-                    pin,
-                    jnp.int32(3),  # STOP: free boundary, walk ends
-                    jnp.where(
-                        cand_d == raw,
-                        jnp.int32(0),
+                if with_words:
+                    raw_d = raw + d
+                    arrows = jnp.where(
+                        pin,
+                        jnp.int32(3),  # STOP: free boundary, walk ends
                         jnp.where(
-                            prev == raw_d, jnp.int32(1), jnp.int32(2)
+                            cand_d == raw,
+                            jnp.int32(0),
+                            jnp.where(
+                                prev == raw_d, jnp.int32(1), jnp.int32(2)
+                            ),
                         ),
-                    ),
-                )
-                word = arrows << (r16 * 2)
-                pack = word if r16 == 0 else pack | word
-                if r16 == P - 1:
-                    words_ref[pl.ds(tl // P, 1), :, :] = pack[None]
+                    )
+                    word = arrows << (r16 * 2)
+                    pack = word if r16 == 0 else pack | word
+                    if r16 == P - 1:
+                        words_ref[pl.ds(tl // P, 1), :, :] = pack[None]
 
-            r8 = jnp.bitwise_and(tl, 7)
-            stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
+                r8 = jnp.bitwise_and(tl, 7)
+                stage_ref[pl.ds(r8, 1), :] = score[RB - 1 : RB, :]
 
-            @pl.when(r8 == 7)
-            def _():
-                bndout_ref[pl.ds(tl - 7, 8), :] = stage_ref[...]
+                @pl.when(r8 == 7)
+                def _():
+                    bndout_ref[pl.ds(tl - 7, 8), :] = stage_ref[...]
 
-            on_end = (
-                (jg >= 1) & (jg <= len2) & (i_val >= 1) & (i_val <= len1)
-                & ((i_val == len1) | (jg == len2))
-            )
-            sc = jnp.where(on_end, score, zero)
-            if with_argmax:
-                u = sc > brow_ref[...]
-                brow_ref[...] = jnp.where(u, sc, brow_ref[...])
-                bk_ref[...] = jnp.where(u, t + j0, bk_ref[...])
-            else:
-                brow_ref[...] = jnp.maximum(brow_ref[...], sc)
-            return score, prev_sh, ch, pack
+                if interior:
+                    # i_val in [1, len1) for every row and pair: the
+                    # END boundary reduces to the jg == len2 rows
+                    on_end = row_end
+                else:
+                    on_end = (
+                        (jg >= 1) & (jg <= len2)
+                        & (i_val >= 1) & (i_val <= len1)
+                        & ((i_val == len1) | (jg == len2))
+                    )
+                sc = jnp.where(on_end, score, zero)
+                if with_argmax:
+                    u = sc > brow_ref[...]
+                    brow_ref[...] = jnp.where(u, sc, brow_ref[...])
+                    bk_ref[...] = jnp.where(u, t + j0, bk_ref[...])
+                else:
+                    brow_ref[...] = jnp.maximum(brow_ref[...], sc)
+                return score, prev_sh, ch, pack
 
-        def step(i, _):
-            tl0 = i * unroll
-            prev = prev_ref[...]
-            prev2sh = prev2sh_ref[...]
-            ch = ch_ref[...]
-            pack = None
-            for u in range(unroll):
-                tl = tl0 + u
-                prev, prev2sh, ch, pack = substep(
-                    c * C + tl, tl, u % P, prev, prev2sh, ch, pack
-                )
-            prev_ref[...] = prev
-            prev2sh_ref[...] = prev2sh
-            ch_ref[...] = ch
-            return 0
+            return substep
 
-        jax.lax.fori_loop(0, C // unroll, step, 0)
+        def run(substep):
+            def step(i, _):
+                tl0 = i * unroll
+                prev = prev_ref[...]
+                prev2sh = prev2sh_ref[...]
+                ch = ch_ref[...]
+                pack = None
+                for u in range(unroll):
+                    tl = tl0 + u
+                    prev, prev2sh, ch, pack = substep(
+                        c * C + tl, tl, u % P, prev, prev2sh, ch, pack
+                    )
+                prev_ref[...] = prev
+                prev2sh_ref[...] = prev2sh
+                ch_ref[...] = ch
+                return 0
+
+            jax.lax.fori_loop(0, C // unroll, step, 0)
+
+        # pad lanes carry len1 == 0, so a block containing one keeps
+        # min == 0 and takes the general path for every chunk
+        interior_c = (c * C >= RB) & (c * C + C - 1 < jnp.min(len1))
+
+        @pl.when(interior_c)
+        def _():
+            run(make_substep(True))
+
+        @pl.when(~interior_c)
+        def _():
+            run(make_substep(False))
 
         @pl.when(c == pl.num_programs(1) - 1)
         def _finish():
