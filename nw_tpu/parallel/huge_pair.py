@@ -400,13 +400,20 @@ def _make_fold_chunk_kernel_blocked(FB, C, nb, unroll, traceback=False):
                 lane0_row, fill_row,
                 pltpu.roll(prev[FB - 1:FB, :], 1, axis=1),
             )
-            prev_sh = jnp.concatenate([carry_p, prev[:-1, :]], axis=0)
             carry_c = jnp.where(
                 lane0_row,
                 pltpu.roll(fill_row, LANES - 1, axis=1),  # lane1 -> 0
                 pltpu.roll(ch[FB - 1:FB, :], 1, axis=1),
             )
-            ch = jnp.concatenate([carry_c, ch[:-1, :]], axis=0)
+            if FB > 1:
+                prev_sh = jnp.concatenate([carry_p, prev[:-1, :]], axis=0)
+                ch = jnp.concatenate([carry_c, ch[:-1, :]], axis=0)
+            else:
+                # FB == 1: the block is its own carry row — a
+                # concatenate with the empty prev[:-1] slice is an
+                # invalid (zero-row) vector type under Mosaic
+                prev_sh = carry_p
+                ch = carry_c
             sub = jnp.where(ch == side_ch, m, -kmis)
             cand_d = prev2sh + sub
             score = jnp.maximum(

@@ -30,6 +30,10 @@ def check(name, fn):
     except Exception as e:  # noqa: BLE001
         FAILED.append(name)
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:200]}")
+        import os
+        import traceback
+        if os.environ.get("NW_TPU_VALIDATE_TRACE"):
+            traceback.print_exc()
 
 
 def main() -> int:
