@@ -168,15 +168,24 @@ class NWAligner:
     ) -> "HugeAlignmentResult":
         """Exact first-optimal alignment of ONE huge pair (100kb+).
 
-        Uses the checkpointed re-fill traceback
-        (:mod:`nw_tpu.ops.checkpoint_traceback`): two fill passes, only
-        ``O(K*N/C + C*N)`` memory, and the alignment is byte-identical
-        to the reference DFS's *first-emitted* one
-        (needleman-wunsch.c:305-324) — unlike Hirschberg
-        (:func:`nw_tpu.ops.hirschberg.hirschberg_align`), which returns
-        an arbitrary optimal alignment.  The reference itself cannot
-        trace back pairs at this scale at all (136 B/cell of table
-        state, SURVEY.md §6: 13.6 GB at 10k x 10k).
+        The alignment is byte-identical to the reference DFS's
+        *first-emitted* one (needleman-wunsch.c:305-324) — unlike
+        Hirschberg (:func:`nw_tpu.ops.hirschberg.hirschberg_align`),
+        which returns an arbitrary optimal alignment.  The reference
+        itself cannot trace back pairs at this scale at all (136 B/cell
+        of table state, SURVEY.md §6: 13.6 GB at 10k x 10k).
+
+        Route: on TPU, when the register-blocked engine's 2-bit walk
+        words for the whole pair fit the HBM budget
+        (``NW_TPU_HUGE_WALK_HBM``, default 8 GB — a 1x100kb pair is
+        ~2.6 GB and aligns in ~0.4 s), the fill+walk runs as the
+        config-5 tiled engine on a one-device mesh
+        (:func:`nw_tpu.parallel.huge_pair.huge_pair_align_sharded`,
+        ~3x the checkpointed path).  Beyond the budget (or off-TPU,
+        or with an explicit ``block_diagonals``) it uses the
+        checkpointed re-fill traceback
+        (:mod:`nw_tpu.ops.checkpoint_traceback`): two fill passes,
+        only ``O(K*N/C + C*N)`` memory, any length.
         """
         from nw_tpu.ops.checkpoint_traceback import traceback_checkpointed
 
@@ -184,6 +193,34 @@ class NWAligner:
         m, k, d = self.config.scoring.as_tuple()
         top = jnp.asarray(enc.encode(s1b))
         side = jnp.asarray(enc.encode(s2b))
+        if pallas_supported() and block_diagonals is None:
+            from nw_tpu.parallel.huge_pair import (
+                _tile_geometry,
+                auto_chunk,
+            )
+
+            A, B = top.shape[0], side.shape[0]
+            C = auto_chunk(A, B, 1, "pallasb", traceback=True)
+            _, _, R, _, nphases = _tile_geometry(A, B, 1, C, "pallasb")
+            words = nphases * (C // 16) * R * 128 * 4
+            budget = int(os.environ.get("NW_TPU_HUGE_WALK_HBM", 8 << 30))
+            if words <= budget:
+                from jax.sharding import Mesh
+
+                from nw_tpu.parallel.huge_pair import (
+                    huge_pair_align_sharded,
+                )
+
+                mesh = Mesh(np.array(jax.devices()[:1]), ("seq",))
+                r = huge_pair_align_sharded(
+                    top, side, m, k, d, mesh, chunk=C, engine="pallasb"
+                )
+                X, Y = traceback.ops_to_strings(
+                    np.asarray(r.ops), r.n, s1b, s2b
+                )
+                return HugeAlignmentResult(
+                    s1=s1b, s2=s2b, score=r.score, X=X, Y=Y
+                )
         interpret = not pallas_supported()
         ops, n = traceback_checkpointed(
             top, side, m, k, d,

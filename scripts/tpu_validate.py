@@ -811,6 +811,22 @@ def main() -> int:
         assert r9.score == int(sc9[0]), (r9.score, int(sc9[0]))
         assert r9.n == int(n9[0])
         assert (r9.ops == ops9[0, : int(n9[0])]).all()
+        # the align_huge production route (config-5 engine when the
+        # walk words fit HBM) == the checkpointed re-fill traceback
+        import os
+
+        from nw_tpu.models.needleman_wunsch import NWAligner
+
+        al = NWAligner()
+        s1w = bytes(np.asarray(t9, np.uint8)[:4000])
+        s2w = bytes(np.asarray(s9, np.uint8)[:5000])
+        rf = al.align_huge(s1w, s2w)
+        os.environ["NW_TPU_HUGE_WALK_HBM"] = "1"
+        try:
+            rs = al.align_huge(s1w, s2w)
+        finally:
+            del os.environ["NW_TPU_HUGE_WALK_HBM"]
+        assert (rf.score, rf.X, rf.Y) == (rs.score, rs.X, rs.Y)
 
     def sharded():
         from jax.sharding import Mesh
