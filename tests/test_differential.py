@@ -260,6 +260,43 @@ def test_differential_long_reads(reference_binary):
         )
 
 
+def test_differential_table_render_long(reference_binary):
+    """Table rendering (-t, with -c/-u coloring) at 30-120 bp —
+    fuzz render cases cap at 20 bp, so column widths > 1 digit, long
+    top strings, and long colored optimal paths were untested.  Pairs
+    are near-identical (1-3 mutations) so the reference's exponential
+    path-marking DFS terminates; tie-dense cases are dropped by the
+    reference-side timeout, and at least 4 must complete."""
+    import random
+
+    rng = random.Random(177)
+    done = 0
+    for _ in range(30):
+        if done >= 6:
+            break
+        L1 = rng.randint(30, 120)
+        L2 = max(4, L1 + rng.randint(-8, 8))
+        s1 = "".join(rng.choice("ACGT") for _ in range(L1))
+        s2l = list(
+            s1[:L2] if L2 <= L1
+            else s1 + "".join(rng.choice("ACGT") for _ in range(L2 - L1))
+        )
+        for _ in range(rng.randint(1, 3)):
+            s2l[rng.randrange(len(s2l))] = rng.choice("ACGT")
+        flags = rng.choice(
+            [
+                ["-t", "-s", "-q"], ["-t", "-c", "-q"],
+                ["-t", "-u", "-q"], ["-t", "-c", "-u", "-s", "-q"],
+            ]
+        )
+        params = [str(rng.randint(1, 3)) for _ in range(3)]
+        stdin = f"{s1} {''.join(s2l)}".encode()
+        done += _diff_one(
+            reference_binary, flags + params, stdin, timeout=45
+        )
+    assert done >= 4
+
+
 def test_differential_file_input(reference_binary, tmp_path):
     """-f sequence-file cases (untested differentially before —
     VERDICT r2 weak 6): both binaries read the same file."""
