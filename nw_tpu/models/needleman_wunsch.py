@@ -187,12 +187,30 @@ class NWAligner:
         (:mod:`nw_tpu.ops.checkpoint_traceback`): two fill passes,
         only ``O(K*N/C + C*N)`` memory, any length.
         """
-        from nw_tpu.ops.checkpoint_traceback import traceback_checkpointed
-
         s1b, s2b = _as_bytes(s1), _as_bytes(s2)
         m, k, d = self.config.scoring.as_tuple()
         top = jnp.asarray(enc.encode(s1b))
         side = jnp.asarray(enc.encode(s2b))
+        ops, n, score = self._huge_ops(top, side, block_diagonals)
+        X, Y = traceback.ops_to_strings(ops, n, s1b, s2b)
+        if score is None:
+            score = 0
+            for x, y in zip(X, Y):
+                if x == ord("-") or y == ord("-"):
+                    score -= d
+                elif x == y:
+                    score += m
+                else:
+                    score -= k
+        return HugeAlignmentResult(s1=s1b, s2=s2b, score=score, X=X, Y=Y)
+
+    def _huge_ops(self, top, side, block_diagonals=None):
+        """(ops int8[n], n, score | None) for ONE huge pair — the
+        align_huge route selection: config-5 pallasb fill+walk when the
+        2-bit word stack fits ``NW_TPU_HUGE_WALK_HBM`` (score comes
+        from the exact corner capture), else the checkpointed re-fill
+        traceback (score None — derive it from the alignment)."""
+        m, k, d = self.config.scoring.as_tuple()
         if pallas_supported() and block_diagonals is None:
             from nw_tpu.parallel.huge_pair import (
                 _tile_geometry,
@@ -215,27 +233,15 @@ class NWAligner:
                 r = huge_pair_align_sharded(
                     top, side, m, k, d, mesh, chunk=C, engine="pallasb"
                 )
-                X, Y = traceback.ops_to_strings(
-                    np.asarray(r.ops), r.n, s1b, s2b
-                )
-                return HugeAlignmentResult(
-                    s1=s1b, s2=s2b, score=r.score, X=X, Y=Y
-                )
-        interpret = not pallas_supported()
+                return np.asarray(r.ops), r.n, r.score
+        from nw_tpu.ops.checkpoint_traceback import traceback_checkpointed
+
         ops, n = traceback_checkpointed(
             top, side, m, k, d,
-            block_diagonals=block_diagonals, interpret=interpret,
+            block_diagonals=block_diagonals,
+            interpret=not pallas_supported(),
         )
-        X, Y = traceback.ops_to_strings(ops, n, s1b, s2b)
-        score = 0
-        for x, y in zip(X, Y):
-            if x == ord("-") or y == ord("-"):
-                score -= d
-            elif x == y:
-                score += m
-            else:
-                score -= k
-        return HugeAlignmentResult(s1=s1b, s2=s2b, score=score, X=X, Y=Y)
+        return np.asarray(ops), int(n), None
 
     def align_huge_sharded(
         self,
@@ -280,6 +286,59 @@ class NWAligner:
         )
         count = 0 if not s1b and not s2b else int(cnt)
         return int(sc), count
+
+    def _align_batch_huge_pairs(
+        self, norm, status, traceback_strings, count
+    ) -> "BatchResult":
+        """A small batch of HUGE pairs, one pair at a time through the
+        huge-pair engines (see the dispatch comment in align_batch).
+        Strings ride :meth:`_huge_ops` (config-5 walk words or
+        checkpointed re-fill — first-emission exact); counts ride the
+        fused O(N)-memory score+count fold (:meth:`summary_huge`)."""
+        m, k, d = self.config.scoring.as_tuple()
+        nb = len(norm)
+        scores = np.zeros(nb, np.int32)
+        counts = np.zeros(nb, np.uint32) if count else None
+        ops_rows: List[np.ndarray] = []
+        ns = np.zeros(nb, np.int32)
+        for i, (a, b) in enumerate(norm):
+            score = None
+            if traceback_strings:
+                top = jnp.asarray(enc.encode(a))
+                side = jnp.asarray(enc.encode(b))
+                ops, n, score = self._huge_ops(top, side)
+                ops_rows.append(ops[:n])
+                ns[i] = n
+            if count:
+                sc, cnt = self.summary_huge(a, b)
+                scores[i] = sc
+                counts[i] = cnt
+            elif score is not None:
+                scores[i] = score
+            else:
+                # checkpointed route carries no score: derive it from
+                # the alignment (exactly align_huge's rule)
+                X, Y = traceback.ops_to_strings(
+                    ops_rows[-1], int(ns[i]), a, b
+                )
+                for x, y in zip(X, Y):
+                    if x == ord("-") or y == ord("-"):
+                        scores[i] -= d
+                    elif x == y:
+                        scores[i] += m
+                    else:
+                        scores[i] -= k
+        result = BatchResult(scores=scores, status=status, _pairs=norm)
+        if count:
+            result.counts = counts
+        if traceback_strings:
+            S = max((len(a) + len(b) for a, b in norm), default=1)
+            ops_arr = np.zeros((nb, max(S, 1)), np.int8)
+            for i, row in enumerate(ops_rows):
+                ops_arr[i, : len(row)] = row
+            result.ops = ops_arr
+            result.ops_len = ns
+        return result
 
     # ---------------- batched (production path) ----------------
 
@@ -415,6 +474,7 @@ class NWAligner:
 
         from nw_tpu.ops.fill_auto import (
             BANDED_MIN_BATCH,
+            HUGE_PAIR_MIN_SIDE,
             LANES_ARROWS_MAX_SIDE,
             fill_arrows_auto,
             fill_scores_auto,
@@ -435,6 +495,18 @@ class NWAligner:
             )
             return BatchResult(scores=np.asarray(scores), status=status, _pairs=norm)
 
+        if len2 > HUGE_PAIR_MIN_SIDE and len(norm) < BANDED_MIN_BATCH:
+            # a SMALL batch of HUGE pairs: the banded engine would pad
+            # to 128 lanes (128x the cell work at 2 pairs), and the
+            # full-arrow fallback cannot even allocate (~20 GB of 3-bit
+            # arrows for ONE 100 kb pair).  Run each pair through the
+            # huge-pair routes instead — the config-5 walk-word engine
+            # (or checkpointed re-fill) for strings, the fused O(N)-
+            # memory score+count fold for counts; per-pair arrows never
+            # exist.  ~0.45 s/pair at 1x100kb vs an OOM before.
+            return self._align_batch_huge_pairs(
+                norm, status, traceback_strings, count
+            )
         if (
             use_pallas
             and len2 > LANES_ARROWS_MAX_SIDE

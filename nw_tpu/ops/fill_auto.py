@@ -46,6 +46,12 @@ FLAT_SCORES_MAX_SIDE = 256
 # lane-occupancy break-even: a batch smaller than this of long pairs is
 # faster one-pair-at-a-time in the fold layout than padded to 128 lanes
 BANDED_MIN_BATCH = 24
+# beyond this side, a small batch's arrow-emitting runs go PER PAIR
+# through the huge-pair routes (config-5 walk words / checkpointed
+# re-fill / fused summary): the banded engine would pad to 128 lanes
+# (128x the cell work at 2 pairs) and the full-arrow fallback cannot
+# even allocate (~2 L^2 bytes of packed arrows — 20 GB at 100 kb)
+HUGE_PAIR_MIN_SIDE = 32768
 # row-sweep engine bounds: sides short enough that 3 (L+1, 8, 128) VMEM
 # row/sequence buffers fit, batches big enough to fill 1024-pair blocks.
 # The SCORE-family kernels (fill_rowsweep, variants_rowsweep) hold the

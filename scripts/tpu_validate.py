@@ -827,6 +827,36 @@ def main() -> int:
         finally:
             del os.environ["NW_TPU_HUGE_WALK_HBM"]
         assert (rf.score, rf.X, rf.Y) == (rs.score, rs.X, rs.Y)
+        # small-batch huge-side dispatch (per-pair huge engines; a
+        # 2x100kb strings batch used to OOM on full arrows) vs the
+        # banded traceback engine on the same pairs
+        import nw_tpu.ops.fill_auto as fa
+
+        al2 = NWAligner(match=2, mismatch=1, indel=1)
+        ps_h = [
+            (bytes(np.asarray(t9, np.uint8)[:2000]),
+             bytes(np.asarray(s9, np.uint8)[:2300])),
+            (bytes(np.asarray(s9, np.uint8)[:1700]),
+             bytes(np.asarray(t9, np.uint8)[:2100])),
+        ]
+        old_min = fa.HUGE_PAIR_MIN_SIDE
+        fa.HUGE_PAIR_MIN_SIDE = 1024
+        try:
+            rb2 = al2.align_batch(
+                ps_h, traceback_strings=True, count=True
+            )
+        finally:
+            fa.HUGE_PAIR_MIN_SIDE = old_min
+        tops_h, sides_h, l1h, l2h = enc.encode_batch(ps_h)
+        sc_h, cnt_h, ops_h, n_h = traceback_banded_batch(
+            tops_h, sides_h, l1h, l2h, 2, 1, 1, with_counts=True
+        )
+        assert (np.asarray(rb2.scores) == np.asarray(sc_h)).all()
+        assert (np.asarray(rb2.counts) == np.asarray(cnt_h)).all()
+        for b in range(2):
+            nn = int(n_h[b])
+            assert int(rb2.ops_len[b]) == nn
+            assert (rb2.ops[b, :nn] == ops_h[b, :nn]).all()
 
     def sharded():
         from jax.sharding import Mesh

@@ -50,6 +50,38 @@ def test_empty_pair_library_semantics():
     assert list(r.alignments()) == []
 
 
+def test_align_batch_small_huge_pairs_route(monkeypatch):
+    """A SMALL batch of pairs beyond HUGE_PAIR_MIN_SIDE runs per pair
+    through the huge-pair engines (a 2x100kb batch used to OOM on the
+    ~20 GB full-arrow buffer; at 128-lane banded padding it would do
+    128x the cell work).  Shrunk threshold: results must equal the
+    normal batch route bit-for-bit."""
+    import numpy as np
+
+    import nw_tpu.ops.fill_auto as fa
+    from nw_tpu.models.needleman_wunsch import NWAligner
+
+    rng = np.random.default_rng(44)
+    pairs = [
+        (
+            "".join(rng.choice(list("ACGT"), 60)),
+            "".join(rng.choice(list("ACGT"), int(n))),
+        )
+        for n in (55, 64, 40)
+    ]
+    al = NWAligner(match=2, mismatch=1, indel=1)
+    want = al.align_batch(pairs, traceback_strings=True, count=True)
+    monkeypatch.setattr(fa, "HUGE_PAIR_MIN_SIDE", 32)
+    got = al.align_batch(pairs, traceback_strings=True, count=True)
+    np.testing.assert_array_equal(want.scores, got.scores)
+    np.testing.assert_array_equal(want.counts, got.counts)
+    assert want.alignment_strings() == got.alignment_strings()
+    # strings-only (no counts): the route derives scores itself
+    got2 = al.align_batch(pairs, traceback_strings=True)
+    np.testing.assert_array_equal(got2.scores, want.scores)
+    assert got2.alignment_strings() == want.alignment_strings()
+
+
 def test_align_batch_auto_chunking(monkeypatch):
     """HBM-aware auto-split produces identical results to one batch."""
     import numpy as np
